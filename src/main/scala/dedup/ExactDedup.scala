@@ -1,0 +1,35 @@
+package dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact dedup by content hash (reference exact_spark.py:128-131 uses
+  * `dropDuplicates([column])`, which keeps an arbitrary row per key; we use
+  * the deterministic min-id representative so resumed/re-run jobs keep the
+  * same rows — SURVEY.md §2.5 A1).
+  *
+  * Keyed on md5(text) (128-bit): at 10^12 docs, a 64-bit key would expect
+  * ~3·10^4 birthday collisions; md5 expects ~0. Grouping on the hash, not
+  * the text, keeps the shuffle narrow (16 bytes + id per row instead of the
+  * full document).
+  */
+object ExactDedup {
+
+  /** (id, component) where component = min id among byte-identical texts.
+    * Unlike the fuzzy path this assigns every doc (self for uniques). */
+  def assignments(docs: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+    val reps = keyed.groupBy(col("h")).agg(min(col("id")).as("component"))
+    keyed.join(reps, "h").select(col("id"), col("component"))
+  }
+
+  /** Rows kept after exact dedup (min-id representative per text), via
+    * left-anti join on the removal set (reference removal anti-join,
+    * fuzzy multi gpu/removal.py:19-36). */
+  def kept(docs: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val removal = assignments(docs, idCol, textCol)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(removal, Seq(idCol), "left_anti")
+  }
+}

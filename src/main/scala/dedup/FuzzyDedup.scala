@@ -1,0 +1,70 @@
+package dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship MinHash-LSH near-dup pipeline (reference fuzzy_spark2.py
+  * end-to-end trace, SURVEY.md §3.1), Spark-first:
+  *
+  *   docs → shingle sets (typed mapPartitions, min-length filter inside)
+  *        → MinHash lanes → LSH band keys → salted star edges
+  *        → exact-Jaccard verification (north_rule; reference skips it)
+  *        → large-star/small-star connected components
+  *        → assignment (component = min id; uniques = self)
+  *        → kept = representative filter via left-anti join.
+  *
+  * Everything stays in Dataset/DataFrame land — predicate pushdown, column
+  * pruning and AQE all apply (the reference's `.rdd.flatMap` drop defeats
+  * them, fuzzy_spark2.py:607-619).
+  *
+  * Topology note: candidates are *star* edges (bucket member → bucket min),
+  * linear in bucket size — a hot bucket never materializes quadratic pairs.
+  * Verification prunes star edges, so a pair (b,c) whose shared buckets are
+  * all hubbed by a non-duplicate smaller id could be lost; with r ≈ 10
+  * agreeing lanes per bucket a false-positive hub needs jaccard^10-level
+  * collisions (~1e-5) — the recall gate (≥0.99) absorbs it and the
+  * test-suite measures it against a brute-force oracle.
+  */
+object FuzzyDedup {
+
+  case class Result(
+      shingles: org.apache.spark.sql.Dataset[DocShingles],
+      candidates: DataFrame, // (src, dst) LSH star edges
+      edges: DataFrame,      // verified (or pass-through) edges
+      assignments: DataFrame // (id, component) for every doc that passed min-length
+  )
+
+  /** Run candidate generation + verification + clustering. `extraEdges`
+    * lets the SimHash / suffix stages feed the same component resolution
+    * (SURVEY.md §7 slices 3-4). */
+  def run(docs: DataFrame, cfg: DedupConfig, extraEdges: Seq[DataFrame] = Nil): Result = {
+    val shingles = Lsh.shingleSets(docs, cfg)
+    val bands = Lsh.bandKeys(shingles, cfg)
+    val candidates = Lsh.starEdges(bands, cfg.saltBuckets)
+    val verified =
+      if (cfg.verify) VerifyPairs.verifyJaccard(candidates, shingles, cfg.threshold)
+        .select(col("src"), col("dst"))
+      else candidates
+    val allEdges = extraEdges.foldLeft(verified) { (acc, e) =>
+      acc.unionByName(e.select(col("src"), col("dst")))
+    }
+    val components = ConnectedComponents.run(allEdges)
+    val ids = docs.select(col(cfg.idCol).cast("long").as("id"))
+    val assignments = ConnectedComponents.assignAll(ids, components)
+    Result(shingles, candidates, verified, assignments)
+  }
+
+  /** (id, component) for every doc in `docs`. */
+  def assignments(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    run(docs, cfg).assignments
+
+  /** Rows kept: one representative (the min id) per duplicate cluster,
+    * plus all uniques — reference keep-null-or-self filter + anti-join
+    * (fuzzy_spark2.py:692-697, fuzzy multi gpu/removal.py:19-36). */
+  def kept(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val removal = assignments(docs, cfg)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(cfg.idCol))
+    docs.join(removal, Seq(cfg.idCol), "left_anti")
+  }
+}

@@ -1,0 +1,190 @@
+package dedup
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Self-contained hash functions for shingling, banding and ids.
+  *
+  * xxh32/xxh64 are implemented from the public xxHash specification
+  * (github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md). The reference
+  * engine hashes shingles with `xxhash.xxh32_intdigest` (seed 0) — see
+  * reference fuzzy_spark2.py:119-148 — so we need a bit-identical xxh32 to
+  * run at "identical shingle/signature config". xxh64 doubles as the band /
+  * id hash; it matches Spark's built-in `xxhash64` (seed 42) on UTF-8
+  * strings, which the test-suite asserts.
+  *
+  * MinHash permutation math follows reference fuzzy_spark2.py:34-36,231-235:
+  * lanes are `min((h*a + b) mod p) & 0xFFFFFFFF` over the shingle-hash set,
+  * p = 4294967291 (largest 32-bit prime), empty set => MAX_HASH.
+  */
+object Hashes {
+
+  // ---------------------------------------------------------------- xxh32
+  private final val P32_1 = 0x9E3779B1 // 2654435761
+  private final val P32_2 = 0x85EBCA77 // 2246822519
+  private final val P32_3 = 0xC2B2AE3D // 3266489917
+  private final val P32_4 = 0x27D4EB2F // 668265263
+  private final val P32_5 = 0x165667B1 // 374761393
+
+  @inline private def le32(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xFF) | ((d(i + 1) & 0xFF) << 8) | ((d(i + 2) & 0xFF) << 16) | ((d(i + 3) & 0xFF) << 24)
+
+  def xxh32(data: Array[Byte], seed: Int): Int = {
+    val len = data.length
+    var idx = 0
+    var acc = 0
+    if (len >= 16) {
+      var v1 = seed + P32_1 + P32_2
+      var v2 = seed + P32_2
+      var v3 = seed
+      var v4 = seed - P32_1
+      val limit = len - 16
+      while (idx <= limit) {
+        v1 = Integer.rotateLeft(v1 + le32(data, idx) * P32_2, 13) * P32_1
+        v2 = Integer.rotateLeft(v2 + le32(data, idx + 4) * P32_2, 13) * P32_1
+        v3 = Integer.rotateLeft(v3 + le32(data, idx + 8) * P32_2, 13) * P32_1
+        v4 = Integer.rotateLeft(v4 + le32(data, idx + 12) * P32_2, 13) * P32_1
+        idx += 16
+      }
+      acc = Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+        Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+    } else {
+      acc = seed + P32_5
+    }
+    acc += len
+    while (idx + 4 <= len) {
+      acc = Integer.rotateLeft(acc + le32(data, idx) * P32_3, 17) * P32_4
+      idx += 4
+    }
+    while (idx < len) {
+      acc = Integer.rotateLeft(acc + (data(idx) & 0xFF) * P32_5, 11) * P32_1
+      idx += 1
+    }
+    acc ^= acc >>> 15
+    acc *= P32_2
+    acc ^= acc >>> 13
+    acc *= P32_3
+    acc ^= acc >>> 16
+    acc
+  }
+
+  def xxh32Str(s: String, seed: Int = 0): Int = xxh32(s.getBytes(UTF_8), seed)
+
+  // ---------------------------------------------------------------- xxh64
+  private final val P64_1 = 0x9E3779B185EBCA87L
+  private final val P64_2 = 0xC2B2AE3D27D4EB4FL
+  private final val P64_3 = 0x165667B19E3779F9L
+  private final val P64_4 = 0x85EBCA77C2B2AE63L
+  private final val P64_5 = 0x27D4EB2F165667C5L
+
+  @inline private def le64(d: Array[Byte], i: Int): Long =
+    (le32(d, i).toLong & 0xFFFFFFFFL) | (le32(d, i + 4).toLong << 32)
+
+  @inline private def round64(acc: Long, lane: Long): Long =
+    java.lang.Long.rotateLeft(acc + lane * P64_2, 31) * P64_1
+
+  @inline private def merge64(acc: Long, v: Long): Long =
+    (acc ^ round64(0L, v)) * P64_1 + P64_4
+
+  def xxh64(data: Array[Byte], seed: Long): Long = {
+    val len = data.length
+    var idx = 0
+    var acc = 0L
+    if (len >= 32) {
+      var v1 = seed + P64_1 + P64_2
+      var v2 = seed + P64_2
+      var v3 = seed
+      var v4 = seed - P64_1
+      val limit = len - 32
+      while (idx <= limit) {
+        v1 = round64(v1, le64(data, idx))
+        v2 = round64(v2, le64(data, idx + 8))
+        v3 = round64(v3, le64(data, idx + 16))
+        v4 = round64(v4, le64(data, idx + 24))
+        idx += 32
+      }
+      acc = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      acc = merge64(acc, v1)
+      acc = merge64(acc, v2)
+      acc = merge64(acc, v3)
+      acc = merge64(acc, v4)
+    } else {
+      acc = seed + P64_5
+    }
+    acc += len
+    while (idx + 8 <= len) {
+      acc = java.lang.Long.rotateLeft(acc ^ round64(0L, le64(data, idx)), 27) * P64_1 + P64_4
+      idx += 8
+    }
+    if (idx + 4 <= len) {
+      acc = java.lang.Long.rotateLeft(acc ^ ((le32(data, idx).toLong & 0xFFFFFFFFL) * P64_1), 23) * P64_2 + P64_3
+      idx += 4
+    }
+    while (idx < len) {
+      acc = java.lang.Long.rotateLeft(acc ^ ((data(idx) & 0xFF) * P64_5), 11) * P64_1
+      idx += 1
+    }
+    acc ^= acc >>> 33
+    acc *= P64_2
+    acc ^= acc >>> 29
+    acc *= P64_3
+    acc ^= acc >>> 32
+    acc
+  }
+
+  def xxh64Str(s: String, seed: Long = 0L): Long = xxh64(s.getBytes(UTF_8), seed)
+
+  /** xxh64 of a single long (little-endian 8 bytes), allocation-free. */
+  def xxh64Long(value: Long, seed: Long): Long = {
+    var acc = seed + P64_5 + 8L
+    acc = java.lang.Long.rotateLeft(acc ^ round64(0L, value), 27) * P64_1 + P64_4
+    acc ^= acc >>> 33
+    acc *= P64_2
+    acc ^= acc >>> 29
+    acc *= P64_3
+    acc ^= acc >>> 32
+    acc
+  }
+
+  /** xxh64 over an int-array slice (LE byte order), used for LSH band keys. */
+  def xxh64Ints(ints: Array[Int], from: Int, until: Int, seed: Long): Long = {
+    val n = until - from
+    val bytes = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      val v = ints(from + i)
+      bytes(i * 4) = v.toByte
+      bytes(i * 4 + 1) = (v >>> 8).toByte
+      bytes(i * 4 + 2) = (v >>> 16).toByte
+      bytes(i * 4 + 3) = (v >>> 24).toByte
+      i += 1
+    }
+    xxh64(bytes, seed)
+  }
+
+  // ------------------------------------------------------------- MinHash
+  /** Largest 32-bit prime; reference fuzzy_spark2.py:36 (MOD_PRIME). */
+  final val ModPrime: Long = 4294967291L
+  /** Empty-shingle-set lane value; reference fuzzy_spark2.py:35 (MAX_HASH). */
+  final val MaxHash: Long = 4294967295L
+
+  /** Deterministic universal-hash permutations (a in [1,p), b in [0,p)).
+    *
+    * The reference draws them from numpy RandomState(seed)
+    * (fuzzy_spark2.py:542-545); bit-compat with numpy is NOT required (the
+    * recall gate compares dup *pairs*, not signatures — SURVEY.md §2.4 F9),
+    * so we derive them from xxh64 counters: splittable, seedable and
+    * identical at any parallelism.
+    */
+  def permutations(numPerm: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](numPerm)
+    val b = new Array[Long](numPerm)
+    var i = 0
+    while (i < numPerm) {
+      a(i) = 1L + java.lang.Long.remainderUnsigned(xxh64Long(2L * i, seed), ModPrime - 1L)
+      b(i) = java.lang.Long.remainderUnsigned(xxh64Long(2L * i + 1L, seed ^ 0x5DEECE66DL), ModPrime)
+      i += 1
+    }
+    (a, b)
+  }
+}

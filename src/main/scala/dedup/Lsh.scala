@@ -1,0 +1,184 @@
+package dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** MinHash signatures + LSH banding + salted bucket→edge generation.
+  *
+  * Pipeline shape (reference fuzzy_spark2.py:180-235,607-623, re-expressed
+  * Spark-first): docs → per-doc shingle-hash set (typed mapPartitions; the
+  * reference drops to an RDD of Python tuples here, defeating Catalyst —
+  * ours stays a Dataset) → MinHash lanes → per-band bucket keys → grouped
+  * star edges. Bucket grouping is the skew hot-spot (a boilerplate page can
+  * put 10^6 docs in one bucket; the reference ships a plain `groupBy`,
+  * fuzzy_spark2.py:620); north_rule mandates salted repartitioning, done
+  * here as a two-phase aggregation whose edge *closure* equals the unsalted
+  * one (property-tested).
+  */
+object Lsh {
+
+  // ------------------------------------------------------- optimal (b, r)
+  /** Port of `optimal_param` (reference fuzzy_spark2.py:238-299, itself
+    * datasketch-derived): minimize 0.5·FP + 0.5·FN integrals over all
+    * (b, r) with b·r ≤ numPerm. scipy.integrate.quad is replaced by
+    * composite Simpson (1024 intervals); the docstring example
+    * optimalParam(0.7, 256) == (25, 10) is pinned in the test-suite. */
+  def optimalParam(
+      threshold: Double,
+      numPerm: Int,
+      fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5): (Int, Int) = {
+    def simpson(f: Double => Double, a: Double, b: Double, n: Int = 1024): Double = {
+      if (b <= a) return 0.0
+      val h = (b - a) / n
+      var s = f(a) + f(b)
+      var i = 1
+      while (i < n) {
+        s += f(a + i * h) * (if (i % 2 == 1) 4.0 else 2.0)
+        i += 1
+      }
+      s * h / 3.0
+    }
+    var best = (1, 1)
+    var minErr = Double.MaxValue
+    var b = 1
+    while (b <= numPerm) {
+      val maxR = numPerm / b
+      var r = 1
+      while (r <= maxR) {
+        val fp = simpson(s => 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble), 0.0, threshold)
+        val fn = simpson(s => math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble), threshold, 1.0)
+        val err = fp * fpWeight + fn * fnWeight
+        if (err < minErr) { minErr = err; best = (b, r) }
+        r += 1
+      }
+      b += 1
+    }
+    best
+  }
+
+  // ------------------------------------------------------------ MinHash
+  /** MinHash lanes over a shingle-hash set. Unsigned-32 math on Long:
+    * h*a + b < 2^64 for h,a,b < 2^32, so the wrap-free remainderUnsigned is
+    * exact (reference lane math: fuzzy_spark2.py:231-235). Empty set =>
+    * all lanes MaxHash (fuzzy_spark2.py:234). Returns lanes as Int bits. */
+  def signature(shingles: Array[Int], a: Array[Long], b: Array[Long]): Array[Int] = {
+    val np = a.length
+    val lanes = new Array[Long](np)
+    java.util.Arrays.fill(lanes, Hashes.MaxHash)
+    var j = 0
+    while (j < shingles.length) {
+      val h = shingles(j).toLong & 0xFFFFFFFFL
+      var i = 0
+      while (i < np) {
+        val v = java.lang.Long.remainderUnsigned(h * a(i) + b(i), Hashes.ModPrime)
+        if (v < lanes(i)) lanes(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Int](np)
+    var i = 0
+    while (i < np) { out(i) = lanes(i).toInt; i += 1 }
+    out
+  }
+
+  /** docs(id, text) → per-doc sorted distinct shingle-hash sets.
+    * Docs below minLength tokens produce no row (reference min-length
+    * filter, fuzzy_spark2.py:150-178,572-574). */
+  def shingleSets(docs: DataFrame, cfg: DedupConfig): Dataset[DocShingles] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = cfg.ngram
+    val minLen = cfg.minLength
+    val charW = cfg.charShingles
+    docs
+      .select(col(cfg.idCol).cast("long").as("id"), col(cfg.textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) None
+          else {
+            val sh = charW match {
+              case Some(w) => TextNorm.charShingleHashes(text, w, minLen)
+              case None    => TextNorm.shingleHashes(text, n, minLen)
+            }
+            if (sh.isEmpty) None else Some(DocShingles(id, sh))
+          }
+        }
+      }
+  }
+
+  /** shingle sets → (id, band, bucket) LSH keys. The permutation arrays are
+    * tiny (numPerm longs) and serialized with the closure; bucket =
+    * xxh64(band-slice bytes, seed=band) replaces the reference's
+    * raw-bytes / md5-string keys (fuzzy_spark2.py:235,
+    * fuzzy single gpu/lsh.py:54) — 8 shuffled bytes instead of 4·r+. */
+  def bandKeys(shingles: Dataset[DocShingles], cfg: DedupConfig): Dataset[BandKey] = {
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    val (b, r) = cfg.bandsRows
+    val (pa, pb) = Hashes.permutations(b * r, cfg.seed)
+    shingles.mapPartitions { it =>
+      it.flatMap { ds =>
+        val sig = signature(ds.shingles, pa, pb)
+        (0 until b).iterator.map { band =>
+          BandKey(ds.id, band, Hashes.xxh64Ints(sig, band * r, (band + 1) * r, band.toLong))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------- salted bucket → star edges
+  /** Bucket-mates → star edges to the bucket minimum (reference
+    * generate_edges, fuzzy_spark2.py:53-77), with two-phase salting so a
+    * hot bucket of size M costs max(M/S, S) per task instead of M:
+    *
+    *   stage A: group (band, bucket, salt=xxh64(id)%S) → local min; every
+    *            member links to its local min (map-side combinable agg +
+    *            an equi-join bounded by the salted group size);
+    *   stage B: group (band, bucket) over the ≤S local mins → global min;
+    *            local mins link to the global min.
+    *
+    * The union's transitive closure equals the unsalted star's (each salt
+    * group is a star whose hub links to the global hub), so connected
+    * components are identical — property-tested in LshSpec. Output edges
+    * are normalized (src > dst) and distinct across bands. */
+  def starEdges(bands: Dataset[BandKey], saltBuckets: Int): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val s = math.max(1, saltBuckets)
+    val salted = bands.toDF()
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
+    val localMin = salted
+      .groupBy($"band", $"bucket", $"salt")
+      .agg(min($"id").as("lmin"))
+    val edgesA = salted
+      .join(localMin, Seq("band", "bucket", "salt"))
+      .where($"id" =!= $"lmin")
+      .select($"id".as("src"), $"lmin".as("dst"))
+    val globalMin = localMin
+      .groupBy($"band", $"bucket")
+      .agg(min($"lmin").as("gmin"))
+    val edgesB = localMin
+      .join(globalMin, Seq("band", "bucket"))
+      .where($"lmin" =!= $"gmin")
+      .select($"lmin".as("src"), $"gmin".as("dst"))
+    edgesA.union(edgesB)
+      .select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
+      .distinct()
+  }
+
+  /** Unsalted variant (reference semantics, fuzzy_spark2.py:620-623) — used
+    * as the salting-invariance test oracle only. */
+  def starEdgesUnsalted(bands: Dataset[BandKey]): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val df = bands.toDF()
+    val mins = df.groupBy($"band", $"bucket").agg(min($"id").as("gmin"))
+    df.join(mins, Seq("band", "bucket"))
+      .where($"id" =!= $"gmin")
+      .select($"id".as("src"), $"gmin".as("dst"))
+      .distinct()
+  }
+}

@@ -1,0 +1,152 @@
+package dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point: the full checkpointed near-dup pipeline over a
+  * page table (BASELINE.json north_star trace; stage layout mirrors the
+  * reference's resumable GPU master, fuzzy multi gpu/master.py:288-439).
+  *
+  *   ids → shingles → bands → candidates → verified → simhash-edges →
+  *   suffix-edges → components → assignments → kept
+  *
+  * Every stage commits parquet + manifest via CheckpointStore; a rerun with
+  * the same config resumes at the first missing stage. Doc ids are
+  * xxhash64(url) — partition-layout independent, so resumed runs produce
+  * byte-identical assignments (SURVEY.md §7 risk 5).
+  *
+  * Usage:
+  *   spark-submit --class dedup.Pipeline <jar> \
+  *     --input <pages parquet> --output <checkpoint root> \
+  *     [--threshold 0.7] [--ngram 5] [--min-length 5] [--num-perm 250]
+  *     [--seed 42] [--salt 16] [--no-verify] [--simhash] [--suffix]
+  *     [--synth N]  (generate a deterministic synthetic corpus instead of
+  *                   reading --input)
+  */
+object Pipeline {
+
+  case class Args(
+      input: String = "",
+      output: String = "",
+      synth: Long = 0L,
+      simhash: Boolean = false,
+      suffix: Boolean = false,
+      cfg: DedupConfig = DedupConfig(idCol = "id", textCol = "text"))
+
+  def parse(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--input" => a = a.copy(input = argv(i + 1)); i += 2
+        case "--output" => a = a.copy(output = argv(i + 1)); i += 2
+        case "--synth" => a = a.copy(synth = argv(i + 1).toLong); i += 2
+        case "--threshold" => a = a.copy(cfg = a.cfg.copy(threshold = argv(i + 1).toDouble)); i += 2
+        case "--ngram" => a = a.copy(cfg = a.cfg.copy(ngram = argv(i + 1).toInt)); i += 2
+        case "--min-length" => a = a.copy(cfg = a.cfg.copy(minLength = argv(i + 1).toInt)); i += 2
+        case "--num-perm" => a = a.copy(cfg = a.cfg.copy(numPerm = argv(i + 1).toInt)); i += 2
+        case "--seed" => a = a.copy(cfg = a.cfg.copy(seed = argv(i + 1).toLong)); i += 2
+        case "--salt" => a = a.copy(cfg = a.cfg.copy(saltBuckets = argv(i + 1).toInt)); i += 2
+        case "--no-verify" => a = a.copy(cfg = a.cfg.copy(verify = false)); i += 1
+        case "--simhash" => a = a.copy(simhash = true); i += 1
+        case "--suffix" => a = a.copy(suffix = true); i += 1
+        case other => throw new IllegalArgumentException(s"unknown arg: $other")
+      }
+    }
+    require(a.output.nonEmpty, "--output is required")
+    require(a.input.nonEmpty || a.synth > 0, "--input or --synth is required")
+    a
+  }
+
+  /** Runs the checkpointed pipeline; returns (kept, assignments). */
+  def run(spark: SparkSession, args: Args): (DataFrame, DataFrame) = {
+    val cfg = args.cfg
+    val store = new CheckpointStore(spark, args.output, cfg.configHash +
+      (if (args.simhash) "+sh" else "") + (if (args.suffix) "+sa" else ""))
+
+    val pages: DataFrame =
+      if (args.synth > 0) Synth.pages(spark, args.synth, cfg.seed).toDF()
+      else spark.read.schema(Page.schema).parquet(args.input)
+
+    // ids stage: stable xxhash64(url) ids; the page payload stays columnar
+    // in the source — downstream stages only carry (id, text).
+    val docs = store.stage("ids") {
+      pages.select(
+        xxhash64(col("url")).as("id"),
+        col("url"), col("text"))
+    }
+
+    val shingles = store.stage("shingles") {
+      Lsh.shingleSets(docs, cfg).toDF()
+    }
+    import spark.implicits._
+    val shingleDs = shingles.as[DocShingles]
+
+    val bands = store.stage("bands") {
+      Lsh.bandKeys(shingleDs, cfg).toDF()
+    }.as[BandKey]
+
+    val candidates = store.stage("candidates") {
+      Lsh.starEdges(bands, cfg.saltBuckets)
+    }
+
+    val verified = store.stage("verified") {
+      if (cfg.verify)
+        VerifyPairs.verifyJaccard(candidates, shingleDs, cfg.threshold)
+          .select(col("src"), col("dst"))
+      else candidates
+    }
+
+    val simEdges =
+      if (args.simhash) Some(store.stage("simhash_edges") {
+        SimHash.verifiedEdges(shingleDs, cfg).select(col("src"), col("dst"))
+      }) else None
+
+    val saEdges =
+      if (args.suffix) Some(store.stage("suffix_edges") {
+        SuffixDedup.verifiedEdges(docs, cfg).select(col("src"), col("dst"))
+      }) else None
+
+    val components = store.stage("components") {
+      val all = (Seq(verified) ++ simEdges ++ saEdges).reduce(_ unionByName _)
+      ConnectedComponents.run(all)
+    }
+
+    val assignments = store.stage("assignments") {
+      ConnectedComponents.assignAll(docs.select(col("id")), components)
+    }
+
+    val kept = store.stage("kept") {
+      val removal = assignments.where(col("id") =!= col("component")).select(col("id"))
+      docs.join(removal, Seq("id"), "left_anti")
+    }
+
+    (kept, assignments)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv)
+    // spark-submit injects spark.master; standalone runs fall back to local
+    val builder0 = SparkSession.builder()
+    val builder =
+      if (sys.props.contains("spark.master")) builder0
+      else builder0.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = builder
+      .appName("dedup-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val (kept, assignments) = run(spark, args)
+    val total = assignments.count()
+    val keptN = kept.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"docs=$total kept=$keptN removed=${total - keptN} " +
+      f"(${100.0 * (total - keptN) / math.max(1, total)}%.2f%%) wall=${sec}%.1fs " +
+      f"throughput=${total / math.max(sec, 1e-9)}%.0f docs/sec")
+    spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators a large-scale training-data pipeline needs on
+  * top of dedup: token counting, quality scoring, language ID and document
+  * fingerprinting. All pure-Catalyst where possible (codegen'd, pushdown
+  * friendly); the langid/fingerprint hot loops are JVM closures.
+  */
+object TextAnalysis {
+
+  // -------------------------------------------------------- token counts
+  /** Whitespace token count (0 for blank). Pure Catalyst. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and runs of
+    * other non-space chars each count as one token (a cheap, deterministic
+    * stand-in for a real tokenizer's pre-tokenization). */
+  private val BpeLike = java.util.regex.Pattern.compile("(?U)\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]")
+  val tokenCountBpe = udf { (text: String) =>
+    if (text == null) 0
+    else {
+      val m = BpeLike.matcher(text)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+  }
+
+  // ------------------------------------------------------------- quality
+  /** Integer quality features (oracle-safe: no floats). */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars2", length(t).cast("int"))
+      .withColumn("n_tokens", tokenCountWs(t))
+      .withColumn("n_distinct_tokens",
+        when(length(trim(t)) === 0, lit(0))
+          .otherwise(size(array_distinct(split(trim(t), "\\s+")))))
+      .withColumn("n_digits", length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .withColumn("is_short", (tokenCountWs(t) < lit(5)).cast("int"))
+  }
+
+  /** Composite quality score in [0,1] (heuristic; not oracle-compared):
+    * rewards mid-length docs, penalizes low token diversity and digit
+    * soup — the length/punct/stopword-ratio family of filters. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val q = qualityFeatures(df, textCol)
+    q.withColumn("quality",
+      round(
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
+          when(col("n_tokens") > 0,
+            col("n_distinct_tokens").cast("double") / col("n_tokens")).otherwise(0.0) * 0.4 +
+          when(col("n_chars2") > 0,
+            lit(1.0) - col("n_digits").cast("double") / col("n_chars2")).otherwise(0.0) * 0.2,
+        6))
+  }
+
+  // -------------------------------------------------------------- langid
+  /** Tiny per-language stopword lists (public common words). A real
+    * pipeline plugs a fastText-style model here; the Spark plumbing —
+    * per-partition scoring, no shuffle — is the load-bearing part. */
+  private val StopWords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Set("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+    "hi" -> Set("और", "है", "का", "की", "के", "में", "यह", "से", "को", "पर"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** n-gram/stopword-heuristic language ID: argmax of stopword hit counts
+    * (ties broken by language code; "und" when nothing matches). */
+  val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val toks = TextNorm.tokenize(text).iterator.filter(_.nonEmpty).take(512).toArray
+      val chars = text.iterator.take(512).map(_.toString).toSet
+      var best = "und"
+      var bestScore = 0
+      StopWords.toSeq.sortBy(_._1).foreach { case (lang, words) =>
+        val score =
+          if (lang == "zh") words.count(chars.contains)
+          else toks.count(words.contains)
+        if (score > bestScore) { best = lang; bestScore = score }
+      }
+      best
+    }
+  }
+
+  // --------------------------------------------------------- fingerprint
+  /** 64-bit document fingerprint: xor-fold of the doc's winnowing anchors
+    * (rolling-hash based, robust to small local edits — unlike md5). */
+  val fingerprintUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) 0L
+    else {
+      val as = SuffixDedup.anchors(text, math.min(100, math.max(SuffixDedup.KGram, text.length)))
+      if (as.isEmpty) Hashes.xxh64Str(text)
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < as.length) { acc ^= as(i); i += 1 }
+        acc
+      }
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package dedup
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+/** Tokenization + shingling with reference-identical semantics.
+  *
+  * Reference (fuzzy_spark2.py:33,80-148, the flagship pipeline):
+  *  - tokens  = re.split(r"\W", content.lower())  — UNICODE \W, empty tokens
+  *    are KEPT (fuzzy_spark.py:346 drops them; we pin the flagship semantics,
+  *    SURVEY.md §2.4 F1).
+  *  - shingles = sliding n-grams of tokens, joined with " "; if
+  *    len(tokens) < n the single whole-token-sequence shingle is emitted
+  *    (fuzzy_spark2.py:111-112); if len(tokens) < min_length => no shingles
+  *    (fuzzy_spark2.py:150-178).
+  *  - each shingle is hashed with xxh32(utf8, seed=0) and deduped to a set
+  *    (fuzzy_spark2.py:119-148).
+  *
+  * The GPU family instead uses character n-grams of width 24
+  * (fuzzy multi gpu/minhash_multi.py:17-24); `charShingleHashes` keeps that
+  * mode available.
+  */
+object TextNorm {
+
+  /** Java equivalent of Python `re.split(r"\W", s, flags=re.UNICODE)`. */
+  private val NonWord: Pattern = Pattern.compile("(?U)\\W")
+
+  /** Lowercase + split on unicode non-word chars; empty tokens kept
+    * (including leading/trailing), matching `re.split`. */
+  def tokenize(text: String): Array[String] =
+    NonWord.split(text.toLowerCase(Locale.ROOT), -1)
+
+  /** Token count as the min-length filter sees it (reference
+    * fuzzy_spark2.py:150-178 counts ALL split results, empties included). */
+  def tokenCount(text: String): Int = tokenize(text).length
+
+  /** Word n-gram shingle strings. Empty iterator if fewer than `minLength`
+    * tokens; a single whole-sequence shingle if fewer than `n` tokens. */
+  def wordShingles(tokens: Array[String], n: Int, minLength: Int): Iterator[String] = {
+    if (tokens.length < minLength) Iterator.empty
+    else if (tokens.length < n) Iterator.single(tokens.mkString(" "))
+    else tokens.iterator.sliding(n).withPartial(false).map(_.mkString(" "))
+  }
+
+  /** Sorted, distinct xxh32 hashes of word n-gram shingles — the per-doc
+    * shingle set used for both MinHash lanes and exact-Jaccard verification. */
+  def shingleHashes(text: String, n: Int, minLength: Int): Array[Int] = {
+    val toks = tokenize(text)
+    if (toks.length < minLength) return Array.emptyIntArray
+    val set = new java.util.TreeSet[Integer]()
+    if (toks.length < n) {
+      set.add(Hashes.xxh32Str(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        set.add(Hashes.xxh32Str(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Int](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** Character n-gram shingle hashes (GPU-family parity mode: width-24 char
+    * windows, reference fuzzy multi gpu/minhash_multi.py:72-94). Lowercased
+    * like the word mode; hashes are xxh32 of the raw window. */
+  def charShingleHashes(text: String, width: Int, minLength: Int): Array[Int] = {
+    val s = text.toLowerCase(Locale.ROOT)
+    if (s.length < minLength) return Array.emptyIntArray
+    val set = new java.util.TreeSet[Integer]()
+    if (s.length <= width) {
+      set.add(Hashes.xxh32Str(s))
+    } else {
+      var i = 0
+      val last = s.length - width
+      while (i <= last) {
+        set.add(Hashes.xxh32Str(s.substring(i, i + width)))
+        i += 1
+      }
+    }
+    val out = new Array[Int](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}

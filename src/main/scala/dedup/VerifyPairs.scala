@@ -1,0 +1,75 @@
+package dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Exact verification of LSH candidate pairs (north_rule; absent in the
+  * reference — fuzzy_spark2.py accepts all bucket-mates and the GPU path
+  * writes a placeholder jaccard=1.0, fuzzy multi gpu/buckets_edges.py:54).
+  *
+  * Candidates join back to the checkpointed per-doc shingle sets (sorted
+  * int arrays) on each endpoint — two sort-merge joins on id, the honest
+  * cost of not shipping shingle sets through the LSH shuffle — and the
+  * exact Jaccard is a linear merge over the two sorted arrays.
+  *
+  * The threshold predicate is integer-exact: inter·10^6 ≥ round(t·10^6)·union,
+  * so t=0.7 is literally inter·10 ≥ 7·union — bit-identical to the DuckDB
+  * oracle's integer predicate, no float boundary.
+  */
+object VerifyPairs {
+
+  /** (intersection, union) sizes of two sorted distinct int arrays. */
+  def jaccardCounts(a: Array[Int], b: Array[Int]): (Int, Int) = {
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    (inter, a.length + b.length - inter)
+  }
+
+  private val jaccardIU = udf { (a: Array[Int], b: Array[Int]) =>
+    val (i, u) = jaccardCounts(a, b)
+    Array(i, u)
+  }
+
+  /** edges(src, dst) × shingles → verified edges with exact (inter, uni),
+    * keeping pairs with jaccard ≥ threshold. */
+  def verifyJaccard(
+      edges: DataFrame,
+      shingles: Dataset[DocShingles],
+      threshold: Double): DataFrame = {
+    val sh = shingles.toDF()
+    val s1 = sh.select(col("id").as("src"), col("shingles").as("sh_src"))
+    val s2 = sh.select(col("id").as("dst"), col("shingles").as("sh_dst"))
+    val num = math.round(threshold * 1000000L)
+    edges
+      .join(s1, "src")
+      .join(s2, "dst")
+      .withColumn("iu", jaccardIU(col("sh_src"), col("sh_dst")))
+      .select(
+        col("src"), col("dst"),
+        col("iu").getItem(0).as("inter"),
+        col("iu").getItem(1).as("uni"))
+      .where(col("inter").cast("long") * 1000000L >= lit(num) * col("uni").cast("long"))
+  }
+
+  /** SimHash verification: keep pairs whose 64-bit fingerprints are within
+    * hamming radius k — pure Catalyst (`bit_count(a ^ b)`, codegen'd). */
+  def verifyHamming(
+      edges: DataFrame,
+      fingerprints: DataFrame, // (id, fp)
+      k: Int): DataFrame = {
+    val f1 = fingerprints.select(col("id").as("src"), col("fp").as("fp_src"))
+    val f2 = fingerprints.select(col("id").as("dst"), col("fp").as("fp_dst"))
+    edges
+      .join(f1, "src")
+      .join(f2, "dst")
+      .withColumn("hamming", bit_count(col("fp_src").bitwiseXOR(col("fp_dst"))))
+      .where(col("hamming") <= lit(k))
+      .select(col("src"), col("dst"), col("hamming"))
+  }
+}

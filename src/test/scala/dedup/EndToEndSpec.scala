@@ -1,0 +1,132 @@
+package dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E2E gates on the deterministic synthetic corpus (FIXTURES.md §2):
+  * dup-pair recall vs a brute-force exact-Jaccard oracle, precision of
+  * verified pairs, hot-key cluster handling, partition-layout invariance.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private val N = 1200L
+  private val cfg = DedupConfig(
+    idCol = "id", textCol = "text",
+    ngram = 5, minLength = 5, numPerm = 250, threshold = 0.7,
+    seed = 42L, saltBuckets = 8, verify = true)
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Synth.corpus(spark, N).map(d => (Hashes.xxh64Str(d.url), d.text, d.cluster, d.cls))
+      .toDF("id", "text", "cluster", "cls")
+      .cache()
+  }
+
+  /** brute-force truth: pairs with exact shingle-Jaccard >= threshold */
+  private lazy val truthPairs: Set[(Long, Long)] = {
+    val docs = corpus.select("id", "text").collect()
+      .map(r => r.getLong(0) -> TextNorm.shingleHashes(r.getString(1), cfg.ngram, cfg.minLength))
+      .filter(_._2.nonEmpty)
+    val out = scala.collection.mutable.Set[(Long, Long)]()
+    var i = 0
+    while (i < docs.length) {
+      var j = i + 1
+      while (j < docs.length) {
+        val (inter, uni) = VerifyPairs.jaccardCounts(docs(i)._2, docs(j)._2)
+        if (inter.toLong * 10 >= uni.toLong * 7) {
+          val (a, b) = (docs(i)._1, docs(j)._1)
+          out += ((math.max(a, b), math.min(a, b)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toSet
+  }
+
+  private lazy val result = FuzzyDedup.run(corpus, cfg)
+  private lazy val assignMap: Map[Long, Long] =
+    result.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("reference-parity: verified pipeline recovers >=0.99 of the pairs the " +
+      "reference semantics (no verification) would find") {
+    // reference flagship accepts all LSH bucket-mates (fuzzy_spark2.py:620-623);
+    // our verify gate must not lose true dup pairs relative to that
+    val refAssign = FuzzyDedup.run(corpus, cfg.copy(verify = false)).assignments
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refFound = truthPairs.filter { case (a, b) => refAssign(a) == refAssign(b) }
+    assert(refFound.nonEmpty)
+    val ours = refFound.count { case (a, b) => assignMap(a) == assignMap(b) }
+    val recall = ours.toDouble / refFound.size
+    info(s"reference-mode finds ${refFound.size} true pairs; ours keeps $ours (recall $recall)")
+    assert(recall >= 0.99, s"recall vs reference semantics $recall below gate")
+  }
+
+  test("dup-pair recall >= 0.99 vs brute-force exact-Jaccard oracle") {
+    assert(truthPairs.nonEmpty, "synth corpus must plant dup pairs")
+    // found pair = same component in the final assignment
+    val found = truthPairs.count { case (a, b) => assignMap(a) == assignMap(b) }
+    val recall = found.toDouble / truthPairs.size
+    info(s"truth pairs: ${truthPairs.size}, found: $found, recall: $recall")
+    assert(recall >= 0.99, s"recall $recall below gate")
+  }
+
+  test("verified pairs are all true positives (precision of the verify gate)") {
+    import spark.implicits._
+    val verified = result.edges.select("src", "dst").as[(Long, Long)].collect()
+    val shingleMap = corpus.select("id", "text").collect()
+      .map(r => r.getLong(0) -> TextNorm.shingleHashes(r.getString(1), cfg.ngram, cfg.minLength))
+      .toMap
+    verified.foreach { case (s, d) =>
+      val (inter, uni) = VerifyPairs.jaccardCounts(shingleMap(s), shingleMap(d))
+      assert(inter.toLong * 10 >= uni.toLong * 7, s"verified pair ($s,$d) below threshold: $inter/$uni")
+    }
+  }
+
+  test("hot-key template cluster resolves into one component (salting path)") {
+    val hotIds = corpus.where(org.apache.spark.sql.functions.col("cls") === "hot")
+      .select("id").collect().map(_.getLong(0))
+    assert(hotIds.length > 5, "synth should plant a hot cluster")
+    val comps = hotIds.map(assignMap).distinct
+    assert(comps.length === 1, s"hot cluster split into ${comps.length} components")
+  }
+
+  test("exact-dup classes dedupe to one representative per cluster") {
+    import org.apache.spark.sql.functions._
+    val exact = corpus.where(col("cls") === "exact")
+    val withComp = exact.join(
+      result.assignments.withColumnRenamed("id", "id2"),
+      exact("id") === col("id2"))
+    // docs in the same planted cluster share a component
+    val bad = withComp.groupBy(col("cluster"))
+      .agg(countDistinct(col("component")).as("nc"))
+      .where(col("nc") > 1).count()
+    assert(bad === 0L)
+  }
+
+  test("assignments are partition-layout invariant (ids are content-keyed)") {
+    val re = corpus.repartition(17)
+    val again = FuzzyDedup.run(re, cfg).assignments
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === assignMap)
+  }
+
+  test("kept = one doc per component; removal anti-join consistent") {
+    val kept = FuzzyDedup.kept(corpus, cfg)
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    val byComp = assignMap.groupBy(_._2)
+    assert(keptIds.size === byComp.size)
+    byComp.foreach { case (comp, members) =>
+      assert(keptIds.contains(comp) || !members.keySet.contains(comp))
+      assert(members.keySet.intersect(keptIds).size === 1)
+    }
+  }
+
+  test("short docs are excluded from matching but preserved in assignments") {
+    val shortIds = corpus.where(org.apache.spark.sql.functions.col("cls") === "short")
+      .select("id").collect().map(_.getLong(0))
+    shortIds.foreach { id =>
+      assert(assignMap(id) === id, "short docs can never match (below min_length)")
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LshSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  test("optimalParam docstring vector: (0.7, 256) == (25, 10)") {
+    assert(Lsh.optimalParam(0.7, 256) === (25, 10))
+  }
+
+  test("signature: empty shingle set -> all lanes MAX_HASH") {
+    val (a, b) = Hashes.permutations(16, 42L)
+    val sig = Lsh.signature(Array.emptyIntArray, a, b)
+    assert(sig.forall(l => (l.toLong & 0xFFFFFFFFL) === Hashes.MaxHash))
+  }
+
+  test("signature: lane = min over shingles of (h*a+b) mod p") {
+    val (a, b) = Hashes.permutations(8, 1L)
+    val shingles = Array(3, -5, 1234567)
+    val sig = Lsh.signature(shingles, a, b)
+    for (i <- 0 until 8) {
+      val expect = shingles.map { s =>
+        java.lang.Long.remainderUnsigned((s.toLong & 0xFFFFFFFFL) * a(i) + b(i), Hashes.ModPrime)
+      }.min
+      assert((sig(i).toLong & 0xFFFFFFFFL) === expect)
+    }
+  }
+
+  test("MinHash lane agreement estimates true Jaccard (statistical)") {
+    val numPerm = 256
+    val (a, b) = Hashes.permutations(numPerm, 42L)
+    // two sets with known jaccard: |A|=800, |B|=800, |A∩B|=600 -> J=0.6
+    val inter = (0 until 600).map(i => Hashes.xxh32Str(s"common-$i")).toArray
+    val onlyA = (0 until 200).map(i => Hashes.xxh32Str(s"a-$i")).toArray
+    val onlyB = (0 until 200).map(i => Hashes.xxh32Str(s"b-$i")).toArray
+    val setA = (inter ++ onlyA).distinct.sorted
+    val setB = (inter ++ onlyB).distinct.sorted
+    val (iC, uC) = VerifyPairs.jaccardCounts(setA, setB)
+    val trueJ = iC.toDouble / uC
+    val sigA = Lsh.signature(setA, a, b)
+    val sigB = Lsh.signature(setB, a, b)
+    val agree = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / numPerm
+    // stderr = sqrt(J(1-J)/n) ≈ 0.031; allow 4 sigma
+    assert(math.abs(agree - trueJ) < 0.13, s"estimate $agree vs true $trueJ")
+  }
+
+  test("identical docs share every band; banding is deterministic") {
+    import spark.implicits._
+    val cfg = DedupConfig(ngram = 3, minLength = 3, numPerm = 50, bands = Some((10, 5)))
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")).toDF("id", "text")
+    val bands = Lsh.bandKeys(Lsh.shingleSets(docs, cfg), cfg).collect()
+    val byDoc = bands.groupBy(_.id).view.mapValues(_.map(b => (b.band, b.bucket)).toSet).toMap
+    assert(byDoc(1L) === byDoc(2L))
+    assert(byDoc(1L) !== byDoc(3L))
+    assert(byDoc(1L).size === 10)
+  }
+
+  test("star edges golden vector (reference fuzzy_spark2.py:68-72)") {
+    import spark.implicits._
+    // one bucket with members {1,2,3} -> edges (2,1),(3,1)
+    val bands = Seq(BandKey(1L, 0, 99L), BandKey(2L, 0, 99L), BandKey(3L, 0, 99L)).toDS()
+    val edges = Lsh.starEdgesUnsalted(bands).as[(Long, Long)].collect().toSet
+    assert(edges === Set((2L, 1L), (3L, 1L)))
+  }
+
+  test("salted and unsalted edges have identical transitive closure (property)") {
+    import spark.implicits._
+    // random band keys incl. a hot bucket of 60 members
+    val rnd = new scala.util.Random(7)
+    val keys = (1 to 60).map(i => BandKey(i.toLong, 0, 1L)) ++ // hot bucket
+      (1 to 120).map(_ => BandKey(rnd.nextInt(200).toLong + 100L, rnd.nextInt(3), rnd.nextInt(20).toLong))
+    val ds = keys.toDS()
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      ConnectedComponents.run(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = comps(Lsh.starEdges(ds, 8))
+    val unsalted = comps(Lsh.starEdgesUnsalted(ds))
+    assert(salted === unsalted)
+  }
+
+  test("salted star edges stay linear in bucket size") {
+    import spark.implicits._
+    val hot = (1 to 500).map(i => BandKey(i.toLong, 0, 7L)).toDS()
+    val n = Lsh.starEdges(hot, 16).count()
+    // <= members-1 + saltGroups edges (star per salt group + bridge)
+    assert(n <= 500L + 16L)
+    assert(n >= 499L)
+  }
+}

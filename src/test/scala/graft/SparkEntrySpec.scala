@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks of the driver-contract queries on sf0.001/sf0.01.
+  * The authoritative correctness gate is the driver's DuckDB compare; these
+  * assert the invariants the oracle SQL relies on. */
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("entry: flagship dedup returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle-parity precondition: documents texts are [a-z0-9 ]-only, so \\W == ' '") {
+    val bad = spark.read.parquet(s"$sf01/documents.parquet")
+      .where(col("text").rlike("[^a-z0-9 ]")).count()
+    assert(bad === 0L, "oracle SQL assumes space-only separators")
+  }
+
+  test("every query runs on sf0.001 and returns a deterministic schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf001)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      info(f"$name%-24s rows=$n cols=${df.columns.mkString(",")}")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("q_fuzzy_assign finds exactly the brute-force trigram-Jaccard clusters (sf0.01)") {
+    // the LSH+verify pipeline must agree with q_ngram_jaccard_pairs-derived
+    // clusters — this is the in-engine version of the DuckDB oracle
+    val pairs = SparkEntry.queries("q_ngram_jaccard_pairs")(spark, sf01)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 20, s"expected planted near-dup pairs, got ${pairs.length}")
+    val assign = SparkEntry.queries("q_fuzzy_assign")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recall: every true pair shares a component
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) === assign(b), s"pair ($a,$b) not clustered")
+    }
+    // precision: docs sharing a component must appear in the pair graph
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val clustered = assign.filter { case (id, c) => c != id }.keySet ++
+      assign.values.toSet.filter(c => assign.exists { case (i, cc) => cc == c && i != c })
+    val falsePos = assign.groupBy(_._2).filter(_._2.size > 1).values.flatten.map(_._1)
+      .filterNot(inPairs.contains)
+    assert(falsePos.isEmpty, s"docs clustered without a true pair: $falsePos")
+  }
+
+  test("q_cc_chain component equals min doc_id per (lang, source) group") {
+    val d = spark.read.parquet(s"$sf01/documents.parquet")
+    val expect = d.select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("source")))
+          .as("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_cc_chain")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("q_exact queries: all sf0.01 texts are distinct so nothing is removed") {
+    val n = spark.read.parquet(s"$sf01/documents.parquet").count()
+    assert(SparkEntry.queries("q_exact_kept")(spark, sf01).count() === n)
+    assert(SparkEntry.queries("q_exact_dedup_rep")(spark, sf01).count() === n)
+  }
+
+  test("q_ann_topk: 3 neighbors per query, no self-matches") {
+    val df = SparkEntry.queries("q_ann_topk")(spark, sf01).cache()
+    val perQuery = df.groupBy(col("vec_id")).count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(perQuery === Seq(3L))
+    assert(df.where(col("vec_id") === col("neighbor_id")).count() === 0L)
+  }
+}
