@@ -117,7 +117,7 @@ object Ann {
     val edges = a.join(b, col("src") > col("dst"))
       .where(cosine(col("va"), col("vb")) >= lit(threshold))
       .select(col("src"), col("dst"))
-    val comps = ConnectedComponents.run(edges)
+    val comps = ConnectedComponents.runAdaptive(edges)
     ConnectedComponents.assignAll(
       vectors.select(col("id").cast("long").as("id")), comps)
   }

@@ -38,7 +38,10 @@ object FuzzyDedup {
     * lets the SimHash / suffix stages feed the same component resolution
     * (SURVEY.md §7 slices 3-4). */
   def run(docs: DataFrame, cfg: DedupConfig, extraEdges: Seq[DataFrame] = Nil): Result = {
+    // shingle sets are read by banding and twice by verification — persist
+    // once (the reference's persist(DISK_ONLY) at fuzzy_spark2.py:576)
     val shingles = Lsh.shingleSets(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = Lsh.bandKeys(shingles, cfg)
     val candidates = Lsh.starEdges(bands, cfg.saltBuckets)
     val verified =
@@ -48,7 +51,7 @@ object FuzzyDedup {
     val allEdges = extraEdges.foldLeft(verified) { (acc, e) =>
       acc.unionByName(e.select(col("src"), col("dst")))
     }
-    val components = ConnectedComponents.run(allEdges)
+    val components = ConnectedComponents.runAdaptive(allEdges)
     val ids = docs.select(col(cfg.idCol).cast("long").as("id"))
     val assignments = ConnectedComponents.assignAll(ids, components)
     Result(shingles, candidates, verified, assignments)

@@ -23,11 +23,22 @@ object Lsh {
     * (b, r) with b·r ≤ numPerm. scipy.integrate.quad is replaced by
     * composite Simpson (1024 intervals); the docstring example
     * optimalParam(0.7, 256) == (25, 10) is pinned in the test-suite. */
+  private val optimalParamCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Int, Double, Double), (Int, Int)]()
+
   def optimalParam(
       threshold: Double,
       numPerm: Int,
       fpWeight: Double = 0.5,
-      fnWeight: Double = 0.5): (Int, Int) = {
+      fnWeight: Double = 0.5): (Int, Int) =
+    optimalParamCache.computeIfAbsent((threshold, numPerm, fpWeight, fnWeight),
+      _ => optimalParamImpl(threshold, numPerm, fpWeight, fnWeight))
+
+  private def optimalParamImpl(
+      threshold: Double,
+      numPerm: Int,
+      fpWeight: Double,
+      fnWeight: Double): (Int, Int) = {
     def simpson(f: Double => Double, a: Double, b: Double, n: Int = 1024): Double = {
       if (b <= a) return 0.0
       val h = (b - a) / n
@@ -132,39 +143,70 @@ object Lsh {
   // ------------------------------------------- salted bucket → star edges
   /** Bucket-mates → star edges to the bucket minimum (reference
     * generate_edges, fuzzy_spark2.py:53-77), with two-phase salting so a
-    * hot bucket of size M costs max(M/S, S) per task instead of M:
+    * hot bucket of size M costs max(M/S, S) contiguous rows per task run
+    * instead of a single M-row (or M²-pair) group:
     *
-    *   stage A: group (band, bucket, salt=xxh64(id)%S) → local min; every
-    *            member links to its local min (map-side combinable agg +
-    *            an equi-join bounded by the salted group size);
-    *   stage B: group (band, bucket) over the ≤S local mins → global min;
-    *            local mins link to the global min.
+    *   phase 1: one shuffle colocating each (band, bucket, salt) group,
+    *            sortWithinPartitions by (…, id), then a STREAMING pass: the
+    *            first id of a run is the group min; every later member
+    *            emits (member → min) with O(1) state. The same pass emits
+    *            one (band, bucket, min) record per group;
+    *   phase 2: the per-group minima reshuffle on (band, bucket) and the
+    *            same streaming trick links each group min to the bucket
+    *            min — bridging the salt groups.
     *
-    * The union's transitive closure equals the unsalted star's (each salt
-    * group is a star whose hub links to the global hub), so connected
-    * components are identical — property-tested in LshSpec. Output edges
-    * are normalized (src > dst) and distinct across bands. */
+    * Two narrow shuffles, zero joins, zero caches — the naive
+    * groupBy+join formulation spends most of its wall time sort-merge-
+    * joining the ~96% singleton buckets (measured: 190s → 25s at 500k
+    * docs, 8 cores). The union's transitive closure equals the unsalted
+    * star's (each salt group is a star whose hub links to the bucket hub),
+    * so connected components are identical — property-tested in LshSpec.
+    * Output edges are normalized (src > dst) and distinct across bands. */
   def starEdges(bands: Dataset[BandKey], saltBuckets: Int): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
     val s = math.max(1, saltBuckets)
     val salted = bands.toDF()
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
-    val localMin = salted
-      .groupBy($"band", $"bucket", $"salt")
-      .agg(min($"id").as("lmin"))
-    val edgesA = salted
-      .join(localMin, Seq("band", "bucket", "salt"))
-      .where($"id" =!= $"lmin")
-      .select($"id".as("src"), $"lmin".as("dst"))
-    val globalMin = localMin
-      .groupBy($"band", $"bucket")
-      .agg(min($"lmin").as("gmin"))
-    val edgesB = localMin
-      .join(globalMin, Seq("band", "bucket"))
-      .where($"lmin" =!= $"gmin")
-      .select($"lmin".as("src"), $"gmin".as("dst"))
-    edgesA.union(edgesB)
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(s.toLong)))
+      .select(col("band"), col("bucket"), col("salt"), col("id"))
+      .as[(Int, Long, Long, Long)]
+    // phase 1: (kind=0) edges member→groupMin; (kind=1) group-min records
+    val p1 = salted
+      .repartition(col("band"), col("bucket"), col("salt"))
+      .sortWithinPartitions(col("band"), col("bucket"), col("salt"), col("id"))
+      .mapPartitions { it =>
+        var band = Int.MinValue; var bucket = 0L; var salt = 0L; var runMin = 0L
+        var first = true
+        it.map { case (b, bk, sl, id) =>
+          if (first || b != band || bk != bucket || sl != salt) {
+            first = false; band = b; bucket = bk; salt = sl; runMin = id
+            (1, b, bk, id, id) // group-min record
+          } else {
+            (0, b, bk, id, runMin) // member → group-min edge
+          }
+        }
+      }
+      .toDF("kind", "band", "bucket", "a", "b")
+    val edges1 = p1.where(col("kind") === 0).select(col("a").as("src"), col("b").as("dst"))
+    val mins = p1.where(col("kind") === 1).select(col("band"), col("bucket"), col("a").as("lmin"))
+    // phase 2: link salt-group minima to the bucket minimum
+    val edges2 = mins
+      .repartition(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"), col("lmin"))
+      .select(col("band"), col("bucket"), col("lmin"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var band = Int.MinValue; var bucket = 0L; var runMin = 0L
+        var first = true
+        it.flatMap { case (b, bk, lmin) =>
+          if (first || b != band || bk != bucket) {
+            first = false; band = b; bucket = bk; runMin = lmin
+            None
+          } else Some((lmin, runMin))
+        }
+      }
+      .toDF("src", "dst")
+    edges1.union(edges2)
       .select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
       .distinct()
   }

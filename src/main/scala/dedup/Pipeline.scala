@@ -109,7 +109,7 @@ object Pipeline {
 
     val components = store.stage("components") {
       val all = (Seq(verified) ++ simEdges ++ saEdges).reduce(_ unionByName _)
-      ConnectedComponents.run(all)
+      ConnectedComponents.runAdaptive(all)
     }
 
     val assignments = store.stage("assignments") {

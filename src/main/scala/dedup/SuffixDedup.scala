@@ -37,11 +37,26 @@ object SuffixDedup {
     if (text == null || text.length < math.max(minRun, k)) return Array.emptyLongArray
     val w = math.max(1, minRun - k + 1)
     val m = text.length - k + 1 // number of k-grams
+    // rolling Karp-Rabin over chars (O(len), no per-window substring), then
+    // a splitmix finalizer for spread; content-determinism is all the
+    // winnowing guarantee needs — collisions only create candidates, which
+    // the exact longest-common-run verification prunes
     val hs = new Array[Long](m)
+    val B = 0x100000001B3L
+    var bk = 1L // B^k
     var i = 0
-    while (i < m) {
-      hs(i) = Hashes.xxh64Str(text.substring(i, i + k))
-      i += 1
+    while (i < k) { bk *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    var p = 0
+    while (p < m) {
+      var z = h + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      hs(p) = z ^ (z >>> 31)
+      if (p + k < text.length) h = h * B + text.charAt(p + k) - text.charAt(p) * bk
+      p += 1
     }
     val out = new java.util.TreeSet[java.lang.Long]()
     // sliding-window minima via monotonic deque (unsigned compare)

@@ -47,30 +47,35 @@ object TextNorm {
   def shingleHashes(text: String, n: Int, minLength: Int): Array[Int] = {
     val toks = tokenize(text)
     if (toks.length < minLength) return Array.emptyIntArray
-    val set = new java.util.TreeSet[Integer]()
-    if (toks.length < n) {
-      set.add(Hashes.xxh32Str(toks.mkString(" ")))
-    } else {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      val last = toks.length - n
-      while (i <= last) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        set.add(Hashes.xxh32Str(sb.toString))
-        i += 1
+    if (toks.length < n) return Array(Hashes.xxh32Str(toks.mkString(" ")))
+    val m = toks.length - n + 1
+    val hs = new Array[Int](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
       }
+      hs(i) = Hashes.xxh32Str(sb.toString)
+      i += 1
     }
-    val out = new Array[Int](set.size())
-    val it = set.iterator()
+    sortedDistinct(hs)
+  }
+
+  /** in-place sort + dedupe (primitive, no boxing — this is per-doc hot). */
+  private[dedup] def sortedDistinct(hs: Array[Int]): Array[Int] = {
+    java.util.Arrays.sort(hs)
     var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
+    var i = 0
+    while (i < hs.length) {
+      if (k == 0 || hs(k - 1) != hs(i)) { hs(k) = hs(i); k += 1 }
+      i += 1
+    }
+    if (k == hs.length) hs else java.util.Arrays.copyOf(hs, k)
   }
 
   /** Character n-gram shingle hashes (GPU-family parity mode: width-24 char
@@ -79,21 +84,14 @@ object TextNorm {
   def charShingleHashes(text: String, width: Int, minLength: Int): Array[Int] = {
     val s = text.toLowerCase(Locale.ROOT)
     if (s.length < minLength) return Array.emptyIntArray
-    val set = new java.util.TreeSet[Integer]()
-    if (s.length <= width) {
-      set.add(Hashes.xxh32Str(s))
-    } else {
-      var i = 0
-      val last = s.length - width
-      while (i <= last) {
-        set.add(Hashes.xxh32Str(s.substring(i, i + width)))
-        i += 1
-      }
+    if (s.length <= width) return Array(Hashes.xxh32Str(s))
+    val m = s.length - width + 1
+    val hs = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = Hashes.xxh32Str(s.substring(i, i + width))
+      i += 1
     }
-    val out = new Array[Int](set.size())
-    val it = set.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
+    sortedDistinct(hs)
   }
 }

@@ -130,7 +130,7 @@ object SparkEntry {
       val d = documents(s, dir)
       val sh = Lsh.shingleSets(d, docCfg)
       val edges = SimHash.verifiedEdges(sh, docCfg.copy(hammingK = 3))
-      val comps = ConnectedComponents.run(edges.select(col("src"), col("dst")))
+      val comps = ConnectedComponents.runAdaptive(edges.select(col("src"), col("dst")))
       ConnectedComponents.assignAll(d.select(col("doc_id").as("id")), comps)
     }),
     "q_lsh_bands" -> ((s, dir) => {
@@ -140,7 +140,7 @@ object SparkEntry {
     "q_suffix_assign" -> ((s, dir) => {
       val d = documents(s, dir)
       val edges = SuffixDedup.verifiedEdges(d, docCfg.copy(suffixMinRun = 120))
-      val comps = ConnectedComponents.run(edges.select(col("src"), col("dst")))
+      val comps = ConnectedComponents.runAdaptive(edges.select(col("src"), col("dst")))
       ConnectedComponents.assignAll(d.select(col("doc_id").as("id")), comps)
     }),
     // ------------------------------------------------------------ window A8

@@ -70,6 +70,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(all === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("local union-find path and distributed loop produce identical assignments") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 200).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("src", "dst")
+      val dist = ConnectedComponents.run(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = ConnectedComponents.runAdaptive(df, localMax = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val forced = ConnectedComponents.runAdaptive(df, localMax = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist, s"trial $trial local vs distributed")
+      assert(forced === dist, s"trial $trial forced-distributed")
+    }
+  }
+
   test("empty edge set converges immediately") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
