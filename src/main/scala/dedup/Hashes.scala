@@ -162,6 +162,71 @@ object Hashes {
     xxh64(bytes, seed)
   }
 
+  /** Streaming xxh32: feed bytes incrementally, bit-identical to the
+    * one-shot `xxh32`. Exists so the shingler can hash token bytes + joiner
+    * spaces without materializing a String/StringBuilder per shingle — at
+    * 32 mutator threads the per-shingle garbage otherwise costs ~23% of
+    * wall in GC (BENCH/BASELINE.md round-1 diagnosis). */
+  final class Xxh32Stream(seed: Int) {
+    private var v1 = seed + P32_1 + P32_2
+    private var v2 = seed + P32_2
+    private var v3 = seed
+    private var v4 = seed - P32_1
+    private val buf = new Array[Byte](16)
+    private var bufLen = 0
+    private var total = 0L
+
+    def reset(): Unit = {
+      v1 = seed + P32_1 + P32_2; v2 = seed + P32_2; v3 = seed; v4 = seed - P32_1
+      bufLen = 0; total = 0L
+    }
+
+    def update(b: Byte): Unit = {
+      buf(bufLen) = b
+      bufLen += 1
+      total += 1
+      if (bufLen == 16) { processBuf(); bufLen = 0 }
+    }
+
+    def update(data: Array[Byte], off: Int, len: Int): Unit = {
+      var i = off
+      val end = off + len
+      while (i < end) { update(data(i)); i += 1 }
+    }
+
+    private def processBuf(): Unit = {
+      v1 = Integer.rotateLeft(v1 + le32(buf, 0) * P32_2, 13) * P32_1
+      v2 = Integer.rotateLeft(v2 + le32(buf, 4) * P32_2, 13) * P32_1
+      v3 = Integer.rotateLeft(v3 + le32(buf, 8) * P32_2, 13) * P32_1
+      v4 = Integer.rotateLeft(v4 + le32(buf, 12) * P32_2, 13) * P32_1
+    }
+
+    /** digest without destroying state-reuse: call reset() before next use */
+    def digest(): Int = {
+      var acc =
+        if (total >= 16)
+          Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+            Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+        else v3 + P32_5 // v3 == seed when total < 16
+      acc += total.toInt
+      var idx = 0
+      while (idx + 4 <= bufLen) {
+        acc = Integer.rotateLeft(acc + le32(buf, idx) * P32_3, 17) * P32_4
+        idx += 4
+      }
+      while (idx < bufLen) {
+        acc = Integer.rotateLeft(acc + (buf(idx) & 0xFF) * P32_5, 11) * P32_1
+        idx += 1
+      }
+      acc ^= acc >>> 15
+      acc *= P32_2
+      acc ^= acc >>> 13
+      acc *= P32_3
+      acc ^= acc >>> 16
+      acc
+    }
+  }
+
   // ------------------------------------------------------------- MinHash
   /** Largest 32-bit prime; reference fuzzy_spark2.py:36 (MOD_PRIME). */
   final val ModPrime: Long = 4294967291L

@@ -49,18 +49,29 @@ object TextNorm {
     if (toks.length < minLength) return Array.emptyIntArray
     if (toks.length < n) return Array(Hashes.xxh32Str(toks.mkString(" ")))
     val m = toks.length - n + 1
+    // hash the (token ⊕ ' ')-joined utf-8 byte stream directly — bit-
+    // identical to xxh32 of the joined String, but no String/StringBuilder
+    // per shingle (the shingler's garbage was 23% of wall as GC at 32
+    // threads, BENCH/BASELINE.md)
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      tokBytes(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
     val hs = new Array[Int](m)
-    val sb = new java.lang.StringBuilder()
+    val stream = new Hashes.Xxh32Stream(0)
     var i = 0
     while (i < m) {
-      sb.setLength(0)
+      stream.reset()
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+        if (j > 0) stream.update(' '.toByte)
+        val b = tokBytes(i + j)
+        stream.update(b, 0, b.length)
         j += 1
       }
-      hs(i) = Hashes.xxh32Str(sb.toString)
+      hs(i) = stream.digest()
       i += 1
     }
     sortedDistinct(hs)
