@@ -43,7 +43,8 @@ object FuzzyDedup {
     val shingles = Lsh.shingleSets(docs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = Lsh.bandKeys(shingles, cfg)
-    val candidates = Lsh.starEdges(bands, cfg.saltBuckets)
+    val candidates = Lsh.groupEdges(bands, cfg.saltBuckets,
+      cfg.allPairsCap, cfg.chainEdges)
     val verified =
       if (cfg.verify) VerifyPairs.verifyJaccard(candidates, shingles, cfg.threshold)
         .select(col("src"), col("dst"))
@@ -52,6 +53,10 @@ object FuzzyDedup {
       acc.unionByName(e.select(col("src"), col("dst")))
     }
     val components = ConnectedComponents.runAdaptive(allEdges)
+    // runAdaptive is eager (localCheckpoint + count materialize the whole
+    // edge pipeline), so the shingle cache has served its last read here —
+    // release it instead of leaking one cache per run (VERDICT #8)
+    shingles.unpersist(blocking = false)
     val ids = docs.select(col(cfg.idCol).cast("long").as("id"))
     val assignments = ConnectedComponents.assignAll(ids, components)
     Result(shingles, candidates, verified, assignments)

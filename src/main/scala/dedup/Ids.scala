@@ -1,0 +1,63 @@
+package dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Id assignment operators.
+  *
+  * I2 (ordered global id): the reference computes per-partition lengths,
+  * cumsums them on the driver and writes per-partition contiguous ranges
+  * (fuzzy multi gpu/add_id.py:53-91). Same shape here, Dataset-native: a
+  * range-partitioned sort, one tiny per-partition count aggregation
+  * (O(partitions) rows to the driver — metadata, not data), then a
+  * mapPartitions pass adding the broadcast offset. No single-partition
+  * window (`row_number() over (order by …)` collapses to one task — the
+  * exact anti-pattern at 10¹² rows).
+  */
+object Ids {
+
+  /** (k, ord): dense 0-based rank of each distinct-ish value of `orderCol`
+    * under ascending order (caller guarantees uniqueness — doc ids). */
+  def orderedIds(df: DataFrame, orderCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = math.max(1,
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism)
+    // localCheckpoint pins the range partitioning: RangePartitioner samples
+    // with an rdd-id-derived seed, so re-planning the exchange for the
+    // count pass and the emit pass would draw DIFFERENT boundaries and the
+    // broadcast offsets would not line up with the emitted partitions
+    val sorted = df.select(col(orderCol).cast("long").as("k"))
+      .repartitionByRange(p, col("k"))
+      .sortWithinPartitions(col("k"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = new Array[Long](counts.map(_._1).maxOption.getOrElse(-1) + 2)
+    var acc = 0L
+    counts.foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.select(col("k"), col("pid")).as[(Long, Int)]
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { case (k, pid) =>
+          val r = (k, bc.value(pid) + i)
+          i += 1
+          r
+        }
+      }
+      .toDF(orderCol, "ord")
+  }
+
+  /** 64-bit id collision audit (round-1 ADVICE: xxhash64(url) expects
+    * ~3·10⁴ birthday collisions at 10¹² docs; distinct urls aliasing to one
+    * id would silently merge documents through every downstream join).
+    * Returns the number of ids carrying more than one distinct content
+    * hash; callers fail fast or re-key when it is non-zero. */
+  def idCollisions(docs: DataFrame, idCol: String, textCol: String): Long =
+    docs.groupBy(col(idCol))
+      .agg(countDistinct(md5(col(textCol))).as("nh"))
+      .where(col("nh") > 1)
+      .count()
+}

@@ -82,7 +82,9 @@ object Lsh {
       val h = shingles(j).toLong & 0xFFFFFFFFL
       var i = 0
       while (i < np) {
-        val v = java.lang.Long.remainderUnsigned(h * a(i) + b(i), Hashes.ModPrime)
+        // division-free mod (== remainderUnsigned(x, ModPrime), tested):
+        // this is the hot inner loop — shingles × 250 lanes per doc
+        val v = Hashes.mod32m5(h * a(i) + b(i))
         if (v < lanes(i)) lanes(i) = v
         i += 1
       }
@@ -131,10 +133,12 @@ object Lsh {
     val (b, r) = cfg.bandsRows
     val (pa, pb) = Hashes.permutations(b * r, cfg.seed)
     shingles.mapPartitions { it =>
+      val scratch = new Array[Byte](r * 4) // reused across all band hashes
       it.flatMap { ds =>
         val sig = signature(ds.shingles, pa, pb)
         (0 until b).iterator.map { band =>
-          BandKey(ds.id, band, Hashes.xxh64Ints(sig, band * r, (band + 1) * r, band.toLong))
+          BandKey(ds.id, band,
+            Hashes.xxh64Ints(sig, band * r, (band + 1) * r, band.toLong, scratch))
         }
       }
     }
@@ -162,27 +166,65 @@ object Lsh {
     * star's (each salt group is a star whose hub links to the bucket hub),
     * so connected components are identical — property-tested in LshSpec.
     * Output edges are normalized (src > dst) and distinct across bands. */
-  def starEdges(bands: Dataset[BandKey], saltBuckets: Int): DataFrame = {
+  def starEdges(bands: Dataset[BandKey], saltBuckets: Int): DataFrame =
+    groupEdges(bands, saltBuckets, allPairsCap = 0, chain = false)
+
+  /** Candidate-edge topology per (band, bucket, salt) group:
+    *
+    *   - star (default): member → group-min; O(1) state, minimal edges.
+    *   - chain=true: additionally member → predecessor — a failed-verify
+    *     hub no longer disconnects a run of mutually-similar bucket-mates
+    *     (round-1 ADVICE: unverified hubs in hot boilerplate buckets).
+    *     2 edges/member, same streaming pass.
+    *   - allPairsCap=c > 0: member → each of the first min(c, seen)
+    *     members of its group — within a salt group the candidate set is
+    *     then *complete* up to the cap, which is what gives the SimHash /
+    *     suffix stages their provable-recall guarantee (every pair within
+    *     radius shares a bucket; with salt=1 and cap ≥ bucket size every
+    *     such pair is emitted and exactly verified). Groups larger than the
+    *     cap degrade gracefully to star topology for the overflow members
+    *     (still connected through the first cap members).
+    */
+  def groupEdges(
+      bands: Dataset[BandKey],
+      saltBuckets: Int,
+      allPairsCap: Int,
+      chain: Boolean): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
     val s = math.max(1, saltBuckets)
+    val cap = allPairsCap
     val salted = bands.toDF()
       .withColumn("salt", pmod(xxhash64(col("id")), lit(s.toLong)))
       .select(col("band"), col("bucket"), col("salt"), col("id"))
       .as[(Int, Long, Long, Long)]
-    // phase 1: (kind=0) edges member→groupMin; (kind=1) group-min records
+    // phase 1: (kind=0) edges member→(min|prev|first-cap); (kind=1) group-min records
     val p1 = salted
       .repartition(col("band"), col("bucket"), col("salt"))
       .sortWithinPartitions(col("band"), col("bucket"), col("salt"), col("id"))
       .mapPartitions { it =>
         var band = Int.MinValue; var bucket = 0L; var salt = 0L; var runMin = 0L
+        var prev = 0L
+        val buf = if (cap > 0) new scala.collection.mutable.ArrayBuffer[Long](cap) else null
         var first = true
-        it.map { case (b, bk, sl, id) =>
+        it.flatMap { case (b, bk, sl, id) =>
           if (first || b != band || bk != bucket || sl != salt) {
-            first = false; band = b; bucket = bk; salt = sl; runMin = id
-            (1, b, bk, id, id) // group-min record
+            first = false; band = b; bucket = bk; salt = sl; runMin = id; prev = id
+            if (buf != null) { buf.clear(); buf += id }
+            Iterator.single((1, b, bk, id, id)) // group-min record
           } else {
-            (0, b, bk, id, runMin) // member → group-min edge
+            val out =
+              if (buf != null) {
+                val targets = buf.iterator.map(t => (0, b, bk, id, t)).toArray
+                if (buf.length < cap) buf += id
+                targets.iterator
+              } else if (chain && prev != runMin) {
+                Iterator((0, b, bk, id, runMin), (0, b, bk, id, prev))
+              } else {
+                Iterator.single((0, b, bk, id, runMin))
+              }
+            prev = id
+            out
           }
         }
       }

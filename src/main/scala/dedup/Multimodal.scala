@@ -53,7 +53,7 @@ object Multimodal {
     * way a real sampler bounds frames). */
   def sampleChunks(bytes: Array[Byte], chunk: Int, stride: Int): Seq[Array[Byte]] = {
     if (bytes == null || bytes.length < chunk) Seq.empty
-    else (0 until (bytes.length - chunk) by (chunk * stride))
+    else (0 to (bytes.length - chunk) by (chunk * stride))
       .map(off => java.util.Arrays.copyOfRange(bytes, off, off + chunk))
   }
 

@@ -42,13 +42,20 @@ object ScalingBench {
     SparkSession.clearDefaultSession()
   }
 
-  private def runOnce(cores: Int, input: String, cfg: DedupConfig): (Double, Long, Long) = {
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  private def runOnce(cores: Int, input: String, cfg: DedupConfig): (Double, Long, Long, Double) = {
     val spark = session(cores, s"scaling-$cores")
     try {
       val docs = spark.read.parquet(input)
       // warm JIT/codegen on a real slice, untimed (generated-code and
       // hot-loop compilation otherwise lands in the first timed run)
       FuzzyDedup.assignments(docs.limit(20000), cfg).count()
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val res = FuzzyDedup.run(docs, cfg)
       val assigns = res.assignments
@@ -58,7 +65,7 @@ object ScalingBench {
         .where(org.apache.spark.sql.functions.col("id") =!=
           org.apache.spark.sql.functions.col("component")).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, n, removed)
+      (sec, n, removed, (gcMillis - gc0) / 1e3)
     } finally {
       spark.stop()
       fresh()
@@ -85,8 +92,8 @@ object ScalingBench {
       fresh()
       val cfg0 = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
         threshold = 0.7, saltBuckets = 16, verify = true)
-      val (sec, n, rem) = runOnce(coresA, input, cfg0)
-      println(f"""{"docs":$nDocs,"removed":$rem,"cores":$coresA,"sec":$sec%.2f,"docsPerSec":${nDocs / sec}%.1f}""")
+      val (sec, n, rem, gc) = runOnce(coresA, input, cfg0)
+      println(f"""{"docs":$nDocs,"removed":$rem,"cores":$coresA,"sec":$sec%.2f,"gcSec":$gc%.2f,"docsPerSec":${nDocs / sec}%.1f}""")
       return
     }
     val cfg = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
@@ -108,10 +115,10 @@ object ScalingBench {
     // the sandbox host shows bimodal IO/CPU behavior across minutes-apart
     // runs; interleave A/B twice and take the per-level minimum — the
     // engine's scaling, not the host's weather
-    val (secA1, nA, remA) = runOnce(coresA, input, cfg)
-    val (secB1, nB, remB) = runOnce(coresB, input, cfg)
-    val (secA2, _, _) = runOnce(coresA, input, cfg)
-    val (secB2, _, _) = runOnce(coresB, input, cfg)
+    val (secA1, nA, remA, gcA1) = runOnce(coresA, input, cfg)
+    val (secB1, nB, remB, gcB1) = runOnce(coresB, input, cfg)
+    val (secA2, _, _, gcA2) = runOnce(coresA, input, cfg)
+    val (secB2, _, _, gcB2) = runOnce(coresB, input, cfg)
     require(nA == nB && remA == remB,
       s"parallelism changed results: ($nA,$remA) vs ($nB,$remB)")
     val secA = math.min(secA1, secA2)
@@ -121,7 +128,8 @@ object ScalingBench {
     val eff = (thB / thA) / (coresB.toDouble / coresA)
     println(f"""{"docs":$nDocs,"removed":$remA,"coresA":$coresA,"coresB":$coresB,""" +
       f""""secA":$secA%.2f,"secB":$secB%.2f,"secA_runs":[$secA1%.2f,$secA2%.2f],""" +
-      f""""secB_runs":[$secB1%.2f,$secB2%.2f],"docsPerSecA":$thA%.1f,"docsPerSecB":$thB%.1f,""" +
+      f""""secB_runs":[$secB1%.2f,$secB2%.2f],"gcA":[$gcA1%.1f,$gcA2%.1f],"gcB":[$gcB1%.1f,$gcB2%.1f],""" +
+      f""""docsPerSecA":$thA%.1f,"docsPerSecB":$thB%.1f,""" +
       f""""speedup":${thB / thA}%.3f,"efficiency":$eff%.3f}""")
   }
 }

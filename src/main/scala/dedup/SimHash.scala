@@ -77,7 +77,8 @@ object SimHash {
       case b => Seq(4, 8, 16, 32).find(_ >= b).getOrElse(64)
     }
     val fps = fingerprints(shingles, cfg.seed).localCheckpoint()
-    val cand = Lsh.starEdges(bandKeys(fps, blocks), cfg.saltBuckets)
+    val cand = Lsh.groupEdges(bandKeys(fps, blocks), cfg.saltBuckets,
+      cfg.allPairsCap, cfg.chainEdges)
     VerifyPairs.verifyHamming(cand, fps, cfg.hammingK)
   }
 }

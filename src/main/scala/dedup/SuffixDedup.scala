@@ -134,7 +134,8 @@ object SuffixDedup {
       .flatMap { case (id, text) =>
         anchors(text, minRun).iterator.map(a => BandKey(id, 0, a))
       }
-    val cand = Lsh.starEdges(anchorKeys, cfg.saltBuckets)
+    val cand = Lsh.groupEdges(anchorKeys, cfg.saltBuckets,
+      cfg.allPairsCap, cfg.chainEdges)
     val t1 = texts.select(col("id").as("src"), col("text").as("text_src"))
     val t2 = texts.select(col("id").as("dst"), col("text").as("text_dst"))
     val lcr = udf { (a: String, b: String) => longestCommonRun(a, b) }

@@ -90,8 +90,20 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------- fingerprint
+  /** Polynomial rolling-hash document fingerprint (base 31, mod 2^31−1,
+    * over the characters) — pure Catalyst, codegen'd, and replicable in
+    * plain SQL (the oracle recomputes it with list_reduce). Empty chars
+    * from the split are dropped on both sides. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= lit("")), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31L + x) % 2147483647L)
+
   /** 64-bit document fingerprint: xor-fold of the doc's winnowing anchors
-    * (rolling-hash based, robust to small local edits — unlike md5). */
+    * (rolling-hash based, robust to small local edits — unlike md5; near
+    * duplicates often share it, exact duplicates always do). Pinned in the
+    * suite; not SQL-replicable, so the driver query uses
+    * `rollingFingerprint` instead. */
   val fingerprintUdf = udf { (text: String) =>
     if (text == null || text.isEmpty) 0L
     else {

@@ -42,36 +42,82 @@ object TextNorm {
     else tokens.iterator.sliding(n).withPartial(false).map(_.mkString(" "))
   }
 
+  /** Code-point predicate equal to Java regex `(?U)\w`
+    * ([\p{Alpha}\p{gc=Mn}\p{gc=Me}\p{gc=Mc}\p{Digit}\p{gc=Pc}
+    * \p{IsJoin_Control}]) — property-tested against the Pattern in
+    * TextNormSpec. Lets the shingler find token boundaries without
+    * allocating per-token Strings. */
+  @inline private[dedup] def isWordCp(cp: Int): Boolean =
+    if (cp < 128)
+      (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9') || cp == '_'
+    else
+      Character.isAlphabetic(cp) || Character.isDigit(cp) || {
+        val t = Character.getType(cp)
+        t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+        t == Character.COMBINING_SPACING_MARK || t == Character.CONNECTOR_PUNCTUATION
+      } || cp == 0x200C || cp == 0x200D
+
+  @inline private def utf8Len(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+
   /** Sorted, distinct xxh32 hashes of word n-gram shingles — the per-doc
-    * shingle set used for both MinHash lanes and exact-Jaccard verification. */
+    * shingle set used for both MinHash lanes and exact-Jaccard
+    * verification. Fused tokenize+shingle+hash: ONE lowercase pass, ONE
+    * utf-8 encode, token boundaries tracked as byte spans, every shingle
+    * hashed by streaming `token ⊕ ' '` byte ranges — bit-identical to
+    * xxh32 of the " "-joined shingle String but with zero per-token /
+    * per-shingle allocation (round-1 measured 23% of wall in GC at 32
+    * mutator threads from the tokenizer's String churn,
+    * BENCH/BASELINE.md). */
   def shingleHashes(text: String, n: Int, minLength: Int): Array[Int] = {
-    val toks = tokenize(text)
-    if (toks.length < minLength) return Array.emptyIntArray
-    if (toks.length < n) return Array(Hashes.xxh32Str(toks.mkString(" ")))
-    val m = toks.length - n + 1
-    // hash the (token ⊕ ' ')-joined utf-8 byte stream directly — bit-
-    // identical to xxh32 of the joined String, but no String/StringBuilder
-    // per shingle (the shingler's garbage was 23% of wall as GC at 32
-    // threads, BENCH/BASELINE.md)
-    val tokBytes = new Array[Array[Byte]](toks.length)
-    var t = 0
-    while (t < toks.length) {
-      tokBytes(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      t += 1
+    val lower = text.toLowerCase(Locale.ROOT)
+    val bytes = lower.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // token spans in byte offsets: split semantics of re.split((?U)\W, s)
+    // — every non-word code point is a 1-separator; empty tokens kept
+    var cap = math.max(8, lower.length / 4)
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nTok = 0
+    @inline def push(s: Int, e: Int): Unit = {
+      if (nTok == cap) {
+        cap *= 2
+        starts = java.util.Arrays.copyOf(starts, cap)
+        ends = java.util.Arrays.copyOf(ends, cap)
+      }
+      starts(nTok) = s; ends(nTok) = e; nTok += 1
     }
-    val hs = new Array[Int](m)
+    var ci = 0
+    var bp = 0
+    var tokStart = 0
+    while (ci < lower.length) {
+      val cp = lower.codePointAt(ci)
+      val cc = Character.charCount(cp)
+      // unpaired surrogates encode as a 1-byte '?' in getBytes(UTF_8)
+      val w = if (cc == 1 && Character.isSurrogate(lower.charAt(ci))) 1 else utf8Len(cp)
+      if (isWordCp(cp)) bp += w
+      else { push(tokStart, bp); bp += w; tokStart = bp }
+      ci += cc
+    }
+    push(tokStart, bp)
+    if (nTok < minLength) return Array.emptyIntArray
     val stream = new Hashes.Xxh32Stream(0)
-    var i = 0
-    while (i < m) {
+    @inline def hashRange(from: Int, until: Int): Int = {
       stream.reset()
-      var j = 0
-      while (j < n) {
-        if (j > 0) stream.update(' '.toByte)
-        val b = tokBytes(i + j)
-        stream.update(b, 0, b.length)
+      var j = from
+      while (j < until) {
+        if (j > from) stream.update(' '.toByte)
+        stream.update(bytes, starts(j), ends(j) - starts(j))
         j += 1
       }
-      hs(i) = stream.digest()
+      stream.digest()
+    }
+    if (nTok < n) return Array(hashRange(0, nTok))
+    val m = nTok - n + 1
+    val hs = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = hashRange(i, i + n)
       i += 1
     }
     sortedDistinct(hs)

@@ -67,7 +67,15 @@ case class DedupConfig(
     /** SimHash stage: hamming radius for the 64-bit fingerprint. */
     hammingK: Int = 3,
     /** suffix/winnowing stage: minimum exact shared-substring length. */
-    suffixMinRun: Int = 200) {
+    suffixMinRun: Int = 200,
+    /** candidate topology (Lsh.groupEdges): 0 = star edges; c > 0 = all
+      * pairs among the first c members of each salt group (the
+      * provable-recall mode for SimHash/suffix verification — with salt 1
+      * and cap ≥ bucket size the candidate set is complete). */
+    allPairsCap: Int = 0,
+    /** add member→predecessor chain edges so a failed-verify hub cannot
+      * disconnect mutually-similar bucket-mates (round-1 ADVICE). */
+    chainEdges: Boolean = false) {
 
   def bandsRows: (Int, Int) = bands.getOrElse(Lsh.optimalParam(threshold, numPerm))
 

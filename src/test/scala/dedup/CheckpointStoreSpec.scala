@@ -36,7 +36,11 @@ class CheckpointStoreSpec extends AnyFunSuite {
     val args = Pipeline.Args(
       synth = 400L, output = root, simhash = false, suffix = false,
       cfg = DedupConfig(numPerm = 64, saltBuckets = 4))
-    val (_, assign1) = Pipeline.run(spark, args)
+    val (kept1, assign1) = Pipeline.run(spark, args)
+    // payload carry-through (input_hint): every page column survives dedup
+    Page.schema.fieldNames.foreach { c =>
+      assert(kept1.columns.contains(c), s"kept output dropped payload column $c")
+    }
     val a1 = assign1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     // wipe the components + downstream manifests; upstream stays committed
@@ -45,12 +49,84 @@ class CheckpointStoreSpec extends AnyFunSuite {
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$s"), true)
     }
     // track whether shingles stage recomputes by manifest snapshot identity
-    val store = new CheckpointStore(spark, root, args.cfg.configHash)
+    // (Pipeline folds the synth source fingerprint into the checkpoint key)
+    val store = new CheckpointStore(spark, root, args.cfg.configHash,
+      s"synth${args.synth}s${args.cfg.seed}")
     assert(store.isCommitted("shingles"), "upstream must remain committed")
 
     val (_, assign2) = Pipeline.run(spark, args)
     val a2 = assign2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a2 === a1, "resumed run must produce byte-identical assignments")
+  }
+
+  test("input fingerprint keys reuse: same config + different input recomputes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fp").toString
+    var computed = 0
+    val a = new CheckpointStore(spark, root, "cfg", "inputA")
+    a.stage("s") { computed += 1; (1 to 10).toDF("x") }
+    // same config, same input: reuse
+    val a2 = new CheckpointStore(spark, root, "cfg", "inputA")
+    a2.stage("s") { computed += 1; (1 to 10).toDF("x") }
+    assert(computed === 1)
+    // same config, different input: recompute (round-1 ADVICE)
+    val b = new CheckpointStore(spark, root, "cfg", "inputB")
+    b.stage("s") { computed += 1; (1 to 10).toDF("x") }
+    assert(computed === 2)
+  }
+
+  test("truncated data dir is not trusted: deleting a data file forces recompute") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("trunc").toString
+    val store = new CheckpointStore(spark, root, "cfg")
+    var computed = 0
+    store.stage("s", repartitionTo = Some(4)) { computed += 1; (1 to 100).toDF("x") }
+    assert(computed === 1)
+    // delete one committed part file, keep the manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/s/data"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    fs.delete(files.head.getPath, false)
+    val store2 = new CheckpointStore(spark, root, "cfg")
+    assert(!store2.isCommitted("s"), "manifest file count must invalidate truncated data")
+    store2.stage("s") { computed += 1; (1 to 100).toDF("x") }
+    assert(computed === 2)
+  }
+
+  test("chunked sink: reference partitioned_save layout (__pid__ dirs, clamped partitions)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("chunk").toString
+    val store = new CheckpointStore(spark, root, "cfg")
+    // 100 rows, chunk 10 -> ceil = 10 partitions, clamped above by max=8
+    val out = store.stage("s", chunkRows = Some(10L),
+      chunkMinPartitions = 4, chunkMaxPartitions = 8) { (1 to 100).toDF("x") }
+    assert(out.count() === 100)
+    assert(!out.columns.contains("__pid__"), "partition tag must not leak to readers")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/s/data"))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("__pid__="))
+    assert(dirs.length === 8, s"expected 8 __pid__ dirs, got ${dirs.toSeq}")
+    // per-partition metrics rows present and sum to total
+    val m = store.manifest("s").get
+    assert(m("rows") === 100L)
+    assert(m("partitions").asInstanceOf[Int] === 8)
+    // unclamped case: 100 rows, chunk 20 -> exactly ceil = 5 partitions
+    val store3 = new CheckpointStore(spark, root, "cfg3")
+    store3.stage("s3", chunkRows = Some(20L),
+      chunkMinPartitions = 2, chunkMaxPartitions = 64) { (1 to 100).toDF("x") }
+    val dirs3 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/s3/data"))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("__pid__="))
+    assert(dirs3.length === 5)
+    // 5 rows -> clamped up to min partitions
+    val store2 = new CheckpointStore(spark, root, "cfg2")
+    store2.stage("s2", chunkRows = Some(10L),
+      chunkMinPartitions = 4, chunkMaxPartitions = 8) { (1 to 5).toDF("x") }
+    val dirs2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/s2/data"))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("__pid__="))
+    // 5 rows round-robin into 4 partitions: empty partitions write no dir,
+    // so the dir count is bounded by the clamp, not equal to it
+    assert(dirs2.length <= 4 && dirs2.nonEmpty)
   }
 
   test("lineage is recorded in stage order") {

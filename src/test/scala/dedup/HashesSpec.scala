@@ -59,4 +59,42 @@ class HashesSpec extends AnyFunSuite {
     val (a3, _) = Hashes.permutations(250, 43L)
     assert(a1.toSeq !== a3.toSeq)
   }
+
+  test("mod32m5 == Long.remainderUnsigned(x, ModPrime) (property + edges)") {
+    val edges = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue,
+      Hashes.ModPrime, Hashes.ModPrime - 1, Hashes.ModPrime + 1,
+      0xFFFFFFFFL, 0x100000000L, -5L, -4L)
+    val rnd = new scala.util.Random(42)
+    val xs = edges ++ (0 until 100000).map(_ => rnd.nextLong())
+    xs.foreach { x =>
+      assert(Hashes.mod32m5(x) === java.lang.Long.remainderUnsigned(x, Hashes.ModPrime),
+        s"x=$x")
+    }
+  }
+
+  test("Xxh32Stream bulk update == one-shot xxh32 under arbitrary chunkings") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 200) {
+      val data = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(data)
+      val s = new Hashes.Xxh32Stream(0)
+      var off = 0
+      while (off < data.length) {
+        val chunk = math.min(1 + rnd.nextInt(40), data.length - off)
+        s.update(data, off, chunk)
+        off += chunk
+      }
+      assert(s.digest() === Hashes.xxh32(data, 0), s"len=${data.length}")
+      s.reset()
+    }
+  }
+
+  test("xxh64Ints scratch variant == allocating variant") {
+    val ints = Array.tabulate(40)(i => i * 31 - 7)
+    val scratch = new Array[Byte](40)
+    for (from <- Seq(0, 3); until <- Seq(5, 10)) {
+      assert(Hashes.xxh64Ints(ints, from, until, 9L) ===
+        Hashes.xxh64Ints(ints, from, until, 9L, scratch))
+    }
+  }
 }

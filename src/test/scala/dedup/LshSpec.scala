@@ -81,6 +81,36 @@ class LshSpec extends AnyFunSuite {
     assert(salted === unsalted)
   }
 
+  test("groupEdges all-pairs mode: complete pair set within a salt group (salt=1)") {
+    import spark.implicits._
+    val bands = (1 to 10).map(i => BandKey(i.toLong, 0, 5L)).toDS()
+    val edges = Lsh.groupEdges(bands, 1, allPairsCap = 100, chain = false)
+      .as[(Long, Long)].collect().toSet
+    val expect = (for (i <- 1 to 10; j <- (i + 1) to 10) yield (j.toLong, i.toLong)).toSet
+    assert(edges === expect)
+  }
+
+  test("groupEdges chain mode: member→min plus member→predecessor") {
+    import spark.implicits._
+    val bands = Seq(BandKey(1L, 0, 9L), BandKey(2L, 0, 9L), BandKey(3L, 0, 9L)).toDS()
+    val edges = Lsh.groupEdges(bands, 1, allPairsCap = 0, chain = true)
+      .as[(Long, Long)].collect().toSet
+    assert(edges === Set((2L, 1L), (3L, 1L), (3L, 2L)))
+  }
+
+  test("groupEdges all-pairs cap: overflow members link to the first cap members; " +
+    "closure stays one component") {
+    import spark.implicits._
+    val bands = (1 to 20).map(i => BandKey(i.toLong, 0, 3L)).toDS()
+    val edges = Lsh.groupEdges(bands, 1, allPairsCap = 3, chain = false)
+    // first 3 members pair among themselves (3 pairs); members 4..20 emit
+    // exactly 3 edges each
+    assert(edges.count() === 3L + 17L * 3L)
+    val comps = ConnectedComponents.runAdaptive(edges)
+      .collect().map(_.getLong(1)).distinct
+    assert(comps.length === 1)
+  }
+
   test("salted star edges stay linear in bucket size") {
     import spark.implicits._
     val hot = (1 to 500).map(i => BandKey(i.toLong, 0, 7L)).toDS()

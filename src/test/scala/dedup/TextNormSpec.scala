@@ -48,4 +48,48 @@ class TextNormSpec extends AnyFunSuite {
     assert(sh.toSeq === expect)
     assert(TextNorm.charShingleHashes("ab", 3, 1).toSeq === Seq(Hashes.xxh32Str("ab")))
   }
+
+  test("fused shingleHashes == reference formulation (Pattern split + String join " +
+    "+ one-shot xxh32) on random unicode text (property)") {
+    def oracle(text: String, n: Int, minLength: Int): Array[Int] = {
+      val toks = TextNorm.tokenize(text)
+      if (toks.length < minLength) Array.emptyIntArray
+      else if (toks.length < n) Array(Hashes.xxh32Str(toks.mkString(" ")))
+      else {
+        val hs = toks.sliding(n).map(w => Hashes.xxh32Str(w.mkString(" "))).toArray
+        hs.distinct.sorted
+      }
+    }
+    val rnd = new scala.util.Random(13)
+    val alphabets = Seq(
+      "abc def 123 __x",                 // ascii
+      "äöü ß é ñ 漢字 ウル 🙂 ‍ –", // unicode word + non-word + emoji + ZWJ
+      "a\tb\nc;d.e")                     // separators
+    for (trial <- 0 until 300) {
+      val alpha = alphabets(trial % alphabets.length)
+      val len = rnd.nextInt(60)
+      val text = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      for (n <- Seq(2, 3, 5); ml <- Seq(1, 3)) {
+        val got = TextNorm.shingleHashes(text, n, ml).toSeq
+        val exp = oracle(text, n, ml).toSeq
+        assert(got === exp, s"text=${text.map(c => f"\\u${c.toInt}%04x").mkString} n=$n ml=$ml")
+      }
+    }
+  }
+
+  test("isWordCp == Java regex (?U)\\w on the BMP + supplementary samples (property)") {
+    val p = java.util.regex.Pattern.compile("(?U)\\w")
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 4000) {
+      val cp = rnd.nextInt(0x10000)
+      if (!Character.isSurrogate(cp.toChar)) {
+        val s = new String(Character.toChars(cp))
+        assert(TextNorm.isWordCp(cp) === p.matcher(s).matches(), f"cp=U+$cp%04X")
+      }
+    }
+    for (cp <- Seq(0x10400, 0x1D400, 0x1F600, 0x20000)) { // supplementary
+      val s = new String(Character.toChars(cp))
+      assert(TextNorm.isWordCp(cp) === p.matcher(s).matches(), f"cp=U+$cp%05X")
+    }
+  }
 }

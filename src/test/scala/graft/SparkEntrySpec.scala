@@ -30,9 +30,8 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("oracleSql keys are a subset of queries") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  test("every query has an oracle and vice versa (20/20 goal: no no_oracle rows)") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 
   test("q_fuzzy_assign finds exactly the brute-force trigram-Jaccard clusters (sf0.01)") {
