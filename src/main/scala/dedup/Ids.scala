@@ -50,6 +50,16 @@ object Ids {
       .toDF(orderCol, "ord")
   }
 
+  /** Per-group sequential id preserving a sort order (reference I3,
+    * semantic dedup multi-gpu/add_id_by_lang.py:39-66): row_number is safe
+    * here because the window is PARTITIONED by the group column — no
+    * single-partition collapse (each language is its own window). */
+  def orderedIdsBy(df: DataFrame, groupCol: String, orderCol: String): DataFrame =
+    df.withColumn("ord",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col(orderCol))).cast("long") - 1L)
+
   /** 64-bit id collision audit (round-1 ADVICE: xxhash64(url) expects
     * ~3·10⁴ birthday collisions at 10¹² docs; distinct urls aliasing to one
     * id would silently merge documents through every downstream join).

@@ -10,7 +10,7 @@ object ProfileBench {
   def main(args: Array[String]): Unit = {
     val nDocs = args(0).toLong
     val cores = args(1).toInt
-    val input = s"/tmp/scaling_corpus_$nDocs"
+    val input = sys.env.getOrElse("SPARK_GRAFT_CORPUS_ROOT", "/dev/shm") + s"/scaling_corpus_$nDocs"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("profile")

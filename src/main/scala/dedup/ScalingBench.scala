@@ -20,11 +20,17 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  /** shuffle partitions per core: >1 smooths stragglers on the big
+    * shuffles (AQE coalesces the small ones back) — with exactly
+    * cores partitions one slow task idles a whole core slot. */
+  private val partsPerCore =
+    sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "2").toInt
+
   private def session(cores: Int, name: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(name)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (cores * partsPerCore).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -79,7 +85,7 @@ object ScalingBench {
     // single-level mode (coresA == coresB): one measurement per JVM — the
     // honest analogue of two separate spark-submit jobs; a wrapper combines
     if (coresA == coresB) {
-      val input = s"/tmp/scaling_corpus_$nDocs"
+      val input = sys.env.getOrElse("SPARK_GRAFT_CORPUS_ROOT", "/dev/shm") + s"/scaling_corpus_$nDocs"
       val prep = session(coresB, "scaling-prep")
       if (!new java.io.File(s"$input/_SUCCESS").exists()) {
         import prep.implicits._
@@ -100,7 +106,7 @@ object ScalingBench {
       threshold = 0.7, saltBuckets = 16, verify = true)
 
     // materialize the corpus once, untimed, at full parallelism
-    val input = s"/tmp/scaling_corpus_$nDocs"
+    val input = sys.env.getOrElse("SPARK_GRAFT_CORPUS_ROOT", "/dev/shm") + s"/scaling_corpus_$nDocs"
     val prep = session(coresB, "scaling-prep")
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
       import prep.implicits._

@@ -93,6 +93,14 @@ object SemDedup {
 
   case class Result(assignments: DataFrame, pruned: DataFrame, kept: DataFrame)
 
+  /** Hive-partitioned sink by cluster cell (reference S8:
+    * `to_parquet(partition_on="nearest_cent")`, semantic dedup single
+    * gpu/clustering.py:328-341) — downstream per-cluster readers prune to
+    * one directory. */
+  def sinkByCell(df: DataFrame, cellCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(cellCol)
+      .option("compression", "snappy").parquet(path)
+
   /** Full KMeans semantic dedup: fit k centroids (seeded Lloyd via
     * spark.ml), assign cells, order each cell by distance-to-centroid
     * descending ("hard" mode, reference semdedup.py:205-210) then id, and

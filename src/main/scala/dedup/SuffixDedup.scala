@@ -139,8 +139,9 @@ object SuffixDedup {
     val t1 = texts.select(col("id").as("src"), col("text").as("text_src"))
     val t2 = texts.select(col("id").as("dst"), col("text").as("text_dst"))
     val lcr = udf { (a: String, b: String) => longestCommonRun(a, b) }
-    cand
+    cand.hint("shuffle_hash")
       .join(t1, "src")
+      .hint("shuffle_hash") // keep the candidate-sized side the build side
       .join(t2, "dst")
       .withColumn("run", lcr(col("text_src"), col("text_dst")))
       .where(col("run") >= lit(minRun))

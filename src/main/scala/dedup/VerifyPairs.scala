@@ -46,8 +46,13 @@ object VerifyPairs {
     val s1 = sh.select(col("id").as("src"), col("shingles").as("sh_src"))
     val s2 = sh.select(col("id").as("dst"), col("shingles").as("sh_dst"))
     val num = math.round(threshold * 1000000L)
-    edges
+    // shuffle-hash hint: build the per-partition hash map from the edge
+    // side (16 B/row) instead of sort-merge-joining the shingle-set side
+    // (~1 KB/row) — measured 2-4× faster and, unlike SMJ here, it scales
+    // with cores (the sort of the wide side was the verify-stage floor)
+    edges.hint("shuffle_hash")
       .join(s1, "src")
+      .hint("shuffle_hash") // candidate-sized subtree stays the build side
       .join(s2, "dst")
       .withColumn("iu", jaccardIU(col("sh_src"), col("sh_dst")))
       .select(
@@ -65,8 +70,9 @@ object VerifyPairs {
       k: Int): DataFrame = {
     val f1 = fingerprints.select(col("id").as("src"), col("fp").as("fp_src"))
     val f2 = fingerprints.select(col("id").as("dst"), col("fp").as("fp_dst"))
-    edges
+    edges.hint("shuffle_hash")
       .join(f1, "src")
+      .hint("shuffle_hash")
       .join(f2, "dst")
       .withColumn("hamming", bit_count(col("fp_src").bitwiseXOR(col("fp_dst"))))
       .where(col("hamming") <= lit(k))

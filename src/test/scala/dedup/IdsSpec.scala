@@ -26,6 +26,17 @@ class IdsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === Seq(-5L, 7L, 42L, 100L))
   }
 
+  test("orderedIdsBy: per-group dense sequence in order, groups independent") {
+    import spark.implicits._
+    val df = Seq(("en", 30L), ("en", 10L), ("de", 5L), ("en", 20L), ("de", 1L))
+      .toDF("lang", "doc_id")
+    val got = Ids.orderedIdsBy(df, "lang", "doc_id")
+      .select("lang", "doc_id", "ord").as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("en", 10L, 0L), ("en", 20L, 1L), ("en", 30L, 2L),
+      ("de", 1L, 0L), ("de", 5L, 1L)))
+  }
+
   test("idCollisions: clean ids -> 0; planted alias of two contents -> counted") {
     import spark.implicits._
     val clean = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "text")

@@ -92,6 +92,17 @@ class SemDedupSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("sinkByCell writes hive-partitioned cell=N directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cells").toString + "/out"
+    val df = corpus(40).map { case (id, v, cell) => (id, cell) }.toDF("id", "cell")
+    SemDedup.sinkByCell(df, "cell", dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(dirs.toSeq === (0 until 5).map(c => s"cell=$c"))
+    assert(spark.read.parquet(dir).count() === 40)
+  }
+
   test("eps monotonicity: larger eps (lower sim threshold) removes at least as much") {
     import spark.implicits._
     val df = corpus(100, 16).map { case (id, v, _) => (id, v) }.toDF("id", "vec")
