@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward the forked run's stdout verbatim (no "[info] " prefix): the
+// driver greps `sbt runMain graft.Bench` stdout for the bench JSON line
+// and the sbt logger's prefix broke its parse (BENCH_r{1,2} "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // one SparkSession per JVM: suites must not race on it
 Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -93,12 +93,17 @@ object Pipeline {
     if (!args.byLang) runOne(spark, args, pages, fp, args.output)
     else {
       // reference master_lang_split: independent pipeline per language,
-      // each resumable under its own checkpoint root
+      // each resumable under its own checkpoint root. Null langs get their
+      // own __null__ bucket via a null-safe predicate — they must neither
+      // NPE the driver-side sort nor silently drop out of kept/assignments
+      // (ADVICE r2); the payload lang column itself stays untouched.
       val langs = pages.select(col("lang")).distinct()
-        .collect().map(_.getString(0)).sorted
-      val results = langs.map { l =>
-        runOne(spark, args, pages.where(col("lang") === l), s"$fp|lang=$l",
-          s"${args.output}/lang=$l")
+        .collect().map(r => Option(r.getString(0))).sortBy(_.getOrElse(""))
+      val results = langs.map { lOpt =>
+        val label = lOpt.getOrElse("__null__")
+        val pred = lOpt.map(col("lang") === _).getOrElse(col("lang").isNull)
+        runOne(spark, args, pages.where(pred), s"$fp|lang=$label",
+          s"${args.output}/lang=$label")
       }
       (results.map(_._1).reduce(_ unionByName _),
         results.map(_._2).reduce(_ unionByName _))

