@@ -42,9 +42,9 @@ object FuzzyDedup {
     // once (the reference's persist(DISK_ONLY) at fuzzy_spark2.py:576)
     val shingles = Lsh.shingleSets(docs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = Lsh.bandKeys(shingles, cfg)
-    val candidates = Lsh.groupEdges(bands, cfg.saltBuckets,
-      cfg.allPairsCap, cfg.chainEdges)
+    // groupEdgesBatched honors cfg.bandsPerPass (banding memory envelope);
+    // one-shot banding when 0
+    val candidates = Lsh.groupEdgesBatched(shingles, cfg)
     val verified =
       if (cfg.verify) VerifyPairs.verifyJaccard(candidates, shingles, cfg.threshold)
         .select(col("src"), col("dst"))

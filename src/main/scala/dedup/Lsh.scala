@@ -127,21 +127,62 @@ object Lsh {
     * xxh64(band-slice bytes, seed=band) replaces the reference's
     * raw-bytes / md5-string keys (fuzzy_spark2.py:235,
     * fuzzy single gpu/lsh.py:54) — 8 shuffled bytes instead of 4·r+. */
-  def bandKeys(shingles: Dataset[DocShingles], cfg: DedupConfig): Dataset[BandKey] = {
+  def bandKeys(shingles: Dataset[DocShingles], cfg: DedupConfig): Dataset[BandKey] =
+    bandKeysRange(shingles, cfg, 0, cfg.bandsRows._1)
+
+  /** Band keys for bands [bandStart, bandEnd) only — the per-pass slice of
+    * the batched-banding mode (`bandsPerPass`). MinHash lanes are mutually
+    * independent, so each pass computes ONLY its own lane slice (the
+    * permutation arrays are sliced to the pass's lanes): total lane work
+    * across passes equals the one-shot pass, while shuffle width per pass
+    * drops from n·numBands rows to n·(bandEnd−bandStart). */
+  def bandKeysRange(
+      shingles: Dataset[DocShingles],
+      cfg: DedupConfig,
+      bandStart: Int,
+      bandEnd: Int): Dataset[BandKey] = {
     val spark = shingles.sparkSession
     import spark.implicits._
     val (b, r) = cfg.bandsRows
+    require(0 <= bandStart && bandStart < bandEnd && bandEnd <= b,
+      s"band range [$bandStart,$bandEnd) out of [0,$b)")
     val (pa, pb) = Hashes.permutations(b * r, cfg.seed)
+    val pa2 = pa.slice(bandStart * r, bandEnd * r)
+    val pb2 = pb.slice(bandStart * r, bandEnd * r)
     shingles.mapPartitions { it =>
       val scratch = new Array[Byte](r * 4) // reused across all band hashes
       it.flatMap { ds =>
-        val sig = signature(ds.shingles, pa, pb)
-        (0 until b).iterator.map { band =>
+        val sig = signature(ds.shingles, pa2, pb2)
+        (bandStart until bandEnd).iterator.map { band =>
+          val off = band - bandStart
           BandKey(ds.id, band,
-            Hashes.xxh64Ints(sig, band * r, (band + 1) * r, band.toLong, scratch))
+            Hashes.xxh64Ints(sig, off * r, (off + 1) * r, band.toLong, scratch))
         }
       }
     }
+  }
+
+  /** Candidate edges with the banding shuffle bounded to `bandsPerPass`
+    * bands per pass (reference parity: `buckets_per_shuffle`,
+    * fuzzy multi gpu/lsh_multi.py:108-146, which re-reads the signature
+    * checkpoint per batch and appends each batch's buckets). At 10¹² docs
+    * a one-shot 25-band shuffle is numBands× the input in flight at once;
+    * batching caps in-flight shuffle data at n·bandsPerPass rows. Edges
+    * are generated per (band, bucket, salt) group exactly as in the
+    * one-shot path, so after the terminal distinct the edge SET is
+    * identical (asserted in LshSpec), not merely closure-equal. */
+  def groupEdgesBatched(
+      shingles: Dataset[DocShingles],
+      cfg: DedupConfig): DataFrame = {
+    val (b, _) = cfg.bandsRows
+    val bp = cfg.bandsPerPass
+    if (bp <= 0 || bp >= b)
+      groupEdges(bandKeys(shingles, cfg), cfg.saltBuckets, cfg.allPairsCap, cfg.chainEdges)
+    else
+      (0 until b by bp).map { s =>
+        groupEdges(bandKeysRange(shingles, cfg, s, math.min(s + bp, b)),
+          cfg.saltBuckets, cfg.allPairsCap, cfg.chainEdges)
+      }.reduce(_ union _).distinct()
   }
 
   // ------------------------------------------- salted bucket → star edges
@@ -220,6 +261,14 @@ object Lsh {
                 targets.iterator
               } else if (chain && prev != runMin) {
                 Iterator((0, b, bk, id, runMin), (0, b, bk, id, prev))
+              } else if (chain) {
+                // second member of the run: emit its star edge AND promote it
+                // to a phase-2 representative — if the group min is itself a
+                // dissimilar hub, this member is the group's only verified
+                // bridge to the rest of the bucket (quantified in LshSpec:
+                // without it a hub that wins a salt group orphans that
+                // group's similar members)
+                Iterator((0, b, bk, id, runMin), (1, b, bk, id, id))
               } else {
                 Iterator.single((0, b, bk, id, runMin))
               }
@@ -231,7 +280,15 @@ object Lsh {
       .toDF("kind", "band", "bucket", "a", "b")
     val edges1 = p1.where(col("kind") === 0).select(col("a").as("src"), col("b").as("dst"))
     val mins = p1.where(col("kind") === 1).select(col("band"), col("bucket"), col("a").as("lmin"))
-    // phase 2: link salt-group minima to the bucket minimum
+    // phase 2: link salt-group representatives (the min; in chain mode also
+    // the second member) to the bucket minimum; in chain mode additionally
+    // to the PREVIOUS representative — a failed-verify bucket hub must not
+    // disconnect salt groups any more than it may disconnect members within
+    // one. Two prior designs fell short here, both quantified in LshSpec:
+    // r2 chained only phase 1 (all bridges hub-anchored → hub hazard across
+    // groups), and min-only reps let a hub that wins a salt group orphan
+    // that group's similar members (no verified bridge out).
+    val chainB = chain
     val edges2 = mins
       .repartition(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"), col("lmin"))
@@ -239,12 +296,19 @@ object Lsh {
       .as[(Int, Long, Long)]
       .mapPartitions { it =>
         var band = Int.MinValue; var bucket = 0L; var runMin = 0L
+        var prev = 0L
         var first = true
         it.flatMap { case (b, bk, lmin) =>
           if (first || b != band || bk != bucket) {
-            first = false; band = b; bucket = bk; runMin = lmin
+            first = false; band = b; bucket = bk; runMin = lmin; prev = lmin
             None
-          } else Some((lmin, runMin))
+          } else {
+            val out =
+              if (chainB && prev != runMin) Iterator((lmin, runMin), (lmin, prev))
+              else Iterator.single((lmin, runMin))
+            prev = lmin
+            out
+          }
         }
       }
       .toDF("src", "dst")

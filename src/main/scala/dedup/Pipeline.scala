@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   *   spark-submit --class dedup.Pipeline <jar> \
   *     --input <pages parquet> --output <checkpoint root> \
   *     [--threshold 0.7] [--ngram 5] [--min-length 5] [--num-perm 250]
-  *     [--seed 42] [--salt 16] [--no-verify] [--simhash] [--suffix]
+  *     [--seed 42] [--salt 16] [--bands-per-pass 0] [--no-verify]
+  *     [--simhash] [--suffix]
+  *     [--semantic] [--sem-k 100] [--sem-eps 0.05] [--sem-dim 64]
   *     [--by-lang] [--no-collision-check] [--chunk-rows 200000]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
@@ -45,6 +47,10 @@ object Pipeline {
       synth: Long = 0L,
       simhash: Boolean = false,
       suffix: Boolean = false,
+      semantic: Boolean = false,
+      semK: Int = 100,
+      semEps: Double = 0.05,
+      semDim: Int = 64,
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
@@ -64,10 +70,15 @@ object Pipeline {
         case "--num-perm" => a = a.copy(cfg = a.cfg.copy(numPerm = argv(i + 1).toInt)); i += 2
         case "--seed" => a = a.copy(cfg = a.cfg.copy(seed = argv(i + 1).toLong)); i += 2
         case "--salt" => a = a.copy(cfg = a.cfg.copy(saltBuckets = argv(i + 1).toInt)); i += 2
+        case "--bands-per-pass" => a = a.copy(cfg = a.cfg.copy(bandsPerPass = argv(i + 1).toInt)); i += 2
         case "--chunk-rows" => a = a.copy(chunkRows = argv(i + 1).toLong); i += 2
         case "--no-verify" => a = a.copy(cfg = a.cfg.copy(verify = false)); i += 1
         case "--simhash" => a = a.copy(simhash = true); i += 1
         case "--suffix" => a = a.copy(suffix = true); i += 1
+        case "--semantic" => a = a.copy(semantic = true); i += 1
+        case "--sem-k" => a = a.copy(semK = argv(i + 1).toInt); i += 2
+        case "--sem-eps" => a = a.copy(semEps = argv(i + 1).toDouble); i += 2
+        case "--sem-dim" => a = a.copy(semDim = argv(i + 1).toInt); i += 2
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -118,7 +129,8 @@ object Pipeline {
       outRoot: String): (DataFrame, DataFrame) = {
     val cfg = args.cfg
     val store = new CheckpointStore(spark, outRoot, cfg.configHash +
-      (if (args.simhash) "+sh" else "") + (if (args.suffix) "+sa" else ""),
+      (if (args.simhash) "+sh" else "") + (if (args.suffix) "+sa" else "") +
+      (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 
     // ids stage: stable xxhash64(url) ids; downstream engine stages carry
@@ -148,7 +160,22 @@ object Pipeline {
     }.as[BandKey]
 
     val candidates = store.stage("candidates") {
-      Lsh.groupEdges(bands, cfg.saltBuckets, cfg.allPairsCap, cfg.chainEdges)
+      val (nb, _) = cfg.bandsRows
+      val bp = cfg.bandsPerPass
+      if (bp <= 0 || bp >= nb)
+        Lsh.groupEdges(bands, cfg.saltBuckets, cfg.allPairsCap, cfg.chainEdges)
+      else {
+        // batched banding over the CHECKPOINTED bands stage: each pass
+        // re-reads only its band slice (predicate pushes to the parquet
+        // scan) — the reference's buckets_per_shuffle loop over the
+        // signature checkpoint (lsh_multi.py:108-146)
+        import spark.implicits._
+        (0 until nb by bp).map { s =>
+          Lsh.groupEdges(
+            bands.filter(col("band") >= s && col("band") < math.min(s + bp, nb)),
+            cfg.saltBuckets, cfg.allPairsCap, cfg.chainEdges)
+        }.reduce(_ union _).distinct()
+      }
     }
 
     val verified = store.stage("verified") {
@@ -177,12 +204,35 @@ object Pipeline {
       ConnectedComponents.assignAll(docs.select(col("id")), components)
     }
 
+    // semantic family (reference semantic dedup single gpu/*): embed from
+    // raw text (batched stand-in encoder, real broadcast+batch plumbing) →
+    // seeded KMeans cells → per-cell cosine prune; removed ids fold into
+    // the final kept filter
+    val semRemoved =
+      if (!args.semantic) None
+      else {
+        val embeddings = store.stage("embeddings") {
+          Embedding.embed(docs, cfg, args.semDim)
+        }
+        Some(store.stage("sem_pruned") {
+          val n = store.manifest("embeddings").map(_("rows").asInstanceOf[Long])
+            .getOrElse(embeddings.count())
+          val k = math.max(1, math.min(args.semK.toLong, n / 2).toInt)
+          SemDedup.semDedupKMeans(embeddings, k, args.semEps, cfg.seed).pruned
+        })
+      }
+
     // kept: anti-join removal against the FULL page table — every payload
     // column carries through; reference chunked sink layout (S6)
     val kept = store.stage("kept", chunkRows = Some(args.chunkRows)) {
       val removal = assignments.where(col("id") =!= col("component")).select(col("id"))
+      val allRemoval = semRemoved match {
+        case Some(p) => removal.unionByName(
+          p.where(col("removed")).select(col("id"))).distinct()
+        case None => removal
+      }
       pages.withColumn("id", xxhash64(col("url")))
-        .join(removal, Seq("id"), "left_anti")
+        .join(allRemoval, Seq("id"), "left_anti")
     }
 
     (kept, assignments)

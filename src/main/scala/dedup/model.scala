@@ -73,9 +73,25 @@ case class DedupConfig(
       * provable-recall mode for SimHash/suffix verification — with salt 1
       * and cap ≥ bucket size the candidate set is complete). */
     allPairsCap: Int = 0,
-    /** add member→predecessor chain edges so a failed-verify hub cannot
-      * disconnect mutually-similar bucket-mates (round-1 ADVICE). */
-    chainEdges: Boolean = false) {
+    /** add member→predecessor chain edges (phases 1 AND 2) so a
+      * failed-verify hub cannot disconnect mutually-similar bucket-mates
+      * (round-1 ADVICE). Quantified in LshSpec ("chainEdges recall
+      * quantification"): on a planted hot bucket whose min-id hub fails
+      * verification, star recall = 0.0 and chain recall = 1.0 at any
+      * salt, at ≤2× candidate-verify cost. Default stays OFF for the
+      * flagship: losing a pair requires a dissimilar hub in EVERY band
+      * the pair shares, and a hub sharing all 25 band signatures at
+      * jaccard < threshold is (J^r)^b-improbable — the measured flagship
+      * recall without chain is 0.998 (BENCH/BASELINE.md). Turn on for
+      * single-band/low-band configs where that argument is weak. */
+    chainEdges: Boolean = false,
+    /** banding memory envelope: process at most this many LSH bands per
+      * shuffle pass (0 = all bands in one shuffle). Reference parity:
+      * `buckets_per_shuffle`, fuzzy multi gpu/lsh_multi.py:108-146. Each
+      * pass computes only its own signature-lane slice, so total lane work
+      * is unchanged; in-flight shuffle data drops from n·numBands rows to
+      * n·bandsPerPass. */
+    bandsPerPass: Int = 0) {
 
   def bandsRows: (Int, Int) = bands.getOrElse(Lsh.optimalParam(threshold, numPerm))
 

@@ -59,6 +59,70 @@ class LshSpec extends AnyFunSuite {
     assert(byDoc(1L).size === 10)
   }
 
+  test("bandsPerPass batched banding: identical edge SET to one-shot; lanes match per band") {
+    import spark.implicits._
+    val base = DedupConfig(ngram = 3, minLength = 3, numPerm = 50,
+      bands = Some((10, 5)), saltBuckets = 4)
+    val docs = Synth.corpus(spark, 400, 7L).map(d => (Hashes.xxh64Str(d.url), d.text))
+      .toDF("id", "text")
+    val shingles = Lsh.shingleSets(docs, base)
+    // per-band keys from a range pass equal the full pass (lane slicing)
+    val full = Lsh.bandKeys(shingles, base).collect().map(b => (b.id, b.band, b.bucket)).toSet
+    val ranged = (0 until 10 by 3).flatMap { s =>
+      Lsh.bandKeysRange(shingles, base, s, math.min(s + 3, 10)).collect()
+    }.map(b => (b.id, b.band, b.bucket)).toSet
+    assert(ranged === full)
+    // batched candidate edges == one-shot candidate edges, exactly
+    val oneShot = Lsh.groupEdgesBatched(shingles, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batched = Lsh.groupEdgesBatched(shingles, base.copy(bandsPerPass = 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batched === oneShot)
+    assert(oneShot.nonEmpty, "corpus must produce candidates")
+  }
+
+  test("chainEdges recall quantification: hot bucket whose min-id hub fails verification") {
+    import spark.implicits._
+    // planted hazard (round-1 ADVICE / VERDICT r2 #6): 20 mutually-similar
+    // members (pairwise jaccard 90/110 ≈ 0.82) share one LSH bucket with a
+    // DISSIMILAR min-id hub (jaccard 0 vs everyone). Star edges all point
+    // at the hub and all fail verification.
+    val members = (2L to 21L).toSeq
+    val sh = (Seq(DocShingles(1L, (5000 until 5100).toArray)) ++
+      members.map(i => DocShingles(i,
+        ((0 until 90) ++ (1000 + i.toInt * 10 until 1010 + i.toInt * 10)).toArray.sorted)))
+      .toDS()
+    val bands = (1L +: members).map(id => BandKey(id, 0, 42L)).toDS()
+    val truePairs = members.size * (members.size - 1) / 2
+    def recall(salt: Int, chain: Boolean): Double = {
+      val cand = Lsh.groupEdges(bands, salt, 0, chain)
+      val verified = VerifyPairs.verifyJaccard(cand, sh, 0.7).select("src", "dst")
+      val assign = ConnectedComponents.runAdaptive(verified)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val found = (for {
+        i <- members; j <- members if i < j
+        ci <- assign.get(i); cj <- assign.get(j) if ci == cj
+      } yield 1).size
+      found.toDouble / truePairs
+    }
+    // star topology: every candidate is (member, hub) -> all fail -> recall 0
+    assert(recall(salt = 1, chain = false) === 0.0)
+    // chain, salt 1: member→predecessor edges survive -> full recall
+    assert(recall(salt = 1, chain = true) === 1.0)
+    // chain, salt 4: in-group chains + chained bridges over TWO reps per
+    // group (min + second member). Both prior designs fail this planted
+    // case: r2 chained only phase 1 (bridges all hub-anchored), and
+    // min-only reps orphan the hub's own salt group (hub wins the group
+    // min, so the group's similar members have no verified bridge out —
+    // observed 16/4 component split, recall 0.663) -> full recall now
+    assert(recall(salt = 4, chain = true) === 1.0)
+    // chain costs ≤ 2× star per member plus ≤2 bridge edges per salt-group
+    // representative (2 reps × salt groups) — the price of the robustness
+    val nStar = Lsh.groupEdges(bands, 4, 0, chain = false).count()
+    val nChain = Lsh.groupEdges(bands, 4, 0, chain = true).count()
+    assert(nChain <= 2 * nStar + 4 * 4)
+  }
+
   test("star edges golden vector (reference fuzzy_spark2.py:68-72)") {
     import spark.implicits._
     // one bucket with members {1,2,3} -> edges (2,1),(3,1)
