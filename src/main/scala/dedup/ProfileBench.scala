@@ -23,10 +23,21 @@ object ProfileBench {
     val cfg = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
       threshold = 0.7, saltBuckets = 16, verify = true)
 
+    def cpuNanos: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => 0L
+      }
+
     def phase[T](name: String)(f: => T): T = {
+      val c0 = cpuNanos
       val t0 = System.nanoTime()
       val r = f
-      println(f"[profile] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (cpuNanos - c0) / 1e9
+      // cpu/wall = busy cores during the phase; cpu inflation across
+      // parallelism levels = per-core slowdown (bandwidth contention)
+      println(f"[profile] $name%-16s $wall%8.2f s  cpu $cpu%8.2f s  (${cpu / wall}%4.1f cores busy)")
       r
     }
 

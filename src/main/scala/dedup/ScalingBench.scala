@@ -27,8 +27,12 @@ object ScalingBench {
     sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "2").toInt
 
   private def session(cores: Int, name: String): SparkSession = {
+    // SPARK_GRAFT_MASTER overrides local[cores] — used for the standalone-
+    // cluster runs (spark://…), where `cores` is the job's TOTAL executor
+    // cores (--total-executor-cores) and only sizes shuffle partitions
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val s = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(name)
       .config("spark.sql.shuffle.partitions", (cores * partsPerCore).toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -54,7 +58,19 @@ object ScalingBench {
       .map(_.getCollectionTime).sum
   }
 
-  private def runOnce(cores: Int, input: String, cfg: DedupConfig): (Double, Long, Long, Double) = {
+  /** total JVM CPU nanoseconds (all threads). The work-inflation ratio
+    * cpuSec(4N)/cpuSec(N) attributes sub-linear wall scaling: ≈1.0 means
+    * the engine did the same work and the gap is host steal / stage
+    * barriers; >1 means per-core slowdown (memory-bandwidth contention in
+    * a single-socket JVM — a multi-executor cluster adds sockets, not
+    * threads-per-socket, so that component does not transfer). */
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def runOnce(cores: Int, input: String, cfg: DedupConfig): (Double, Long, Long, Double, Double) = {
     val spark = session(cores, s"scaling-$cores")
     try {
       val docs = spark.read.parquet(input)
@@ -62,6 +78,7 @@ object ScalingBench {
       // hot-loop compilation otherwise lands in the first timed run)
       FuzzyDedup.assignments(docs.limit(20000), cfg).count()
       val gc0 = gcMillis
+      val cpu0 = cpuNanos
       val t0 = System.nanoTime()
       val res = FuzzyDedup.run(docs, cfg)
       val assigns = res.assignments
@@ -71,7 +88,7 @@ object ScalingBench {
         .where(org.apache.spark.sql.functions.col("id") =!=
           org.apache.spark.sql.functions.col("component")).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, n, removed, (gcMillis - gc0) / 1e3)
+      (sec, n, removed, (gcMillis - gc0) / 1e3, (cpuNanos - cpu0) / 1e9)
     } finally {
       spark.stop()
       fresh()
@@ -98,8 +115,8 @@ object ScalingBench {
       fresh()
       val cfg0 = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
         threshold = 0.7, saltBuckets = 16, verify = true)
-      val (sec, n, rem, gc) = runOnce(coresA, input, cfg0)
-      println(f"""{"docs":$nDocs,"removed":$rem,"cores":$coresA,"sec":$sec%.2f,"gcSec":$gc%.2f,"docsPerSec":${nDocs / sec}%.1f}""")
+      val (sec, n, rem, gc, cpu) = runOnce(coresA, input, cfg0)
+      println(f"""{"docs":$nDocs,"removed":$rem,"cores":$coresA,"sec":$sec%.2f,"gcSec":$gc%.2f,"cpuSec":$cpu%.1f,"docsPerSec":${nDocs / sec}%.1f}""")
       return
     }
     val cfg = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
@@ -121,10 +138,10 @@ object ScalingBench {
     // the sandbox host shows bimodal IO/CPU behavior across minutes-apart
     // runs; interleave A/B twice and take the per-level minimum — the
     // engine's scaling, not the host's weather
-    val (secA1, nA, remA, gcA1) = runOnce(coresA, input, cfg)
-    val (secB1, nB, remB, gcB1) = runOnce(coresB, input, cfg)
-    val (secA2, _, _, gcA2) = runOnce(coresA, input, cfg)
-    val (secB2, _, _, gcB2) = runOnce(coresB, input, cfg)
+    val (secA1, nA, remA, gcA1, cpuA1) = runOnce(coresA, input, cfg)
+    val (secB1, nB, remB, gcB1, cpuB1) = runOnce(coresB, input, cfg)
+    val (secA2, _, _, gcA2, cpuA2) = runOnce(coresA, input, cfg)
+    val (secB2, _, _, gcB2, cpuB2) = runOnce(coresB, input, cfg)
     require(nA == nB && remA == remB,
       s"parallelism changed results: ($nA,$remA) vs ($nB,$remB)")
     val secA = math.min(secA1, secA2)
@@ -135,6 +152,7 @@ object ScalingBench {
     println(f"""{"docs":$nDocs,"removed":$remA,"coresA":$coresA,"coresB":$coresB,""" +
       f""""secA":$secA%.2f,"secB":$secB%.2f,"secA_runs":[$secA1%.2f,$secA2%.2f],""" +
       f""""secB_runs":[$secB1%.2f,$secB2%.2f],"gcA":[$gcA1%.1f,$gcA2%.1f],"gcB":[$gcB1%.1f,$gcB2%.1f],""" +
+      f""""cpuA":[$cpuA1%.1f,$cpuA2%.1f],"cpuB":[$cpuB1%.1f,$cpuB2%.1f],""" +
       f""""docsPerSecA":$thA%.1f,"docsPerSecB":$thB%.1f,""" +
       f""""speedup":${thB / thA}%.3f,"efficiency":$eff%.3f}""")
   }

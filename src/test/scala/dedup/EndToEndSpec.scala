@@ -129,4 +129,28 @@ class EndToEndSpec extends AnyFunSuite {
       assert(assignMap(id) === id, "short docs can never match (below min_length)")
     }
   }
+
+  test("per-language recall report: every language split >= 0.99 recall " +
+      "(reference Indic-benchmark counterpart)") {
+    // reference reports recall per language over language-split pipelines
+    // (Indic Languages Benchmark/Readme.md:9-58, master_lang_split.py);
+    // ours: per-lang verified fuzzy dedup vs per-lang brute-force
+    // exact-Jaccard truth on the multi-lang synthetic page table
+    val stats = RecallReport.perLangRecall(spark, 1600L, cfg)
+    info("\n" + RecallReport.markdown(stats, cfg, 1600L))
+    assert(stats.size >= 3, "corpus must span multiple languages")
+    assert(stats.map(_.truthPairs).sum > 100, "truth must be non-vacuous")
+    // gate = recall vs the reference at identical config (north rule);
+    // raw brute-force-truth recall is reported but only gated in
+    // aggregate — a pair at similarity exactly t is banded with prob
+    // ~0.77 at (25,10), so tiny per-lang splits flip coins on it
+    val agg = stats.map(_.foundPairs).sum.toDouble / stats.map(_.truthPairs).sum
+    assert(agg >= 0.98, s"aggregate brute-force-truth recall $agg below 0.98")
+    stats.foreach { s =>
+      assert(s.truthPairs > 0, s"vacuous split ${s.lang}")
+      assert(s.refPairs > 0, s"vacuous reference split ${s.lang}")
+      assert(s.refRecall >= 0.99, s"lang ${s.lang} recall-vs-reference ${s.refRecall} below gate")
+      assert(s.verifiedPrecision == 1.0, s"lang ${s.lang} emitted a false verified pair")
+    }
+  }
 }
