@@ -72,6 +72,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected a broadcast for the small query side:\n$plan")
   }
 
+  test("no bench headline plan contains an all-pairs join (VERDICT r2 #4)") {
+    // the CORRECTNESS forms of q_simhash_assign / q_suffix_assign carry
+    // O(n²) oracle machinery by design; graft.Bench times benchQueries,
+    // whose overrides must plan the production topology. q_ann_topk is the
+    // one sanctioned BroadcastNestedLoopJoin: its broadcast side is a
+    // fixed 50-row query slice, so the join is linear in the corpus.
+    val qmap = graft.SparkEntry.benchQueries
+    graft.Bench.headline.filter(qmap.contains).foreach { name =>
+      val plan = formatted(qmap(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
+      if (name != "q_ann_topk")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"nested-loop join in bench headline $name:\n$plan")
+    }
+  }
+
   test("relational queries stay inside whole-stage codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .groupBy(col("lang")).agg(count(lit(1)), sum(col("n_chars")))
