@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   *     [--seed 42] [--salt 16] [--bands-per-pass 0] [--no-verify]
   *     [--simhash] [--suffix]
   *     [--semantic] [--sem-k 100] [--sem-eps 0.05] [--sem-dim 64]
-  *     [--by-lang] [--no-collision-check] [--chunk-rows 200000]
+  *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
   */
@@ -51,6 +51,7 @@ object Pipeline {
       semK: Int = 100,
       semEps: Double = 0.05,
       semDim: Int = 64,
+      inferLang: Boolean = false,
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
@@ -79,6 +80,7 @@ object Pipeline {
         case "--sem-k" => a = a.copy(semK = argv(i + 1).toInt); i += 2
         case "--sem-eps" => a = a.copy(semEps = argv(i + 1).toDouble); i += 2
         case "--sem-dim" => a = a.copy(semDim = argv(i + 1).toInt); i += 2
+        case "--infer-lang" => a = a.copy(inferLang = true); i += 1
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -97,9 +99,27 @@ object Pipeline {
     if (args.synth > 0) s"synth${args.synth}s${args.cfg.seed}"
     else CheckpointStore.inputFingerprint(spark, args.input)
 
+  /** `--infer-lang`: fill null `lang` values from the page text with a
+    * Cavnar–Trenkle rank-profile model fitted on the labeled rows — a
+    * Common-Crawl corpus has to *produce* the lang column before
+    * `--by-lang` can split on it. Labeled rows keep their label untouched;
+    * with no labeled rows to fit on, the nulls stay null (and land in the
+    * `__null__` bucket downstream). The fit is one distributed pass over
+    * the labeled subset; prediction is shuffle-free. */
+  private def withInferredLang(pages: DataFrame): DataFrame = {
+    val labeled = pages.where(col("lang").isNotNull && col("text").isNotNull)
+    if (labeled.isEmpty) pages
+    else {
+      val model = LangId.fit(labeled)
+      pages.withColumn("lang",
+        coalesce(col("lang"), LangId.predictUdf(model, col("text"))))
+    }
+  }
+
   /** Runs the checkpointed pipeline; returns (kept, assignments). */
   def run(spark: SparkSession, args: Args): (DataFrame, DataFrame) = {
-    val pages = loadPages(spark, args)
+    val pages0 = loadPages(spark, args)
+    val pages = if (args.inferLang) withInferredLang(pages0) else pages0
     val fp = sourceFingerprint(spark, args)
     if (!args.byLang) runOne(spark, args, pages, fp, args.output)
     else {
@@ -130,6 +150,7 @@ object Pipeline {
     val cfg = args.cfg
     val store = new CheckpointStore(spark, outRoot, cfg.configHash +
       (if (args.simhash) "+sh" else "") + (if (args.suffix) "+sa" else "") +
+      (if (args.inferLang) "+il" else "") +
       (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 

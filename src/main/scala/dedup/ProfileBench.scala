@@ -18,6 +18,10 @@ object ProfileBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
+      // scan splits bound the narrow phases' parallelism (see
+      // ScalingBench.session) — size them for the core count, not 128 MB
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (16L << 20).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,

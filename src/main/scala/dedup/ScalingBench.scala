@@ -34,7 +34,25 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(master)
       .appName(name)
-      .config("spark.sql.shuffle.partitions", (cores * partsPerCore).toString)
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples partition count from core
+      // count — the control experiment for CPU-inflation attribution (same
+      // partition count at both parallelism levels ⇒ any remaining
+      // per-core slowdown is concurrency, not partitioning)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          (cores * partsPerCore).toString))
+      // Scan-split sizing: the CPU-heavy phases (shingling, 250-lane
+      // MinHash signatures) are NARROW transforms — their parallelism is
+      // the parquet scan's split count, not shuffle.partitions. At the
+      // default 128 MB maxPartitionBytes a 1.5 GB bench corpus packs into
+      // ~13 splits, capping BOTH parallelism levels at 13 tasks and
+      // flattening the measured scaling curve (measured: 2M docs,
+      // 1×4c = 553 s ≈ 4×4c = 555 s). 16 MB gives ~100 splits — ≥3×cores
+      // at every level measured here. At 100 TB the same default yields
+      // ~800k splits and this knob is irrelevant; it matters exactly when
+      // corpus_bytes / 128 MB < 3 × total_cores.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (16L << 20).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -70,13 +88,63 @@ object ScalingBench {
       case _ => -1L
     }
 
-  private def runOnce(cores: Int, input: String, cfg: DedupConfig): (Double, Long, Long, Double, Double) = {
+  /** Cluster-wide task metrics (a SparkListener sums per-task counters):
+    * in cluster mode the driver JVM's own CPU clock misses the executors,
+    * so attribution needs the task-level view — taskCpuSec is the real
+    * compute, taskRunSec−taskCpuSec the executor-side wait (fetch, spill,
+    * scheduling), wall·cores−taskRunSec the idle slots. */
+  private final class TaskAgg extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    // per-stage attribution: stageId -> (runMs, cpuNs, gcMs, tasks)
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stageNames.put(e.stageInfo.stageId,
+        e.stageInfo.name.takeWhile(_ != '\n').take(60))
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        tasks.incrementAndGet()
+        val a = byStage.computeIfAbsent(e.stageId, _ => new Array[Long](4))
+        a.synchronized {
+          a(0) += m.executorRunTime; a(1) += m.executorCpuTime
+          a(2) += m.jvmGCTime; a(3) += 1
+        }
+      }
+    }
+    def stageReport: String = {
+      import scala.jdk.CollectionConverters._
+      byStage.asScala.toSeq.sortBy(-_._2(0)).take(10).map { case (sid, a) =>
+        val nm = Option(stageNames.get(sid)).getOrElse("?")
+        f"stage $sid%3d run ${a(0) / 1e3}%8.1f s  cpu ${a(1) / 1e9}%8.1f s  " +
+          f"gc ${a(2) / 1e3}%6.1f s  tasks ${a(3)}%4d  $nm"
+      }.mkString("\n")
+    }
+  }
+
+  case class RunStats(
+      sec: Double, n: Long, removed: Long, gcSec: Double, cpuSec: Double,
+      taskRunSec: Double, taskCpuSec: Double, taskGcSec: Double,
+      fetchWaitSec: Double, tasks: Long, stageReport: String)
+
+  private def runOnce(cores: Int, input: String, cfg: DedupConfig): RunStats = {
     val spark = session(cores, s"scaling-$cores")
     try {
       val docs = spark.read.parquet(input)
       // warm JIT/codegen on a real slice, untimed (generated-code and
       // hot-loop compilation otherwise lands in the first timed run)
       FuzzyDedup.assignments(docs.limit(20000), cfg).count()
+      val agg = new TaskAgg
+      spark.sparkContext.addSparkListener(agg)
       val gc0 = gcMillis
       val cpu0 = cpuNanos
       val t0 = System.nanoTime()
@@ -88,7 +156,11 @@ object ScalingBench {
         .where(org.apache.spark.sql.functions.col("id") =!=
           org.apache.spark.sql.functions.col("component")).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, n, removed, (gcMillis - gc0) / 1e3, (cpuNanos - cpu0) / 1e9)
+      // drain queued listener events before reading the counters
+      org.apache.spark.sql.dedupbridge.drainListenerBus(spark.sparkContext, 30000L)
+      RunStats(sec, n, removed, (gcMillis - gc0) / 1e3, (cpuNanos - cpu0) / 1e9,
+        agg.runMs.get / 1e3, agg.cpuNs.get / 1e9, agg.gcMs.get / 1e3,
+        agg.fetchWaitMs.get / 1e3, agg.tasks.get, agg.stageReport)
     } finally {
       spark.stop()
       fresh()
@@ -115,8 +187,15 @@ object ScalingBench {
       fresh()
       val cfg0 = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
         threshold = 0.7, saltBuckets = 16, verify = true)
-      val (sec, n, rem, gc, cpu) = runOnce(coresA, input, cfg0)
-      println(f"""{"docs":$nDocs,"removed":$rem,"cores":$coresA,"sec":$sec%.2f,"gcSec":$gc%.2f,"cpuSec":$cpu%.1f,"docsPerSec":${nDocs / sec}%.1f}""")
+      val r = runOnce(coresA, input, cfg0)
+      if (sys.env.contains("SPARK_GRAFT_STAGE_REPORT"))
+        System.err.println(s"[stages cores=$coresA]\n${r.stageReport}")
+      println(f"""{"docs":$nDocs,"removed":${r.removed},"cores":$coresA,"sec":${r.sec}%.2f,""" +
+        f""""gcSec":${r.gcSec}%.2f,"cpuSec":${r.cpuSec}%.1f,""" +
+        f""""taskRunSec":${r.taskRunSec}%.1f,"taskCpuSec":${r.taskCpuSec}%.1f,""" +
+        f""""taskGcSec":${r.taskGcSec}%.1f,"fetchWaitSec":${r.fetchWaitSec}%.1f,""" +
+        f""""tasks":${r.tasks},"slotUtil":${r.taskRunSec / (r.sec * coresA)}%.3f,""" +
+        f""""docsPerSec":${nDocs / r.sec}%.1f}""")
       return
     }
     val cfg = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
@@ -138,21 +217,24 @@ object ScalingBench {
     // the sandbox host shows bimodal IO/CPU behavior across minutes-apart
     // runs; interleave A/B twice and take the per-level minimum — the
     // engine's scaling, not the host's weather
-    val (secA1, nA, remA, gcA1, cpuA1) = runOnce(coresA, input, cfg)
-    val (secB1, nB, remB, gcB1, cpuB1) = runOnce(coresB, input, cfg)
-    val (secA2, _, _, gcA2, cpuA2) = runOnce(coresA, input, cfg)
-    val (secB2, _, _, gcB2, cpuB2) = runOnce(coresB, input, cfg)
-    require(nA == nB && remA == remB,
-      s"parallelism changed results: ($nA,$remA) vs ($nB,$remB)")
-    val secA = math.min(secA1, secA2)
-    val secB = math.min(secB1, secB2)
+    val a1 = runOnce(coresA, input, cfg)
+    val b1 = runOnce(coresB, input, cfg)
+    val a2 = runOnce(coresA, input, cfg)
+    val b2 = runOnce(coresB, input, cfg)
+    require(a1.n == b1.n && a1.removed == b1.removed,
+      s"parallelism changed results: (${a1.n},${a1.removed}) vs (${b1.n},${b1.removed})")
+    val secA = math.min(a1.sec, a2.sec)
+    val secB = math.min(b1.sec, b2.sec)
     val thA = nDocs / secA
     val thB = nDocs / secB
     val eff = (thB / thA) / (coresB.toDouble / coresA)
-    println(f"""{"docs":$nDocs,"removed":$remA,"coresA":$coresA,"coresB":$coresB,""" +
-      f""""secA":$secA%.2f,"secB":$secB%.2f,"secA_runs":[$secA1%.2f,$secA2%.2f],""" +
-      f""""secB_runs":[$secB1%.2f,$secB2%.2f],"gcA":[$gcA1%.1f,$gcA2%.1f],"gcB":[$gcB1%.1f,$gcB2%.1f],""" +
-      f""""cpuA":[$cpuA1%.1f,$cpuA2%.1f],"cpuB":[$cpuB1%.1f,$cpuB2%.1f],""" +
+    println(f"""{"docs":$nDocs,"removed":${a1.removed},"coresA":$coresA,"coresB":$coresB,""" +
+      f""""secA":$secA%.2f,"secB":$secB%.2f,"secA_runs":[${a1.sec}%.2f,${a2.sec}%.2f],""" +
+      f""""secB_runs":[${b1.sec}%.2f,${b2.sec}%.2f],"gcA":[${a1.gcSec}%.1f,${a2.gcSec}%.1f],""" +
+      f""""gcB":[${b1.gcSec}%.1f,${b2.gcSec}%.1f],""" +
+      f""""cpuA":[${a1.cpuSec}%.1f,${a2.cpuSec}%.1f],"cpuB":[${b1.cpuSec}%.1f,${b2.cpuSec}%.1f],""" +
+      f""""taskCpuA":[${a1.taskCpuSec}%.1f,${a2.taskCpuSec}%.1f],""" +
+      f""""taskCpuB":[${b1.taskCpuSec}%.1f,${b2.taskCpuSec}%.1f],""" +
       f""""docsPerSecA":$thA%.1f,"docsPerSecB":$thB%.1f,""" +
       f""""speedup":${thB / thA}%.3f,"efficiency":$eff%.3f}""")
   }

@@ -17,4 +17,10 @@ package object dedupbridge {
 
   /** The Catalyst expression backing a Column. */
   def columnExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Block until the listener bus has delivered all queued events —
+    * needed before reading SparkListener-accumulated task metrics
+    * (`listenerBus` is `private[spark]`). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -69,6 +69,40 @@ class LangIdSpec extends AnyFunSuite {
     assert(out.forall(_ == "und"))
   }
 
+  test("Pipeline --infer-lang fills null langs from text; labels untouched; " +
+      "--by-lang then splits on the filled column (no __null__ bucket)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("inferlang").toString
+    // labeled rows fit the model; every 3rd row loses its label
+    val rows = vocab.keys.toSeq.sorted.flatMap { lang =>
+      (0 until 30).map { i =>
+        val labeled = i % 3 != 0
+        (s"https://$lang.example.com/$i", mkDoc(lang, i),
+          if (labeled) lang else null, lang)
+      }
+    }
+    val pages = rows.toDF("url", "text", "lang", "true_lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))
+    pages.select("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(s"$root/pages")
+    val args = Pipeline.Args(
+      input = s"$root/pages", output = s"$root/out",
+      inferLang = true, byLang = true,
+      cfg = DedupConfig(numPerm = 64, saltBuckets = 4))
+    val (kept, assigns) = Pipeline.run(spark, args)
+    assert(assigns.count() === rows.length.toLong)
+    // no __null__ bucket: every null lang got a prediction
+    assert(!new java.io.File(s"$root/out/lang=__null__").exists())
+    val keptRows = kept.select("url", "lang").as[(String, String)].collect()
+    assert(keptRows.forall(_._2 != null))
+    val truth = rows.map(r => r._1 -> r._4).toMap
+    val acc = keptRows.count { case (u, l) => l == truth(u) }.toDouble / keptRows.length
+    info(s"filled-lang accuracy vs generator truth: $acc over ${keptRows.length}")
+    assert(acc >= 0.95, s"inferred lang accuracy $acc below gate")
+  }
+
   test("tokenGrams pads word boundaries per C&T (\"_th\", \"the\", \"he_\")") {
     val g = LangId.tokenGrams("the", 3).toSet
     assert(Set("_th", "the", "he_", "_t", "th", "he", "e_", "t", "h", "e").subsetOf(g))

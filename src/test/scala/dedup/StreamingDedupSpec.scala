@@ -1,0 +1,114 @@
+package dedup
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming dedup: exact bounded-state dedup, incremental
+  * MinHash-LSH near-dup flags, cross-batch state persistence, and
+  * stream ≡ batch-twin equivalence on event-time-monotonic slicings. */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private val cfg = DedupConfig(
+    idCol = "id", textCol = "text",
+    ngram = 5, minLength = 5, numPerm = 250, threshold = 0.7, seed = 42L)
+
+  private def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  // base doc + a near-dup mutator: one token swapped out of 80 keeps
+  // shingle-Jaccard ~0.94, well above threshold 0.7
+  private def doc(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 80).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+  }
+  private def mutate(text: String, at: Int): String = {
+    val toks = text.split(" "); toks(at) = "zzz" + at; toks.mkString(" ")
+  }
+
+  test("exactKept drops byte-identical copies within the watermark, keeps firsts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pages = in.toDF().toDF("id", "warc_ts", "text")
+    val q = StreamingDedup.exactKept(pages)
+      .writeStream.format("memory").queryName("exact_out").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sd-exact").toString)
+      .start()
+    try {
+      val a = doc(1); val c = doc(3)
+      in.addData((1L, ts(0), a), (2L, ts(1), a), (3L, ts(1), c))
+      q.processAllAvailable()
+      in.addData((4L, ts(2), a), (5L, ts(2), doc(5)))
+      q.processAllAvailable()
+      val kept = spark.table("exact_out").select("id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L, 5L), "first copy of each content passes; later copies drop")
+    } finally q.stop()
+  }
+
+  test("fuzzyMatches flags near-dups against the first-seen rep, across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pages = in.toDF().toDF("id", "warc_ts", "text")
+    val q = StreamingDedup.fuzzyMatches(pages, cfg)
+      .writeStream.format("memory").queryName("fuzzy_out").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sd-fuzzy").toString)
+      .start()
+    try {
+      val a = doc(10)
+      in.addData((1L, ts(0), a), (2L, ts(1), mutate(a, 7)), (3L, ts(1), doc(30)))
+      q.processAllAvailable()
+      // D arrives a batch later: state must still hold A's buckets
+      in.addData((4L, ts(2), mutate(a, 21)), (5L, ts(2), doc(50)))
+      q.processAllAvailable()
+      val rows = spark.table("fuzzy_out")
+        .select("id", "dupOf", "estJaccard").collect()
+      val pairs = rows.map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(pairs === Set(2L -> 1L, 4L -> 1L),
+        s"near-dups flag against first-seen rep; got $pairs")
+      assert(rows.forall(_.getDouble(2) >= cfg.threshold))
+    } finally q.stop()
+  }
+
+  test("stream emits the same match set as the batch twin on a monotonic slicing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val a = doc(100); val b = doc(200)
+    val rows = Seq(
+      (1L, ts(0), a), (2L, ts(0), b), (3L, ts(1), mutate(a, 3)),
+      (4L, ts(2), mutate(b, 11)), (5L, ts(2), doc(300)), (6L, ts(3), mutate(a, 40)))
+    val static = rows.toDF("id", "warc_ts", "text")
+    val expected = StreamingDedup.fuzzyMatchesBatch(static, cfg)
+      .select("id", "dupOf").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(expected === Set(3L -> 1L, 4L -> 2L, 6L -> 1L))
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.fuzzyMatches(in.toDF().toDF("id", "warc_ts", "text"), cfg)
+      .writeStream.format("memory").queryName("twin_out").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sd-twin").toString)
+      .start()
+    try {
+      // three event-time-monotonic micro-batches
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.slice(3, 5)); q.processAllAvailable()
+      in.addData(rows.drop(5)); q.processAllAvailable()
+      val streamed = spark.table("twin_out")
+        .select("id", "dupOf").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
+  test("estimator: identical docs estimate 1.0; disjoint docs share no bucket") {
+    import spark.implicits._
+    val a = doc(400)
+    val static = Seq((1L, ts(0), a), (2L, ts(1), a), (3L, ts(1), doc(500)))
+      .toDF("id", "warc_ts", "text")
+    val m = StreamingDedup.fuzzyMatchesBatch(static, cfg).collect()
+    assert(m.length === 1)
+    assert(m.head.getAs[Long]("id") === 2L)
+    assert(m.head.getAs[Double]("estJaccard") === 1.0)
+  }
+}
