@@ -76,6 +76,20 @@ object ScalingBench {
       .map(_.getCollectionTime).sum
   }
 
+  /** (busy, steal) jiffies from /proc/stat — hypervisor steal is the
+    * dominant confound on this host: sustained multi-core load triggers
+    * 10-22% steal bursts while single-core load runs at ≤1.5% (measured,
+    * BENCH/BASELINE.md round 3). Recording the per-run steal share makes
+    * each measurement self-attributing. */
+  private def procStat: (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val l = try src.getLines().next() finally src.close()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      (f(0) + f(1) + f(2) + f(5) + f(6), f(7))
+    } catch { case _: Throwable => (0L, 0L) }
+
   /** total JVM CPU nanoseconds (all threads). The work-inflation ratio
     * cpuSec(4N)/cpuSec(N) attributes sub-linear wall scaling: ≈1.0 means
     * the engine did the same work and the gap is host steal / stage
@@ -134,19 +148,29 @@ object ScalingBench {
   case class RunStats(
       sec: Double, n: Long, removed: Long, gcSec: Double, cpuSec: Double,
       taskRunSec: Double, taskCpuSec: Double, taskGcSec: Double,
-      fetchWaitSec: Double, tasks: Long, stageReport: String)
+      fetchWaitSec: Double, tasks: Long, stageReport: String,
+      stealPct: Double)
 
   private def runOnce(cores: Int, input: String, cfg: DedupConfig): RunStats = {
     val spark = session(cores, s"scaling-$cores")
     try {
       val docs = spark.read.parquet(input)
       // warm JIT/codegen on a real slice, untimed (generated-code and
-      // hot-loop compilation otherwise lands in the first timed run)
-      FuzzyDedup.assignments(docs.limit(20000), cfg).count()
+      // hot-loop compilation otherwise lands in the first timed run).
+      // The slice is an id-modulo filter, NOT limit(): limit reads the
+      // minimum number of splits, so in multi-executor mode it JIT-warms
+      // ONE executor and the others enter the timed run interpreted —
+      // measured as 1.21× task-CPU inflation at 4×1c executors. A
+      // per-partition filter runs the hot loops on every executor.
+      FuzzyDedup.assignments(
+        docs.where(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.lit(50)) === 0), cfg).count()
       val agg = new TaskAgg
       spark.sparkContext.addSparkListener(agg)
       val gc0 = gcMillis
       val cpu0 = cpuNanos
+      val (busy0, steal0) = procStat
       val t0 = System.nanoTime()
       val res = FuzzyDedup.run(docs, cfg)
       val assigns = res.assignments
@@ -158,9 +182,14 @@ object ScalingBench {
       val sec = (System.nanoTime() - t0) / 1e9
       // drain queued listener events before reading the counters
       org.apache.spark.sql.dedupbridge.drainListenerBus(spark.sparkContext, 30000L)
+      val (busy1, steal1) = procStat
+      val stealPct =
+        if (busy1 + steal1 > busy0 + steal0)
+          100.0 * (steal1 - steal0) / ((busy1 - busy0) + (steal1 - steal0))
+        else 0.0
       RunStats(sec, n, removed, (gcMillis - gc0) / 1e3, (cpuNanos - cpu0) / 1e9,
         agg.runMs.get / 1e3, agg.cpuNs.get / 1e9, agg.gcMs.get / 1e3,
-        agg.fetchWaitMs.get / 1e3, agg.tasks.get, agg.stageReport)
+        agg.fetchWaitMs.get / 1e3, agg.tasks.get, agg.stageReport, stealPct)
     } finally {
       spark.stop()
       fresh()
@@ -195,7 +224,7 @@ object ScalingBench {
         f""""taskRunSec":${r.taskRunSec}%.1f,"taskCpuSec":${r.taskCpuSec}%.1f,""" +
         f""""taskGcSec":${r.taskGcSec}%.1f,"fetchWaitSec":${r.fetchWaitSec}%.1f,""" +
         f""""tasks":${r.tasks},"slotUtil":${r.taskRunSec / (r.sec * coresA)}%.3f,""" +
-        f""""docsPerSec":${nDocs / r.sec}%.1f}""")
+        f""""stealPct":${r.stealPct}%.1f,"docsPerSec":${nDocs / r.sec}%.1f}""")
       return
     }
     val cfg = DedupConfig(numPerm = 250, ngram = 5, minLength = 5,
@@ -235,6 +264,8 @@ object ScalingBench {
       f""""cpuA":[${a1.cpuSec}%.1f,${a2.cpuSec}%.1f],"cpuB":[${b1.cpuSec}%.1f,${b2.cpuSec}%.1f],""" +
       f""""taskCpuA":[${a1.taskCpuSec}%.1f,${a2.taskCpuSec}%.1f],""" +
       f""""taskCpuB":[${b1.taskCpuSec}%.1f,${b2.taskCpuSec}%.1f],""" +
+      f""""stealA":[${a1.stealPct}%.1f,${a2.stealPct}%.1f],""" +
+      f""""stealB":[${b1.stealPct}%.1f,${b2.stealPct}%.1f],""" +
       f""""docsPerSecA":$thA%.1f,"docsPerSecB":$thB%.1f,""" +
       f""""speedup":${thB / thA}%.3f,"efficiency":$eff%.3f}""")
   }

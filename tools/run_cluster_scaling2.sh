@@ -29,6 +29,16 @@ SPARK_WORKER_CORES=$((CORES_B > CORES_A ? CORES_B : CORES_A)) \
   SPARK_WORKER_MEMORY=96g "$SPARK/sbin/start-worker.sh" "$MASTER" >/dev/null 2>&1
 sleep 3
 
+# Executor JVMs size their GC/JIT/netty thread pools for ALL visible CPUs
+# (G1 defaults to ~23 ParallelGCThreads on this 32-core host) — a 1-core
+# executor then presents the hypervisor with bursts of 20+ runnable vCPUs,
+# which an oversubscribed host punishes with CPU steal (measured: 10-22%
+# steal during 4x1c windows vs <=1.5% single-executor and <=1% for a pure
+# 4-process canary). Capping auxiliary threads to the executor's core count
+# is the correct production sizing for small executors (YARN/K8s enforce it
+# via cgroup cpu limits; a standalone worker does not confine executors).
+EXEC_JVM_OPTS="-XX:ParallelGCThreads=$((EXEC_CORES + 1)) -XX:ConcGCThreads=1 -XX:CICompilerCount=2 -XX:ActiveProcessorCount=$((EXEC_CORES + 1))"
+
 run() { # total_cores
   local CORES=$1
   echo "== executors $((CORES / EXEC_CORES))x${EXEC_CORES}c $(date +%H:%M:%S) ==" >> "$OUT"
@@ -40,6 +50,11 @@ run() { # total_cores
     --driver-memory 8g \
     --conf spark.executor.cores="$EXEC_CORES" \
     --conf spark.executor.memory=12g \
+    --conf spark.executor.extraJavaOptions="$EXEC_JVM_OPTS" \
+    --conf spark.shuffle.io.serverThreads=$((EXEC_CORES + 1)) \
+    --conf spark.shuffle.io.clientThreads=$((EXEC_CORES + 1)) \
+    --conf spark.rpc.io.serverThreads=$((EXEC_CORES + 1)) \
+    --conf spark.rpc.io.clientThreads=$((EXEC_CORES + 1)) \
     --conf spark.cores.max="$CORES" \
     --conf spark.ui.enabled=false \
     --conf spark.sql.session.timeZone=UTC \
