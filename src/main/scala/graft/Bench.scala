@@ -88,6 +88,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","docs":$nDocs,"fuzzy_docs_per_sec":${f"$docsPerSec%.1f"}}"""
     println(line)
+    // sbt prefixes stdout with "[info] " which breaks line-oriented JSON
+    // parsers tailing the build output; stderr passes through unprefixed
+    System.err.println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
