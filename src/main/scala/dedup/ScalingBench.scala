@@ -162,10 +162,14 @@ object ScalingBench {
       // ONE executor and the others enter the timed run interpreted —
       // measured as 1.21× task-CPU inflation at 4×1c executors. A
       // per-partition filter runs the hot loops on every executor.
+      // warmup fraction = 1/mod of rows; in K-executor mode each JVM sees
+      // only 1/K of them, so C2 tiering needs mod small enough that
+      // rows/(mod·K) still clears the compile thresholds
+      val warmupMod = sys.env.getOrElse("SPARK_GRAFT_WARMUP_MOD", "50").toLong
       FuzzyDedup.assignments(
         docs.where(org.apache.spark.sql.functions.pmod(
           org.apache.spark.sql.functions.col("id"),
-          org.apache.spark.sql.functions.lit(50)) === 0), cfg).count()
+          org.apache.spark.sql.functions.lit(warmupMod)) === 0), cfg).count()
       val agg = new TaskAgg
       spark.sparkContext.addSparkListener(agg)
       val gc0 = gcMillis

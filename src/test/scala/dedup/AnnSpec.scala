@@ -152,4 +152,23 @@ class AnnSpec extends AnyFunSuite {
     // every query still returns rows (queries are never capped away)
     assert(r1.map(_.getLong(0)).distinct.length === 200)
   }
+
+  test("cosineDedupLsh: cap-evicted vectors keep their duplicate cluster (ADVICE r2 medium)") {
+    import spark.implicits._
+    // one hot bucket of 64 near-identical vectors, corpus side capped at 8:
+    // 56 vectors survive only as probes. Under the old src<dst candidate
+    // filter a max-id evicted vector could emit no surviving pair; with
+    // least/greatest normalization every member must land in one component.
+    val base = vec(7L, 32)
+    val hot = (0 until 64).map { i =>
+      val noise = vec(70000L + i, 32)
+      (i.toLong, Array.tabulate(32)(d => base(d) + 0.005f * noise(d)))
+    }
+    val assign = Ann.cosineDedupLsh(hot.toDF("id", "vec"), threshold = 0.95,
+      dim = 32, nbits = 4, seed = 42L, probeRadius = 1, bucketCap = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size === 64)
+    assert(assign.values.toSet.size === 1,
+      s"expected one duplicate cluster, got components ${assign.values.toSet}")
+  }
 }

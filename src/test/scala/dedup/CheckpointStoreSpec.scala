@@ -129,6 +129,29 @@ class CheckpointStoreSpec extends AnyFunSuite {
     assert(dirs2.length <= 4 && dirs2.nonEmpty)
   }
 
+  test("legacy manifest without data_files is not trusted: forces recompute (ADVICE r2)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("legacy").toString
+    val store = new CheckpointStore(spark, root, "cfg")
+    var computed = 0
+    store.stage("s") { computed += 1; (1 to 100).toDF("x") }
+    assert(computed === 1)
+    // rewrite the manifest as the round-1 format: strip the per-file size
+    // map (the field whose absence used to short-circuit validation)
+    val mPath = java.nio.file.Paths.get(s"$root/s/_MANIFEST.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    assert(node.has("data_files"))
+    node.remove("data_files")
+    java.nio.file.Files.write(mPath, mapper.writeValueAsBytes(node))
+    val store2 = new CheckpointStore(spark, root, "cfg")
+    assert(!store2.isCommitted("s"),
+      "a manifest lacking data_files cannot be validated and must not resume")
+    store2.stage("s") { computed += 1; (1 to 100).toDF("x") }
+    assert(computed === 2)
+  }
+
   test("lineage is recorded in stage order") {
     val root = Files.createTempDirectory("lin").toString
     import spark.implicits._
