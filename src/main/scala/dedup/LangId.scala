@@ -110,22 +110,25 @@ object LangId {
   /** Out-of-place distance of a doc profile to each language; argmin
     * (ties to the alphabetically first language, "und" for empty docs). */
   def predictUdf(model: Model, text: Column): Column = {
+    // ship the profiles once per executor, not once per task closure
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(model)
     val f = udf { (text: String) =>
-      val prof = docProfile(text, model.maxN, model.profileSize, model.sampleChars)
+      val m = bc.value
+      val prof = docProfile(text, m.maxN, m.profileSize, m.sampleChars)
       if (prof.isEmpty) "und"
       else {
         var best = "und"
         var bestD = Long.MaxValue
         var l = 0
-        while (l < model.langs.length) {
-          val ranks = model.profiles(l)
+        while (l < m.langs.length) {
+          val ranks = m.profiles(l)
           var d = 0L
           var i = 0
           while (i < prof.length) {
-            d += math.abs(ranks.getOrElse(prof(i), model.profileSize) - i)
+            d += math.abs(ranks.getOrElse(prof(i), m.profileSize) - i)
             i += 1
           }
-          if (d < bestD) { bestD = d; best = model.langs(l) }
+          if (d < bestD) { bestD = d; best = m.langs(l) }
           l += 1
         }
         best
