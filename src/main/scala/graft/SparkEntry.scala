@@ -316,6 +316,27 @@ object SparkEntry {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
       Multimodal.describeBinary(bin, "doc_id", "bin")
         .select(col("id").as("doc_id"), col("n_bytes"), col("magic"))
+    }),
+
+    // Image-header metadata roundtrip: per doc, construct a PNG header
+    // whose dimensions derive arithmetically from (doc_id, n_chars), then
+    // recover them with the REAL byte-level parser (Multimodal.imageDims)
+    // through the distributed mediaMeta pass. DuckDB recomputes the
+    // expected dimensions by the same arithmetic WITHOUT any byte parsing,
+    // so a parser endianness/offset bug fails the hash. (The constructor/
+    // parser pair itself is pinned against independent hand-built golden
+    // bytes in MultimodalSpec — spec layout correctness lives there.)
+    "q_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      val d = documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+      val bin = d.mapPartitions(_.map { case (id, nc) =>
+        (id, Multimodal.pngHeader((id % 1000L + 1L).toInt, (nc % 800L + 1L).toInt))
+      }).toDF("doc_id", "bin")
+      Multimodal.mediaMeta(bin, "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("magic"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
     })
   )
 
@@ -529,6 +550,12 @@ object SparkEntry {
     // magic prefix matches -> constant 'bin'
     "q_binary_meta" ->
       """SELECT doc_id, length(text)::BIGINT AS n_bytes, 'bin' AS magic
+        |FROM documents""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id, 'png' AS magic,
+        |       (doc_id % 1000) + 1 AS width,
+        |       (n_chars % 800) + 1 AS height
         |FROM documents""".stripMargin
   )
 }

@@ -33,6 +33,90 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleChunks(Array[Byte](1, 2), 100, 3).isEmpty)
   }
 
+  // --- hand-built format headers (per the public specs) ---
+
+  private def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ le32(100) ++ le32(0) ++ le32(54) ++ le32(40) ++ le32(w) ++ le32(h)
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++                           // SOI
+      Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++ new Array[Byte](14) ++ // APP0
+      Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++             // SOF0
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ new Array[Byte](10)
+
+  private def wavBytes(rate: Int, ch: Int, bits: Int, dataLen: Int): Array[Byte] = {
+    val byteRate = rate * ch * bits / 8
+    "RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(byteRate) ++ le16(ch * bits / 8) ++ le16(bits) ++
+      "data".getBytes ++ le32(dataLen) ++ new Array[Byte](dataLen)
+  }
+
+  test("imageDims parses PNG/GIF/BMP/JPEG headers; rejects truncated/non-image") {
+    assert(Multimodal.imageDims(pngBytes(640, 480)) === Some((640, 480)))
+    assert(Multimodal.imageDims(gifBytes(13, 37)) === Some((13, 37)))
+    assert(Multimodal.imageDims(bmpBytes(1920, 1080)) === Some((1920, 1080)))
+    assert(Multimodal.imageDims(jpegBytes(800, 600)) === Some((800, 600)))
+    // negative BMP height = top-down orientation, dimensions still positive
+    assert(Multimodal.imageDims(bmpBytes(10, -20)) === Some((10, 20)))
+    assert(Multimodal.imageDims(pngBytes(640, 480).take(20)) === None)
+    assert(Multimodal.imageDims(jpegBytes(800, 600).take(6)) === None)
+    assert(Multimodal.imageDims("not an image at all".getBytes) === None)
+    assert(Multimodal.imageDims(null) === None)
+  }
+
+  test("pngHeader: byte-offset golden (spec layout) and parser roundtrip") {
+    val b = Multimodal.pngHeader(0x01020304, 0x0A0B0C0D)
+    // PNG spec: width big-endian u32 at offset 16, height at 20
+    assert(b.slice(16, 20).toSeq === Seq[Byte](1, 2, 3, 4))
+    assert(b.slice(20, 24).toSeq === Seq[Byte](0x0A, 0x0B, 0x0C, 0x0D))
+    assert(b.slice(12, 16).toSeq === "IHDR".getBytes.toSeq)
+    assert(Multimodal.imageDims(Multimodal.pngHeader(7, 9)) === Some((7, 9)))
+    // constructor output matches the independently hand-built header
+    // (up to its length — the hand-built one carries more IHDR fields)
+    assert(Multimodal.pngHeader(640, 480).toSeq === pngBytes(640, 480).take(25).toSeq)
+  }
+
+  test("wavMeta parses RIFF/WAVE fmt+data chunks") {
+    // 44100 Hz, 2ch, 16-bit, 1 second of data
+    val rate = 44100
+    val oneSec = rate * 2 * 2
+    assert(Multimodal.wavMeta(wavBytes(rate, 2, 16, oneSec)) === Some((rate, 2, 16, 1000L)))
+    assert(Multimodal.wavMeta(wavBytes(8000, 1, 8, 4000)) === Some((8000, 1, 8, 500L)))
+    assert(Multimodal.wavMeta("RIFFxxxxNOTW".getBytes) === None)
+    assert(Multimodal.wavMeta(null) === None)
+  }
+
+  test("mediaMeta: typed metadata table, null-safe for mixed content") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pngBytes(320, 200)),
+      (2L, wavBytes(16000, 1, 16, 16000)), // 0.5 s
+      (3L, "just text".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.mediaMeta(rows.toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(2) === "png")
+    assert(out(1L).getInt(3) === 320 && out(1L).getInt(4) === 200)
+    assert(out(1L).isNullAt(5)) // no audio fields on an image
+    assert(out(2L).getString(2) === "riff")
+    assert(out(2L).getInt(5) === 16000 && out(2L).getInt(6) === 1 && out(2L).getLong(7) === 500L)
+    assert(out(3L).getString(2) === "bin" && out(3L).isNullAt(3) && out(3L).isNullAt(5))
+    assert(out(4L).getString(2) === "empty" && out(4L).getLong(1) === 0L)
+  }
+
   test("describeBinary: schema and per-row metadata over a DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
