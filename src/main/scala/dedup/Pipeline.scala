@@ -52,6 +52,7 @@ object Pipeline {
       semEps: Double = 0.05,
       semDim: Int = 64,
       inferLang: Boolean = false,
+      quality: Boolean = false,
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
@@ -81,6 +82,7 @@ object Pipeline {
         case "--sem-eps" => a = a.copy(semEps = argv(i + 1).toDouble); i += 2
         case "--sem-dim" => a = a.copy(semDim = argv(i + 1).toInt); i += 2
         case "--infer-lang" => a = a.copy(inferLang = true); i += 1
+        case "--quality" => a = a.copy(quality = true); i += 1
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -119,7 +121,15 @@ object Pipeline {
   /** Runs the checkpointed pipeline; returns (kept, assignments). */
   def run(spark: SparkSession, args: Args): (DataFrame, DataFrame) = {
     val pages0 = loadPages(spark, args)
-    val pages = if (args.inferLang) withInferredLang(pages0) else pages0
+    val pages1 = if (args.inferLang) withInferredLang(pages0) else pages0
+    // `--quality`: Gopher-style gate BEFORE dedup (the standard webtext
+    // order — filtering first shrinks every downstream shuffle). Pure
+    // Catalyst projection + filter; payload schema passes through intact.
+    val pages =
+      if (!args.quality) pages1
+      else TextAnalysis.qualityFilter(pages1, "text").where(col("keep"))
+        .drop("n_tokens", "ok_len", "ok_word_len", "ok_alpha",
+          "ok_digits", "ok_repetition", "keep")
     val fp = sourceFingerprint(spark, args)
     if (!args.byLang) runOne(spark, args, pages, fp, args.output)
     else {
@@ -151,6 +161,7 @@ object Pipeline {
     val store = new CheckpointStore(spark, outRoot, cfg.configHash +
       (if (args.simhash) "+sh" else "") + (if (args.suffix) "+sa" else "") +
       (if (args.inferLang) "+il" else "") +
+      (if (args.quality) "+qf" else "") +
       (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 

@@ -58,6 +58,61 @@ object TextAnalysis {
         6))
   }
 
+  /** Gopher-style document quality gate (Rae et al. 2021 §A1.1 rules, the
+    * standard pre-dedup filter of webtext pipelines; C4 uses the same
+    * family). Pure Catalyst — codegen'd, pushdown-friendly — and every
+    * ratio threshold is evaluated as an exact integer cross-multiplication
+    * (`n_alpha·10 ≥ n_tokens·8` instead of `n_alpha/n_tokens ≥ 0.8`), so
+    * an external SQL engine replicates the gate bit-for-bit (the
+    * q_quality_filter oracle). Thresholds are per-mille for exactness.
+    *
+    * Rules (each also emitted as its own boolean column so removal
+    * accounting can attribute drops to rules):
+    *   ok_len         minTokens ≤ n_tokens ≤ maxTokens
+    *   ok_word_len    minMeanWordLen ≤ mean token length ≤ maxMeanWordLen
+    *                  (via total non-space chars vs token count)
+    *   ok_alpha       ≥ minAlphaWordPerMille of tokens contain a letter
+    *   ok_digits      ≤ maxDigitPerMille of chars are digits
+    *   ok_repetition  ≥ minDistinctPerMille of tokens are distinct
+    */
+  final case class QualityConfig(
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Int = 3,
+      maxMeanWordLen: Int = 10,
+      minAlphaWordPerMille: Int = 800,
+      maxDigitPerMille: Int = 200,
+      minDistinctPerMille: Int = 300)
+
+  /** df + rule booleans + `keep`. One narrow projection, no shuffle. */
+  def qualityFilter(df: DataFrame, textCol: String,
+      q: QualityConfig = QualityConfig()): DataFrame = {
+    val t = col(textCol)
+    val empty = length(trim(t)) === 0
+    val toks = split(trim(t), "\\s+")
+    val nTok = when(empty, lit(0)).otherwise(size(toks)).cast("long")
+    val nDistinct = when(empty, lit(0))
+      .otherwise(size(array_distinct(toks))).cast("long")
+    val nAlpha = when(empty, lit(0))
+      .otherwise(size(filter(toks, x => x.rlike("\\p{L}")))).cast("long")
+    val nChars = length(t).cast("long")
+    val nNonSpace = length(regexp_replace(t, "\\s", "")).cast("long")
+    val nDigits = (nChars - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("ok_len",
+        nTok >= q.minTokens && nTok <= q.maxTokens)
+      .withColumn("ok_word_len",
+        nTok > 0 && nNonSpace >= nTok * q.minMeanWordLen &&
+          nNonSpace <= nTok * q.maxMeanWordLen)
+      .withColumn("ok_alpha", nAlpha * 1000L >= nTok * q.minAlphaWordPerMille)
+      .withColumn("ok_digits", nDigits * 1000L <= nChars * q.maxDigitPerMille)
+      .withColumn("ok_repetition",
+        nDistinct * 1000L >= nTok * q.minDistinctPerMille)
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_alpha") &&
+          col("ok_digits") && col("ok_repetition"))
+  }
+
   // -------------------------------------------------------------- langid
   /** Tiny per-language stopword lists (public common words). A real
     * pipeline plugs a fastText-style model here; the Spark plumbing —

@@ -39,7 +39,8 @@ object Bench {
     "q_fingerprint",
     "q_token_bpe",
     "q_binary_meta",
-    "q_media_meta")
+    "q_media_meta",
+    "q_quality_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

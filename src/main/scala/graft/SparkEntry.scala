@@ -318,6 +318,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bytes"), col("magic"))
     }),
 
+    // Gopher-style quality gate (TextAnalysis.qualityFilter): every rule
+    // is integer-exact cross-multiplication, so DuckDB replicates the
+    // booleans bit-for-bit from the raw text.
+    "q_quality_filter" -> ((s, dir) => {
+      TextAnalysis.qualityFilter(documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("ok_len"),
+          col("ok_word_len"), col("ok_alpha"), col("ok_digits"),
+          col("ok_repetition"), col("keep"))
+    }),
+
     // Image-header metadata roundtrip: per doc, construct a PNG header
     // whose dimensions derive arithmetically from (doc_id, n_chars), then
     // recover them with the REAL byte-level parser (Multimodal.imageDims)
@@ -556,6 +566,31 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS magic,
         |       (doc_id % 1000) + 1 AS width,
         |       (n_chars % 800) + 1 AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END::BIGINT AS n_distinct,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> regexp_matches(x, '\p{L}'))) END::BIGINT AS n_alpha,
+        |    length(text)::BIGINT AS n_chars,
+        |    length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_nonspace,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  (n_tokens >= 50 AND n_tokens <= 100000) AS ok_len,
+        |  (n_tokens > 0 AND n_nonspace >= n_tokens * 3
+        |     AND n_nonspace <= n_tokens * 10) AS ok_word_len,
+        |  (n_alpha * 1000 >= n_tokens * 800) AS ok_alpha,
+        |  (n_digits * 1000 <= n_chars * 200) AS ok_digits,
+        |  (n_distinct * 1000 >= n_tokens * 300) AS ok_repetition,
+        |  (ok_len AND ok_word_len AND ok_alpha AND ok_digits
+        |     AND ok_repetition) AS keep
+        |FROM f""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def filterRow(text: String): (Long, Map[String, Boolean]) = {
+    import spark.implicits._
+    val out = TextAnalysis.qualityFilter(Seq((1L, text)).toDF("id", "text"), "text")
+      .collect().head
+    val rules = Seq("ok_len", "ok_word_len", "ok_alpha", "ok_digits",
+      "ok_repetition", "keep")
+    (out.getAs[Long]("n_tokens"),
+      rules.map(r => r -> out.getAs[Boolean](r)).toMap)
+  }
+
+  test("qualityFilter: a normal mid-length doc passes every rule") {
+    val text = ('a' to 'z').flatMap(c => Seq(s"${c}at", s"${c}og", s"${c}un"))
+      .take(60).mkString(" ")
+    val (n, r) = filterRow(text)
+    assert(n === 60)
+    assert(r.values.forall(identity), s"expected all-pass, got $r")
+  }
+
+  test("qualityFilter: each rule fails on its own pathology") {
+    // too short
+    assert(!filterRow("only three words")._2("ok_len"))
+    // mean word length > 10 (50 long tokens keeps ok_len true)
+    val longWords = (1 to 50).map(_ => "a" * 20).mkString(" ")
+    assert(!filterRow(longWords)._2("ok_word_len"))
+    assert(!filterRow(longWords)._2("keep"))
+    // digit soup: >20% digit chars
+    val digits = (1 to 60).map(_ => "12345").mkString(" ")
+    assert(!filterRow(digits)._2("ok_digits"))
+    // non-alpha tokens: <80% of tokens contain a letter
+    val punct = ((1 to 30).map(_ => "$$$") ++ (1 to 30).map(i => s"w$i")).mkString(" ")
+    assert(!filterRow(punct)._2("ok_alpha"))
+    // repetition: one token repeated 60 times -> distinct ratio 1/60
+    val rep = (1 to 60).map(_ => "spam").mkString(" ")
+    assert(!filterRow(rep)._2("ok_repetition"))
+  }
+
+  test("qualityFilter: empty/null text fails closed, never throws") {
+    import spark.implicits._
+    val out = TextAnalysis.qualityFilter(
+      Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+        .toDF("id", "text"), "text")
+      .select(col("id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) false else r.getBoolean(1))).toMap
+    assert(out.values.forall(_ == false))
+  }
+
+  test("qualityFilter in Pipeline (--quality): drops low-quality pages before dedup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("qf").toString
+    // synthetic pages pass the gate (~200 alpha tokens); planted junk fails
+    val pages = Synth.pages(spark, 200).toDF()
+    val junk = Seq(
+      ("http://junk/1", new java.sql.Timestamp(0L), Array.emptyByteArray,
+        "tiny doc", "en"),
+      ("http://junk/2", new java.sql.Timestamp(0L), Array.emptyByteArray,
+        (1 to 90).map(_ => "99999").mkString(" "), "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val all = pages.unionByName(junk)
+    val gated = TextAnalysis.qualityFilter(all, "text").where(col("keep"))
+    val urls = gated.select("url").as[String].collect().toSet
+    assert(!urls.contains("http://junk/1") && !urls.contains("http://junk/2"))
+    assert(urls.size >= 190, s"gate too aggressive: kept ${urls.size} of 200 synth pages")
+  }
+}
