@@ -40,7 +40,8 @@ object Bench {
     "q_token_bpe",
     "q_binary_meta",
     "q_media_meta",
-    "q_quality_filter")
+    "q_quality_filter",
+    "q_url_host")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -318,6 +318,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bytes"), col("magic"))
     }),
 
+    // URL ops over synthesized denormalized URLs (the documents table has
+    // no url column): Spark builds a gnarly spelling (mixed case, userinfo,
+    // default port, fragment) from doc_id and runs UrlOps host/domain/
+    // normalize; DuckDB writes down the EXPECTED clean forms by plain
+    // string concatenation — independent of our regexes, so an extraction
+    // or normalization bug fails the hash.
+    "q_url_host" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://User@WWW.Site"),
+        (col("doc_id") % 50).cast("string"),
+        lit(".Example.COM:443/p/"), col("doc_id").cast("string"), lit("?x=1#sec"))
+      documents(s, dir).select(col("doc_id"),
+        UrlOps.host(url).as("host"),
+        UrlOps.domain(url).as("domain"),
+        UrlOps.normalize(url).as("url_norm"))
+    }),
+
     // Gopher-style quality gate (TextAnalysis.qualityFilter): every rule
     // is integer-exact cross-multiplication, so DuckDB replicates the
     // booleans bit-for-bit from the raw text.
@@ -566,6 +582,14 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS magic,
         |       (doc_id % 1000) + 1 AS width,
         |       (n_chars % 800) + 1 AS height
+        |FROM documents""".stripMargin,
+
+    "q_url_host" ->
+      """SELECT doc_id,
+        |  'www.site' || (doc_id % 50) || '.example.com' AS host,
+        |  'example.com' AS domain,
+        |  'https://user@www.site' || (doc_id % 50) || '.example.com/p/'
+        |    || doc_id || '?x=1' AS url_norm
         |FROM documents""".stripMargin,
 
     "q_quality_filter" ->
