@@ -1,0 +1,144 @@
+package dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the source-prep step for corpora that arrive
+  * as raw crawl HTML without a text column.
+  *
+  * IMPORTANT north-rule boundary: the reference never parses HTML — its
+  * inputs already carry extracted text, and the flagship pipeline here
+  * consumes the `text` column VERBATIM (byte-identical per url,
+  * SURVEY.md §1). This operator exists for the step BEFORE that contract:
+  * producing a text column from the page table's `html: binary` payload
+  * when none exists. It is never applied inside the dedup pipeline.
+  *
+  * Extraction contract (deterministic, whitespace-normalized):
+  *   - `<script>`/`<style>`/`<noscript>` elements and `<!-- -->` comments
+  *     are dropped entirely (content included);
+  *   - every other tag is removed; text nodes are kept;
+  *   - the five named entities (&amp; &lt; &gt; &quot; &#39;/&apos;) and
+  *     numeric `&#NN;`/`&#xHH;` references are decoded; `&nbsp;` → space;
+  *   - all whitespace runs collapse to one space, result is trimmed.
+  *
+  * Single-pass hand-rolled scanner (no regex backtracking on adversarial
+  * markup, no external parser): O(len), allocation = one StringBuilder.
+  * Malformed HTML never throws — an unclosed tag consumes to end of input.
+  */
+object HtmlExtract {
+
+  def text(html: String): String = {
+    if (html == null) return ""
+    val n = html.length
+    val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var i = 0
+    var lastSpace = true // suppress leading/duplicate whitespace
+
+    def appendChar(c: Char): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else { sb.append(c); lastSpace = false }
+    }
+
+    def startsWithIgnoreCase(at: Int, s: String): Boolean = {
+      if (at + s.length > n) return false
+      var k = 0
+      while (k < s.length) {
+        if (Character.toLowerCase(html.charAt(at + k)) != s.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+
+    /** index just past the matching `</name…>`, or n if unclosed. */
+    def skipElement(at: Int, name: String): Int = {
+      var j = at
+      val close = "</" + name
+      while (j < n) {
+        if (html.charAt(j) == '<' && startsWithIgnoreCase(j, close)) {
+          var k = j + close.length
+          while (k < n && html.charAt(k) != '>') k += 1
+          return math.min(k + 1, n)
+        }
+        j += 1
+      }
+      n
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (startsWithIgnoreCase(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (startsWithIgnoreCase(i, "<script")) {
+          i = skipElement(i + 7, "script"); appendChar(' ')
+        } else if (startsWithIgnoreCase(i, "<style")) {
+          i = skipElement(i + 6, "style"); appendChar(' ')
+        } else if (startsWithIgnoreCase(i, "<noscript")) {
+          i = skipElement(i + 9, "noscript"); appendChar(' ')
+        } else {
+          // any other tag: skip to '>', honoring quoted attribute values
+          var j = i + 1
+          var quote: Char = 0
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val cj = html.charAt(j)
+            if (quote == 0 && (cj == '"' || cj == '\'')) quote = cj
+            else if (cj == quote) quote = 0
+            j += 1
+          }
+          i = math.min(j + 1, n)
+          appendChar(' ') // tags are word boundaries: <p>a</p><p>b</p> -> "a b"
+        }
+      } else if (c == '&') {
+        // entity: bounded lookahead to ';' (max 10 chars, per HTML's
+        // longest common references); unknown entities pass through
+        val semi = {
+          var k = i + 1
+          val lim = math.min(n, i + 10)
+          while (k < lim && html.charAt(k) != ';') k += 1
+          if (k < lim) k else -1
+        }
+        if (semi < 0) { appendChar(c); i += 1 }
+        else {
+          val ent = html.substring(i + 1, semi)
+          val dec: String = ent.toLowerCase match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              try String.valueOf(Integer.parseInt(ent.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            case _ if ent.startsWith("#") =>
+              try String.valueOf(Integer.parseInt(ent.substring(1)).toChar)
+              catch { case _: Exception => null }
+            case _ => null
+          }
+          if (dec == null) { appendChar(c); i += 1 }
+          else { dec.foreach(appendChar); i = semi + 1 }
+        }
+      } else {
+        appendChar(c)
+        i += 1
+      }
+    }
+    // trailing space from the collapse pass
+    var end = sb.length
+    while (end > 0 && sb.charAt(end - 1) == ' ') end -= 1
+    sb.substring(0, end)
+  }
+
+  /** html binary column (UTF-8) → extracted text column. A JVM closure is
+    * the right tool here (a stateful scanner has no Catalyst spelling);
+    * narrow projection, no shuffle. */
+  def extractColumn(df: DataFrame, htmlCol: String, out: String = "text"): DataFrame = {
+    val fn = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) ""
+      else text(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    df.withColumn(out, fn(col(htmlCol)))
+  }
+}

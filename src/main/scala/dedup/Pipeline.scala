@@ -53,6 +53,7 @@ object Pipeline {
       semDim: Int = 64,
       inferLang: Boolean = false,
       quality: Boolean = false,
+      extractHtml: Boolean = false,
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
@@ -83,6 +84,7 @@ object Pipeline {
         case "--sem-dim" => a = a.copy(semDim = argv(i + 1).toInt); i += 2
         case "--infer-lang" => a = a.copy(inferLang = true); i += 1
         case "--quality" => a = a.copy(quality = true); i += 1
+        case "--extract-html" => a = a.copy(extractHtml = true); i += 1
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -120,7 +122,21 @@ object Pipeline {
 
   /** Runs the checkpointed pipeline; returns (kept, assignments). */
   def run(spark: SparkSession, args: Args): (DataFrame, DataFrame) = {
-    val pages0 = loadPages(spark, args)
+    val pagesIn = loadPages(spark, args)
+    // `--extract-html`: fill MISSING text from the html payload (source
+    // prep for raw-crawl corpora). Rows that already carry text keep it
+    // verbatim — the flagship's byte-identical-text invariant (SURVEY §1)
+    // is about those rows and stays intact.
+    val pages0 =
+      if (!args.extractHtml) pagesIn
+      else {
+        val extracted = HtmlExtract.extractColumn(
+          pagesIn.withColumnRenamed("text", "__text_in__"), "html", "__text_ex__")
+        extracted.withColumn("text",
+          when(col("__text_in__").isNotNull && length(col("__text_in__")) > 0,
+            col("__text_in__")).otherwise(col("__text_ex__")))
+          .drop("__text_in__", "__text_ex__")
+      }
     val pages1 = if (args.inferLang) withInferredLang(pages0) else pages0
     // `--quality`: Gopher-style gate BEFORE dedup (the standard webtext
     // order — filtering first shrinks every downstream shuffle). Pure
@@ -162,6 +178,7 @@ object Pipeline {
       (if (args.simhash) "+sh" else "") + (if (args.suffix) "+sa" else "") +
       (if (args.inferLang) "+il" else "") +
       (if (args.quality) "+qf" else "") +
+      (if (args.extractHtml) "+hx" else "") +
       (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 

@@ -41,7 +41,8 @@ object Bench {
     "q_binary_meta",
     "q_media_meta",
     "q_quality_filter",
-    "q_url_host")
+    "q_url_host",
+    "q_html_text")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -318,6 +318,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bytes"), col("magic"))
     }),
 
+    // HTML extraction roundtrip: wrap each doc's text in markup (with a
+    // script element and entities the extractor must drop/decode), extract
+    // through the distributed path, and compare against DuckDB's
+    // first-principles expectation (the whitespace-normalized text itself).
+    "q_html_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p{}</style></head><body><p>"),
+        col("text"),
+        lit("</p><script>var x = 1 &lt; 2;</script></body></html>"))
+      documents(s, dir)
+        .select(col("doc_id"), encode(html, "UTF-8").as("html"))
+        .transform(d => HtmlExtract.extractColumn(d, "html", "extracted"))
+        .select(col("doc_id"), col("extracted"))
+    }),
+
     // URL ops over synthesized denormalized URLs (the documents table has
     // no url column): Spark builds a gnarly spelling (mixed case, userinfo,
     // default port, fragment) from doc_id and runs UrlOps host/domain/
@@ -582,6 +597,10 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS magic,
         |       (doc_id % 1000) + 1 AS width,
         |       (n_chars % 800) + 1 AS height
+        |FROM documents""".stripMargin,
+
+    "q_html_text" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted
         |FROM documents""".stripMargin,
 
     "q_url_host" ->
