@@ -153,4 +153,25 @@ class EndToEndSpec extends AnyFunSuite {
       assert(s.verifiedPrecision == 1.0, s"lang ${s.lang} emitted a false verified pair")
     }
   }
+
+  test("all pipeline stages compose (--extract-html --quality --infer-lang " +
+      "--simhash --suffix --semantic) and the composed run resumes identically") {
+    val root = java.nio.file.Files.createTempDirectory("compose").toString
+    val args = Pipeline.Args(
+      synth = 600, output = root,
+      simhash = true, suffix = true,
+      semantic = true, semK = 8, semDim = 16,
+      inferLang = true, quality = true, extractHtml = true,
+      cfg = DedupConfig(numPerm = 64, saltBuckets = 4))
+    val (kept1, a1) = Pipeline.run(spark, args)
+    val k1 = kept1.count(); val n1 = a1.count()
+    assert(n1 > 0L && k1 > 0L && k1 <= n1,
+      s"composed pipeline produced kept=$k1 of assigned=$n1")
+    // full rerun: every stage resumes from its checkpoint (config hash
+    // encodes the whole flag set), results byte-identical
+    val (kept2, a2) = Pipeline.run(spark, args)
+    assert(kept2.count() === k1)
+    assert(a2.count() === n1)
+    assert(a2.exceptAll(a1).count() === 0L, "rerun changed assignments")
+  }
 }

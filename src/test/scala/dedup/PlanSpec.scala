@@ -88,6 +88,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("source-prep operators plan as narrow transforms: zero shuffles") {
+    // quality gate, URL ops and HTML extraction are per-row projections —
+    // at 100 TB any accidental Exchange here would shuffle the whole
+    // corpus before dedup even starts
+    val qmap = graft.SparkEntry.benchQueries
+    Seq("q_quality_filter", "q_url_host", "q_html_text", "q_media_meta",
+      "q_minlen_filter", "q_quality").foreach { name =>
+      val plan = formatted(qmap(name)(spark, sf))
+      assert(!plan.contains("Exchange"),
+        s"narrow operator $name plans a shuffle:\n$plan")
+    }
+  }
+
   test("relational queries stay inside whole-stage codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .groupBy(col("lang")).agg(count(lit(1)), sum(col("n_chars")))
