@@ -36,6 +36,7 @@ import org.apache.spark.sql.functions._
   *     [--simhash] [--suffix]
   *     [--semantic] [--sem-k 100] [--sem-eps 0.05] [--sem-dim 64]
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
+  *     [--dedup-lines] [--redact-pii] [--existing <pages parquet>]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
   */
@@ -54,6 +55,9 @@ object Pipeline {
       inferLang: Boolean = false,
       quality: Boolean = false,
       extractHtml: Boolean = false,
+      dedupLines: Boolean = false,
+      redactPii: Boolean = false,
+      existing: String = "",
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
@@ -85,6 +89,9 @@ object Pipeline {
         case "--infer-lang" => a = a.copy(inferLang = true); i += 1
         case "--quality" => a = a.copy(quality = true); i += 1
         case "--extract-html" => a = a.copy(extractHtml = true); i += 1
+        case "--dedup-lines" => a = a.copy(dedupLines = true); i += 1
+        case "--redact-pii" => a = a.copy(redactPii = true); i += 1
+        case "--existing" => a = a.copy(existing = argv(i + 1)); i += 2
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -141,11 +148,35 @@ object Pipeline {
     // `--quality`: Gopher-style gate BEFORE dedup (the standard webtext
     // order — filtering first shrinks every downstream shuffle). Pure
     // Catalyst projection + filter; payload schema passes through intact.
-    val pages =
+    val pages2 =
       if (!args.quality) pages1
       else TextAnalysis.qualityFilter(pages1, "text").where(col("keep"))
         .drop("n_tokens", "ok_len", "ok_word_len", "ok_alpha",
           "ok_digits", "ok_repetition", "keep")
+    // `--dedup-lines`: CCNet-style boilerplate-line removal BEFORE doc-level
+    // dedup (an explicit corpus transform — it rewrites `text`, so the
+    // verbatim-text invariant holds from here DOWNSTREAM; opting in means
+    // the cleaned text IS the corpus text from this point on, as in CCNet
+    // §4.1 where paragraph dedup precedes document dedup).
+    val pages3 =
+      if (!args.dedupLines) pages2
+      else {
+        val withId = pages2.withColumn("__lid", xxhash64(col("url")))
+        val cleaned = LineDedup.dedupLines(withId, "__lid", "text")
+          .select(col("id").as("__lid"), col("text_clean"))
+        withId.drop("text")
+          .join(cleaned, Seq("__lid"))
+          .withColumnRenamed("text_clean", "text")
+          .drop("__lid")
+      }
+    // `--existing`: incremental snapshot mode — drop batch pages whose text
+    // is byte-identical to a doc in the existing corpus (bloom prefilter +
+    // exact confirm; the existing side is scanned, never shuffled).
+    val pages =
+      if (args.existing.isEmpty) pages3
+      else IncrementalDedup.newDocs(
+        spark.read.schema(Page.schema).parquet(args.existing),
+        pages3, "url", "text")
     val fp = sourceFingerprint(spark, args)
     if (!args.byLang) runOne(spark, args, pages, fp, args.output)
     else {
@@ -179,6 +210,9 @@ object Pipeline {
       (if (args.inferLang) "+il" else "") +
       (if (args.quality) "+qf" else "") +
       (if (args.extractHtml) "+hx" else "") +
+      (if (args.dedupLines) "+ld" else "") +
+      (if (args.redactPii) "+pr" else "") +
+      (if (args.existing.nonEmpty) "+in" else "") +
       (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 
@@ -272,7 +306,10 @@ object Pipeline {
       }
 
     // kept: anti-join removal against the FULL page table — every payload
-    // column carries through; reference chunked sink layout (S6)
+    // column carries through; reference chunked sink layout (S6).
+    // `--redact-pii` scrubs the kept text INSIDE the stage so the sink
+    // (what ships to training) never holds raw PII; dedup upstream ran on
+    // the unredacted text, so redaction cannot perturb signatures.
     val kept = store.stage("kept", chunkRows = Some(args.chunkRows)) {
       val removal = assignments.where(col("id") =!= col("component")).select(col("id"))
       val allRemoval = semRemoved match {
@@ -280,8 +317,10 @@ object Pipeline {
           p.where(col("removed")).select(col("id"))).distinct()
         case None => removal
       }
-      pages.withColumn("id", xxhash64(col("url")))
+      val keptPages = pages.withColumn("id", xxhash64(col("url")))
         .join(allRemoval, Seq("id"), "left_anti")
+      if (args.redactPii) keptPages.withColumn("text", Pii.redact(col("text")))
+      else keptPages
     }
 
     (kept, assignments)

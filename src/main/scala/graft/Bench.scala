@@ -42,7 +42,10 @@ object Bench {
     "q_media_meta",
     "q_quality_filter",
     "q_url_host",
-    "q_html_text")
+    "q_html_text",
+    "q_line_dedup",
+    "q_pii_redact",
+    "q_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

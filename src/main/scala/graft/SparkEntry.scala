@@ -359,6 +359,59 @@ object SparkEntry {
           col("ok_repetition"), col("keep"))
     }),
 
+    // Line-level dedup (CCNet-style boilerplate removal): each doc becomes
+    // three lines — two text slices plus a footer shared by its doc_id%7
+    // group — and LineDedup keeps only the globally-first occurrence of
+    // every non-blank line ((id,pos)-min). DuckDB recomputes the expected
+    // cleaned text from the same construction with a window function, so
+    // the hash checks first-occurrence semantics, blank-line preservation
+    // and byte-exact reassembly at once.
+    "q_line_dedup" -> ((s, dir) => {
+      val composed = documents(s, dir).select(
+        col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          concat(lit("boilerplate footer "), col("doc_id") % 7),
+          substring(col("text"), 41, 1000000)).as("text"))
+      LineDedup.dedupLines(composed, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text_clean"),
+          col("n_lines"), col("n_kept"))
+    }),
+
+    // PII redaction: plant an email, an IPv4 and an E.164 phone around a
+    // text slice; DuckDB writes the EXPECTED redacted string by plain
+    // concatenation (regex-independent — over- or under-matching fails the
+    // hash, the q_url_host oracle style).
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = concat(
+        substring(col("text"), 1, 30),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail"), col("doc_id") % 9, lit(".org or 10."),
+        col("doc_id") % 200, lit(".0."), col("doc_id") % 250,
+        lit(" call +1 555014"), col("doc_id") % 90 + 10, lit(" done"))
+      val (ne, ni, np) = Pii.piiCounts(planted)
+      documents(s, dir).select(col("doc_id"),
+        Pii.redact(planted).as("redacted"),
+        ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"))
+    }),
+
+    // Incremental snapshot dedup: existing = doc_id%5!=0 docs; batch =
+    // the doc_id%5==0 docs (all genuinely new — the corpus has no
+    // byte-identical texts) PLUS planted byte-identical copies of an
+    // existing slice under offset ids, which MUST be dropped. Keeps batch
+    // docs whose text does not occur in existing (bloom prefilter + exact
+    // confirm — IncrementalDedup); the planted copies make the oracle
+    // non-vacuous (the q_embed_dedup_lsh lesson, VERDICT r2 #1).
+    "q_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val existing = d.where(col("doc_id") % 5 =!= 0)
+      val planted = existing.where(col("doc_id") % 97 === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val batch = d.where(col("doc_id") % 5 === 0).unionByName(planted)
+      IncrementalDedup.newDocs(existing, batch, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // Image-header metadata roundtrip: per doc, construct a PNG header
     // whose dimensions derive arithmetically from (doc_id, n_chars), then
     // recover them with the REAL byte-level parser (Multimodal.imageDims)
@@ -634,6 +687,45 @@ object SparkEntry {
         |  (n_distinct * 1000 >= n_tokens * 300) AS ok_repetition,
         |  (ok_len AND ok_word_len AND ok_alpha AND ok_digits
         |     AND ok_repetition) AS keep
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(text, 1, 40) AS l1,
+        |    'boilerplate footer ' || (doc_id % 7) AS l2,
+        |    substr(text, 41) AS l3
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, 0 AS pos, l1 AS line FROM d
+        |  UNION ALL SELECT doc_id, 1, l2 FROM d
+        |  UNION ALL SELECT doc_id, 2, l3 FROM d),
+        |marked AS (
+        |  SELECT doc_id, pos, line,
+        |    CASE WHEN trim(line) = '' THEN TRUE
+        |         ELSE row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+        |    END AS keep
+        |  FROM lines)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(keep::INT)::BIGINT AS n_kept
+        |FROM marked GROUP BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  substr(text, 1, 30) || ' contact <EMAIL> or <IP> call <PHONE> done' AS redacted,
+        |  1::BIGINT AS n_emails, 1::BIGINT AS n_ips, 1::BIGINT AS n_phones
+        |FROM documents""".stripMargin,
+
+    "q_incremental" ->
+      """WITH existing AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT * FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM existing
+        |  WHERE doc_id % 97 = 1)
+        |SELECT b.doc_id, b.lang, b.n_chars FROM batch b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM existing e WHERE md5(e.text) = md5(b.text))""".stripMargin
   )
 }

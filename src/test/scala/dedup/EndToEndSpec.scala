@@ -174,4 +174,37 @@ class EndToEndSpec extends AnyFunSuite {
     assert(a2.count() === n1)
     assert(a2.exceptAll(a1).count() === 0L, "rerun changed assignments")
   }
+
+  test("--existing / --dedup-lines / --redact-pii: incremental prefilter, " +
+      "line dedup and PII scrub compose through the pipeline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def page(url: String, text: String) = Page(url, ts, null, text, "en")
+    // existing corpus: one doc whose text a batch doc repeats verbatim
+    Seq(page("http://old/1", "already ingested body of text"))
+      .toDS().toDF().write.mode("overwrite").parquet(s"$dir/existing.parquet")
+    val batch = Seq(
+      page("http://new/1", "intro one\nshared banner line\nwrite bob@example.com"),
+      page("http://new/2", "intro two\nshared banner line\ncall +1 5550123456"),
+      page("http://new/3", "already ingested body of text")) // incremental dup
+    batch.toDS().toDF().write.mode("overwrite").parquet(s"$dir/batch.parquet")
+    val args = Pipeline.parse(Array(
+      "--input", s"$dir/batch.parquet", "--output", s"$dir/out",
+      "--existing", s"$dir/existing.parquet",
+      "--dedup-lines", "--redact-pii", "--num-perm", "64", "--salt", "4"))
+    val (kept, assigns) = Pipeline.run(spark, args)
+    val texts = kept.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // incremental: the byte-identical batch doc never entered the pipeline
+    assert(assigns.count() === 2L)
+    assert(!texts.contains("http://new/3"))
+    // line dedup: exactly one kept doc still carries the shared banner
+    assert(texts.values.count(_.contains("shared banner line")) === 1)
+    // PII: the kept sink holds tokens, never the raw email/phone
+    val joined = texts.values.mkString("\n")
+    assert(!joined.contains("bob@example.com") && !joined.contains("5550123456"))
+    assert(joined.contains(Pii.EmailToken) && joined.contains(Pii.PhoneToken))
+  }
 }
