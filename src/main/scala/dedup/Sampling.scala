@@ -1,0 +1,83 @@
+package dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded buffer for the min-N-per-key aggregator: ascending ids,
+  * `used ≤ capacity`. */
+case class MinNBuf(ids: Array[Long], used: Int)
+
+/** Corpus sampling operators. The load-bearing one is the per-domain
+  * document cap — Common-Crawl-style corpora are dominated by a few hosts
+  * (forums, e-commerce templates), and the standard webtext remedy is
+  * "keep at most N pages per registrable domain" before training.
+  *
+  * Scale shape: the naive `row_number() OVER (PARTITION BY domain)` puts a
+  * hot domain's 10^8 rows into ONE window task. Instead a bounded typed
+  * Aggregator keeps only the N smallest ids per key, so partial (map-side)
+  * aggregation ships ≤N ids per domain per task — the same defense as
+  * Ann's TopKAgg (Ann.scala) and the salted star edges: per-task cost is
+  * O(N), never O(domain size).
+  */
+object Sampling {
+
+  /** Keeps the n smallest longs seen, ascending, in-place. Deterministic:
+    * min-by-id is order- and partition-layout-independent. */
+  private class MinNAgg(n: Int) extends Aggregator[Long, MinNBuf, Seq[Long]] {
+    def zero: MinNBuf = MinNBuf(new Array[Long](n), 0)
+    private def insert(buf: MinNBuf, id: Long): MinNBuf = {
+      val n0 = buf.used
+      val ids = buf.ids
+      if (n0 >= n && id >= ids(n0 - 1)) buf
+      else {
+        var lo = 0
+        var hi = n0
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (id < ids(mid)) hi = mid else lo = mid + 1
+        }
+        val newN = math.min(n0 + 1, n)
+        val shift = newN - 1 - lo
+        if (shift > 0) System.arraycopy(ids, lo, ids, lo + 1, shift)
+        ids(lo) = id
+        if (newN == n0) buf else MinNBuf(ids, newN)
+      }
+    }
+    def reduce(buf: MinNBuf, id: Long): MinNBuf = insert(buf, id)
+    def merge(a: MinNBuf, b: MinNBuf): MinNBuf = {
+      var r = a
+      var i = 0
+      while (i < b.used) { r = insert(r, b.ids(i)); i += 1 }
+      r
+    }
+    def finish(buf: MinNBuf): Seq[Long] = (0 until buf.used).map(buf.ids(_))
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MinNBuf]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `(key, id)` rows keeping at most `n` per key — the n smallest ids
+    * (deterministic representative rule, like every min-id choice in this
+    * engine). Null keys are dropped. One shuffle, ≤n rows per key per map
+    * task after partial aggregation. */
+  def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val agg = udaf(new MinNAgg(n))
+    df.select(keyCol.as("key"), idCol.cast("long").as("id"))
+      .where(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(agg(col("id")).as("kept"))
+      .select(col("key"), explode(col("kept")).as("id"))
+  }
+
+  /** Keep at most `maxPerDomain` pages per registrable domain (min-id
+    * rule); full payload passes through via a semi-join on the id. */
+  def domainCap(pages: DataFrame, urlCol: String, idCol: String,
+      maxPerDomain: Int): DataFrame = {
+    val keptIds = capPerKey(pages, UrlOps.domain(col(urlCol)), col(idCol), maxPerDomain)
+      .select(col("id").as(idCol))
+    pages.join(keptIds, Seq(idCol), "left_semi")
+  }
+}

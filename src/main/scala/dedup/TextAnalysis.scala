@@ -113,6 +113,22 @@ object TextAnalysis {
           col("ok_digits") && col("ok_repetition"))
   }
 
+  // ---------------------------------------------------------- vocabulary
+  /** Corpus vocabulary: the k most frequent whitespace tokens with counts,
+    * ties broken by word ascending (deterministic). The count shuffle is
+    * partial-aggregated (map-side combine collapses each task's repeats of
+    * a hot word to one row) and the global top-k plans as
+    * TakeOrderedAndProject — per-partition heaps of k, never a full sort.
+    * Corpus-frequency tables feed tokenizer training and stopword/quality
+    * heuristics downstream. */
+  def topWords(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
   // -------------------------------------------------------------- langid
   /** Tiny per-language stopword lists (public common words). A real
     * pipeline plugs a fastText-style model here; the Spark plumbing —

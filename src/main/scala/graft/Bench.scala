@@ -45,7 +45,10 @@ object Bench {
     "q_html_text",
     "q_line_dedup",
     "q_pii_redact",
-    "q_incremental")
+    "q_incremental",
+    "q_domain_cap",
+    "q_top_words",
+    "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

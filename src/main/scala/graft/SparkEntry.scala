@@ -431,6 +431,40 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("magic"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+
+    // Per-domain frequency cap (Sampling.domainCap): synthesize a URL whose
+    // registrable domain is doc_id % 13 by construction, keep the 20
+    // min-id pages per domain. DuckDB derives the expected kept set from
+    // the id arithmetic alone (row_number over doc_id % 13) — independent
+    // of UrlOps' regexes, so a domain-extraction or cap bug fails the hash.
+    "q_domain_cap" -> ((s, dir) => {
+      val url = concat(lit("https://sub"), col("doc_id").cast("string"),
+        lit(".site"), (col("doc_id") % 13).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"))
+      val pages = documents(s, dir)
+        .select(col("doc_id"), url.as("url"), col("lang"), col("n_chars"))
+      Sampling.domainCap(pages, "url", "doc_id", 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Corpus vocabulary top-k (TextAnalysis.topWords): 100 most frequent
+    // whitespace tokens, ties by word ascending — fully SQL-replicable.
+    "q_top_words" -> ((s, dir) =>
+      TextAnalysis.topWords(documents(s, dir), "text", 100)),
+
+    // Benchmark decontamination (Decontaminate): the "benchmark" is the
+    // doc_id % 11 == 3 slice of the corpus itself, n=5 word grams. Every
+    // benchmark doc is self-contaminated (planted truth) and the corpus's
+    // planted near-dup classes cross-contaminate, so both branches are
+    // non-vacuous. DuckDB recomputes contamination from raw strings
+    // (gram self-join), independent of the engine's xxh64 index.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val bench = d.where(col("doc_id") % 11 === 3)
+      val idx = Decontaminate.benchmarkIndex(bench, "text", 5)
+      Decontaminate.flag(d, "text", idx, 5)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
     })
   )
 
@@ -726,6 +760,34 @@ object SparkEntry {
         |  WHERE doc_id % 97 = 1)
         |SELECT b.doc_id, b.lang, b.n_chars FROM batch b
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM existing e WHERE md5(e.text) = md5(b.text))""".stripMargin
+        |  SELECT 1 FROM existing e WHERE md5(e.text) = md5(b.text))""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY doc_id % 13 ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
+
+    "q_top_words" ->
+      """SELECT word, count(*)::BIGINT AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY n DESC, word ASC
+        |LIMIT 100""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams0 AS (SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS g
+        |  FROM toks WHERE len(w) >= 5),
+        |grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+        |bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 3),
+        |hits AS (SELECT grams.doc_id, count(*) AS n
+        |  FROM grams JOIN bgrams USING (g) GROUP BY grams.doc_id)
+        |SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,
+        |  (h.n IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
   )
 }
