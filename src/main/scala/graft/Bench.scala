@@ -48,6 +48,7 @@ object Bench {
     "q_incremental",
     "q_domain_cap",
     "q_top_words",
+    "q_shards",
     "q_decontaminate")
 
   def main(args: Array[String]): Unit = {

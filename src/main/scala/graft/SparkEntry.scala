@@ -453,6 +453,17 @@ object SparkEntry {
     "q_top_words" -> ((s, dir) =>
       TextAnalysis.topWords(documents(s, dir), "text", 100)),
 
+    // Token-budget shard packing (Shards.assignByBudget): deterministic
+    // exclusive-prefix-sum sharding with NO single-partition window (range
+    // partition + broadcast offsets, the Ids.orderedIds machinery); DuckDB
+    // recomputes the assignment with exactly the global window the engine
+    // refuses to plan, so any offset/boundary bug fails the hash.
+    "q_shards" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), nTokens(col("text")).as("w"))
+      Shards.assignByBudget(d, "doc_id", col("w"), 4096L)
+        .select(col("doc_id"), col("weight").as("n_tokens"), col("shard"))
+    }),
+
     // Benchmark decontamination (Decontaminate): the "benchmark" is the
     // doc_id % 11 == 3 slice of the corpus itself, n=5 word grams. Every
     // benchmark doc is self-contaminated (planted truth) and the corpus's
@@ -776,6 +787,12 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_shards" ->
+      """SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard FROM (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id)::BIGINT AS cum
+        |  FROM documents)""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

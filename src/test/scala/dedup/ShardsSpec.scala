@@ -1,0 +1,99 @@
+package dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ShardsSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def oracle(rows: Seq[(Long, Long)], budget: Long): Map[Long, (Long, Long)] = {
+    var acc = 0L
+    rows.sortBy(_._1).map { case (id, w) =>
+      val shard = acc / budget
+      acc += w
+      id -> (w, shard)
+    }.toMap
+  }
+
+  test("assignByBudget equals the window-function oracle") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 400L).map(i => (i * 7 % 1009, 1L + rnd.nextInt(50).toLong))
+      .distinctBy(_._1)
+    val got = Shards.assignByBudget(rows.toDF("id", "w"), "id", col("w"), 100L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, s) => id -> (w, s) }.toMap
+    assert(got === oracle(rows, 100L))
+  }
+
+  test("matches sum() OVER (ORDER BY id) semantics exactly") {
+    val rows = (1L to 300L).map(i => (i, (i % 13) + 1))
+    val df = rows.toDF("id", "w")
+    val win = df.withColumn(
+      "shard",
+      ((sum(col("w")).over(Window.orderBy(col("id"))) - col("w")) / lit(37L))
+        .cast("long"))
+      .select(col("id"), col("w"), col("shard"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Shards.assignByBudget(df, "id", col("w"), 37L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === win)
+  }
+
+  test("partition-layout and parallelism invariance") {
+    val rows = (1L to 500L).map(i => (i * 3 + 1, (i % 29) + 1))
+    val a = Shards.assignByBudget(rows.toDF("id", "w").repartition(1), "id", col("w"), 64L)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Shards.assignByBudget(rows.toDF("id", "w").repartition(23), "id", col("w"), 64L,
+      partitions = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("shards are contiguous id ranges; docs never split; overshoot ≤ one doc") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 600L).map(i => (i, 1L + rnd.nextInt(40).toLong))
+    val got = Shards.assignByBudget(rows.toDF("id", "w"), "id", col("w"), 120L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // shard ids non-decreasing in id order
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // each shard's weight, minus its last (straddling) doc, is < budget
+    got.groupBy(_._3).foreach { case (s, g) =>
+      val sorted = g.sortBy(_._1)
+      assert(sorted.init.map(_._2).sum < 120L, s"shard $s overfull before its last doc")
+    }
+    // total weight conserved
+    assert(got.map(_._2).sum === rows.map(_._2).sum)
+  }
+
+  test("oversized doc occupies its own start shard and advances several budgets") {
+    val rows = Seq((1L, 10L), (2L, 1000L), (3L, 10L))
+    val got = Shards.assignByBudget(rows.toDF("id", "w"), "id", col("w"), 100L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(got === Seq(0L, 0L, 10L)) // (10+1000)/100 = 10
+  }
+
+  test("null weight counts as zero; row still assigned") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "w")
+    val got = Shards.assignByBudget(df, "id", col("w"), 100L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 5L, 0L), (2L, 0L, 0L), (3L, 7L, 0L)))
+  }
+
+  test("shardStats aggregates per shard") {
+    val rows = (1L to 50L).map(i => (i, 10L))
+    val stats = Shards.shardStats(
+      Shards.assignByBudget(rows.toDF("id", "w"), "id", col("w"), 100L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.toSeq === (0L until 5L).map(s => (s, 10L, 100L)))
+  }
+
+  test("plan has no single-partition global window") {
+    val df = (1L to 100L).map(i => (i, 1L)).toDF("id", "w")
+    val plan = Shards.assignByBudget(df, "id", col("w"), 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+  }
+}
