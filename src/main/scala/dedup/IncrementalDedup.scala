@@ -63,6 +63,77 @@ object IncrementalDedup {
     try BloomFilter.readFrom(in) finally in.close()
   }
 
+  /** Persisted LSH index of an existing corpus: band-bucket keys for
+    * candidate generation plus per-doc shingle sets for exact verification.
+    * Both are plain DataFrames the caller checkpoints once per corpus
+    * (CheckpointStore) and reuses across every incoming batch — the 100-TB
+    * side is scanned at index-build time and never re-shingled again. */
+  case class FuzzyIndex(bands: DataFrame, shingles: DataFrame)
+
+  def buildFuzzyIndex(existing: DataFrame, cfg: DedupConfig): FuzzyIndex = {
+    val sh = Lsh.shingleSets(existing, cfg)
+    FuzzyIndex(Lsh.bandKeys(sh, cfg).toDF(), sh.toDF())
+  }
+
+  /** Batch rows with NO verified near-duplicate (exact Jaccard ≥
+    * cfg.threshold) in `existing` — the fuzzy counterpart of [[newDocs]].
+    * Candidates come from shared LSH band buckets (identical banding config
+    * as the in-corpus FuzzyDedup, so recall matches the flagship's), then
+    * every candidate is exactly verified against the existing doc's shingle
+    * set; one verified hit drops the batch doc. Batch docs below
+    * cfg.minLength tokens have no shingles and are always new — the same
+    * rule the in-corpus fuzzy path applies.
+    *
+    * Scale shape: the existing corpus is never shuffled per batch — its
+    * bands/shingles come from the amortized [[FuzzyIndex]]; the candidate
+    * join is an equi-join on (band, bucket) whose batch side is small, and
+    * AQE's skew-join split handles hot boilerplate buckets on the corpus
+    * side. `bucketCap > 0` additionally bounds the corpus side to the cap's
+    * min-id docs per (band, bucket) (bounded-buffer aggregation, no hot-key
+    * window task — Sampling.capPerKey): a batch doc in a hot bucket is
+    * still verified against cap candidates in EVERY band it shares, so
+    * recall degrades gracefully while candidate volume stays
+    * ≤ cap × bands × |batch|. Default 0 = exact (oracle semantics). */
+  def newDocsFuzzy(
+      existing: DataFrame,
+      batch: DataFrame,
+      cfg: DedupConfig,
+      index: Option[FuzzyIndex] = None,
+      bucketCap: Int = 0): DataFrame = {
+    val idx = index.getOrElse(buildFuzzyIndex(existing, cfg))
+    val bSh = Lsh.shingleSets(batch, cfg)
+    val bBands = Lsh.bandKeys(bSh, cfg).toDF()
+    val exBands =
+      if (bucketCap <= 0) idx.bands
+      else Sampling.capPerKey(idx.bands,
+          struct(col("band"), col("bucket")), col("id"), bucketCap)
+        .select(col("key.band").as("band"), col("key.bucket").as("bucket"), col("id"))
+    val cand = bBands.select(col("band"), col("bucket"), col("id").as("bid"))
+      .join(exBands.select(col("band"), col("bucket"), col("id").as("eid")),
+        Seq("band", "bucket"))
+      .select(col("bid"), col("eid"))
+      .distinct()
+    // exact verify across the two shingle stores (VerifyPairs semantics;
+    // separate stores because a re-crawled url legitimately carries the
+    // same id on both sides — a union would conflate them)
+    val s1 = bSh.toDF().select(col("id").as("bid"), col("shingles").as("sh_b"))
+    val s2 = idx.shingles.select(col("id").as("eid"), col("shingles").as("sh_e"))
+    val num = math.round(cfg.threshold * 1000000L)
+    val iu = udf { (a: Array[Int], b: Array[Int]) =>
+      val (i, u) = VerifyPairs.jaccardCounts(a, b)
+      Array(i, u)
+    }
+    val dupIds = cand.hint("shuffle_hash")
+      .join(s1, "bid")
+      .hint("shuffle_hash") // candidate-sized subtree stays the build side
+      .join(s2, "eid")
+      .withColumn("iu", iu(col("sh_b"), col("sh_e")))
+      .where(col("iu").getItem(0).cast("long") * 1000000L >=
+        lit(num) * col("iu").getItem(1).cast("long"))
+      .select(col("bid")).distinct()
+    batch.join(dupIds, batch(cfg.idCol).cast("long") === dupIds("bid"), "left_anti")
+  }
+
   /** Batch rows whose text does not occur (byte-identical) in `existing`.
     * Exact: Bloom false positives are removed by the confirm join; null
     * texts are always new (md5(null) = null matches nothing — same rule on

@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   *     [--simhash] [--suffix]
   *     [--semantic] [--sem-k 100] [--sem-eps 0.05] [--sem-dim 64]
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
-  *     [--dedup-lines] [--redact-pii] [--existing <pages parquet>]
+  *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
+  *     [--existing <pages parquet>] [--existing-fuzzy]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
   */
@@ -57,7 +58,10 @@ object Pipeline {
       extractHtml: Boolean = false,
       dedupLines: Boolean = false,
       redactPii: Boolean = false,
+      removeRuns: Boolean = false,
+      shardTokens: Long = 0L,
       existing: String = "",
+      existingFuzzy: Boolean = false,
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
@@ -91,7 +95,10 @@ object Pipeline {
         case "--extract-html" => a = a.copy(extractHtml = true); i += 1
         case "--dedup-lines" => a = a.copy(dedupLines = true); i += 1
         case "--redact-pii" => a = a.copy(redactPii = true); i += 1
+        case "--remove-runs" => a = a.copy(removeRuns = true); i += 1
+        case "--shard-tokens" => a = a.copy(shardTokens = argv(i + 1).toLong); i += 2
         case "--existing" => a = a.copy(existing = argv(i + 1)); i += 2
+        case "--existing-fuzzy" => a = a.copy(existingFuzzy = true); i += 1
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -99,6 +106,8 @@ object Pipeline {
     }
     require(a.output.nonEmpty, "--output is required")
     require(a.input.nonEmpty || a.synth > 0, "--input or --synth is required")
+    require(!a.existingFuzzy || a.existing.nonEmpty,
+      "--existing-fuzzy requires --existing <pages parquet>")
     a
   }
 
@@ -172,11 +181,23 @@ object Pipeline {
     // `--existing`: incremental snapshot mode — drop batch pages whose text
     // is byte-identical to a doc in the existing corpus (bloom prefilter +
     // exact confirm; the existing side is scanned, never shuffled).
+    // `--existing-fuzzy` additionally drops NEAR-duplicates of the existing
+    // corpus (shared LSH banding + exact-Jaccard verify) — exact first, so
+    // the fuzzy candidate join only sees the byte-new survivors.
     val pages =
       if (args.existing.isEmpty) pages3
-      else IncrementalDedup.newDocs(
-        spark.read.schema(Page.schema).parquet(args.existing),
-        pages3, "url", "text")
+      else {
+        val existingPages = spark.read.schema(Page.schema).parquet(args.existing)
+        val byteNew = IncrementalDedup.newDocs(existingPages, pages3, "url", "text")
+        if (!args.existingFuzzy) byteNew
+        else {
+          val fCfg = args.cfg.copy(idCol = "__fid")
+          IncrementalDedup.newDocsFuzzy(
+            existingPages.withColumn("__fid", xxhash64(col("url"))),
+            byteNew.withColumn("__fid", xxhash64(col("url"))),
+            fCfg).drop("__fid")
+        }
+      }
     val fp = sourceFingerprint(spark, args)
     if (!args.byLang) runOne(spark, args, pages, fp, args.output)
     else {
@@ -212,7 +233,10 @@ object Pipeline {
       (if (args.extractHtml) "+hx" else "") +
       (if (args.dedupLines) "+ld" else "") +
       (if (args.redactPii) "+pr" else "") +
+      (if (args.removeRuns) "+rr" else "") +
+      (if (args.shardTokens > 0) s"+st${args.shardTokens}" else "") +
       (if (args.existing.nonEmpty) "+in" else "") +
+      (if (args.existingFuzzy) "+inf" else "") +
       (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 
@@ -307,9 +331,13 @@ object Pipeline {
 
     // kept: anti-join removal against the FULL page table — every payload
     // column carries through; reference chunked sink layout (S6).
-    // `--redact-pii` scrubs the kept text INSIDE the stage so the sink
-    // (what ships to training) never holds raw PII; dedup upstream ran on
-    // the unredacted text, so redaction cannot perturb signatures.
+    // `--remove-runs` then cuts duplicated ≥suffixMinRun-char spans AMONG
+    // the kept docs (Lee et al. substring semantics — doc-level dedup drops
+    // whole near-dups, this trims the residual shared boilerplate);
+    // `--shard-tokens B` packs the final texts into ~B-token shards;
+    // `--redact-pii` scrubs LAST so the sink (what ships to training)
+    // never holds raw PII; dedup upstream ran on the unredacted text, so
+    // redaction cannot perturb signatures.
     val kept = store.stage("kept", chunkRows = Some(args.chunkRows)) {
       val removal = assignments.where(col("id") =!= col("component")).select(col("id"))
       val allRemoval = semRemoved match {
@@ -319,8 +347,25 @@ object Pipeline {
       }
       val keptPages = pages.withColumn("id", xxhash64(col("url")))
         .join(allRemoval, Seq("id"), "left_anti")
-      if (args.redactPii) keptPages.withColumn("text", Pii.redact(col("text")))
-      else keptPages
+      val runsCut =
+        if (!args.removeRuns) keptPages
+        else {
+          val cleaned = SuffixDedup.removeRuns(
+              keptPages.select(col("id"), col("text")), cfg.copy(idCol = "id"))
+            .select(col("id"), col("text_clean"))
+          keptPages.drop("text").join(cleaned, Seq("id"))
+            .withColumnRenamed("text_clean", "text")
+        }
+      val sharded =
+        if (args.shardTokens <= 0) runsCut
+        else {
+          val w = (regexp_count(lower(col("text")), lit("(?U)\\W")) + 1).cast("long")
+          val shard = Shards.assignByBudget(runsCut, "id", w, args.shardTokens)
+            .select(col("id"), col("shard"))
+          runsCut.join(shard, Seq("id"))
+        }
+      if (args.redactPii) sharded.withColumn("text", Pii.redact(col("text")))
+      else sharded
     }
 
     (kept, assignments)

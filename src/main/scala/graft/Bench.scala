@@ -22,6 +22,7 @@ object Bench {
     "q_fuzzy_assign", // flagship MinHash-LSH + verify + CC
     "q_simhash_assign",
     "q_suffix_assign",
+    "q_remove_runs",
     "q_exact_kept",
     "q_cc_chain",
     "q_semdedup",
@@ -46,6 +47,7 @@ object Bench {
     "q_line_dedup",
     "q_pii_redact",
     "q_incremental",
+    "q_incremental_fuzzy",
     "q_domain_cap",
     "q_top_words",
     "q_shards",

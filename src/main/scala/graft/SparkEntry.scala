@@ -453,6 +453,39 @@ object SparkEntry {
     "q_top_words" -> ((s, dir) =>
       TextAnalysis.topWords(documents(s, dir), "text", 100)),
 
+    // Duplicated-span removal (SuffixDedup.removeRuns — Lee et al. 2022
+    // substring semantics: cut the shared ≥120-char run from later docs,
+    // keep the earliest occurrence whole). exactCfg topology ⇒ candidate
+    // pairs are complete, so coverage equals the from-first-principles
+    // definition DuckDB recomputes: a char is removed iff it lies inside a
+    // 120-gram that also occurs in a smaller-id doc (coveredIntervals doc
+    // proves gram-coverage ≡ run-coverage). The oracle rebuilds the exact
+    // residual STRING per doc — any off-by-one in interval merging or
+    // string surgery fails the hash.
+    "q_remove_runs" -> ((s, dir) => {
+      SuffixDedup.removeRuns(documents(s, dir), exactCfg.copy(suffixMinRun = 120))
+        .select(col("id").as("doc_id"), col("text_clean"), col("n_removed"))
+    }),
+
+    // Incremental FUZZY snapshot dedup (IncrementalDedup.newDocsFuzzy):
+    // existing = doc_id%3!=0 docs, batch = doc_id%3==0 docs plus planted
+    // byte-identical copies of an existing slice under offset ids
+    // (guaranteed non-vacuous drops, the q_incremental design). A batch doc
+    // is kept iff NO existing doc reaches trigram-jaccard ≥ 0.7 — unlike
+    // q_fuzzy_assign there is no connected-components closure to mask a
+    // missed pair, so this row directly gates cross-corpus banding recall.
+    // DuckDB recomputes the predicate from raw strings (gram join),
+    // independent of MinHash/banding/bloom machinery.
+    "q_incremental_fuzzy" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val existing = d.where(col("doc_id") % 3 =!= 0)
+      val planted = existing.where(col("doc_id") % 89 === 2)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val batch = d.where(col("doc_id") % 3 === 0).unionByName(planted)
+      IncrementalDedup.newDocsFuzzy(existing, batch, docCfg)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // Token-budget shard packing (Shards.assignByBudget): deterministic
     // exclusive-prefix-sum sharding with NO single-partition window (range
     // partition + broadcast offsets, the Ids.orderedIds machinery); DuckDB
@@ -504,6 +537,10 @@ object SparkEntry {
         val edges = SuffixDedup.verifiedEdges(d, docCfg.copy(suffixMinRun = 120))
         ConnectedComponents.assignAll(d.select(col("doc_id").as("id")),
           ConnectedComponents.runAdaptive(edges.select(col("src"), col("dst"))))
+      }),
+      "q_remove_runs" -> ((s, dir) => {
+        SuffixDedup.removeRuns(documents(s, dir), docCfg.copy(suffixMinRun = 120))
+          .select(col("id").as("doc_id"), col("text_clean"), col("n_removed"))
       }))
 
   /** Exact trigram-Jaccard≥0.7 duplicate graph + recursive-CTE connected
@@ -787,6 +824,49 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_remove_runs" ->
+      """WITH g0 AS (SELECT doc_id,
+        |    unnest([{'pos': i, 'g': text[i:i+119]} for i in range(1, length(text) - 118)]) AS u
+        |  FROM documents WHERE length(text) >= 120),
+        |grams AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM g0),
+        |hits AS (SELECT DISTINCT b.doc_id, b.pos FROM grams b
+        |  WHERE EXISTS (SELECT 1 FROM grams a WHERE a.g = b.g AND a.doc_id < b.doc_id)),
+        |cov AS (SELECT DISTINCT doc_id, unnest([pos + x for x in range(0, 120)]) AS p
+        |  FROM hits),
+        |c0 AS (SELECT doc_id,
+        |    unnest([{'i': i, 'c': text[i]} for i in range(1, length(text) + 1)]) AS u
+        |  FROM documents),
+        |chars AS (SELECT doc_id, u.i AS i, u.c AS c FROM c0),
+        |agg AS (SELECT chars.doc_id,
+        |    coalesce(string_agg(CASE WHEN cov.p IS NULL THEN c END, '' ORDER BY i), '') AS text_clean,
+        |    coalesce(sum(CASE WHEN cov.p IS NOT NULL THEN 1 END), 0)::BIGINT AS n_removed
+        |  FROM chars LEFT JOIN cov ON chars.doc_id = cov.doc_id AND chars.i = cov.p
+        |  GROUP BY chars.doc_id)
+        |SELECT d.doc_id, coalesce(a.text_clean, d.text) AS text_clean,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    "q_incremental_fuzzy" ->
+      """WITH existing AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT * FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM existing
+        |  WHERE doc_id % 89 = 2),
+        |bg AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch
+        |        WHERE len(string_split(text, ' ')) >= 5)),
+        |eg AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM existing
+        |        WHERE len(string_split(text, ' ')) >= 5)),
+        |dup AS (SELECT DISTINCT b.doc_id FROM bg b JOIN eg e
+        |  ON len(list_intersect(b.g, e.g)) * 10 >=
+        |     (len(b.g) + len(e.g) - len(list_intersect(b.g, e.g))) * 7)
+        |SELECT b.doc_id, b.lang, b.n_chars FROM batch b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
 
     "q_shards" ->
       """SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard FROM (

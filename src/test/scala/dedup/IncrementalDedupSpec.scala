@@ -55,6 +55,121 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  // ----------------------------------------------------------- fuzzy path
+
+  private val fuzzyCfg = DedupConfig(
+    ngram = 3, minLength = 5, numPerm = 250, threshold = 0.7,
+    seed = 42L, saltBuckets = 4)
+
+  /** Per-class disjoint vocabulary (cross-class trigram jaccard = 0);
+    * `mut >= 0` swaps one token, leaving within-class jaccard ≈ 0.85. */
+  private def fuzzyText(cls: Int, mut: Int): String = {
+    val toks = Array.tabulate(40)(t => s"c${cls}t$t")
+    if (mut >= 0) toks(mut % 40) = s"mut$mut"
+    toks.mkString(" ")
+  }
+
+  /** Brute-force truth: batch ids with some existing doc at exact trigram
+    * jaccard ≥ threshold (both sides ≥ minLength tokens). */
+  private def bruteNew(existing: Seq[(Long, String)], batch: Seq[(Long, String)]): Seq[Long] = {
+    def sh(t: String) = TextNorm.shingleHashes(t, 3, 5)
+    val ex = existing.map { case (_, t) => sh(t) }.filter(_.nonEmpty)
+    batch.collect { case (id, t)
+      if !ex.exists { e =>
+        val s = sh(t)
+        s.nonEmpty && {
+          val (i, u) = VerifyPairs.jaccardCounts(s, e)
+          i.toLong * 10 >= u.toLong * 7
+        }
+      } => id
+    }.sorted
+  }
+
+  test("newDocsFuzzy equals the brute-force all-pairs exact-Jaccard truth") {
+    val existing = (0 until 20).map(c => (c.toLong, fuzzyText(c, -1)))
+    val batch =
+      (0 until 8).map(c => (100L + c, fuzzyText(c, c))) ++ // near-dups of existing
+      Seq((200L, fuzzyText(3, -1))) ++                     // byte-identical copy
+      (30 until 40).map(c => (300L + c, fuzzyText(c, -1))) // genuinely new classes
+    val got = IncrementalDedup.newDocsFuzzy(
+        existing.toDF("id", "text"), batch.toDF("id", "text"), fuzzyCfg)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expect = bruteNew(existing, batch)
+    assert(got === expect)
+    assert(got.length === 10) // the 10 new classes only
+  }
+
+  test("newDocsFuzzy: prebuilt index gives the identical answer") {
+    val existing = (0 until 12).map(c => (c.toLong, fuzzyText(c, -1))).toDF("id", "text")
+    val batch = (0 until 18).map(c => (500L + c, fuzzyText(c, c))).toDF("id", "text")
+    val idx = IncrementalDedup.buildFuzzyIndex(existing, fuzzyCfg)
+    val a = IncrementalDedup.newDocsFuzzy(existing, batch, fuzzyCfg)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = IncrementalDedup.newDocsFuzzy(existing, batch, fuzzyCfg, Some(idx))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.length === 6)
+  }
+
+  test("newDocsFuzzy bucketCap: hot bucket of identical corpus docs still drops the dup") {
+    // 50 byte-identical existing docs share EVERY band bucket (hot key);
+    // cap 2 keeps only the 2 min-id per bucket yet the batch copy is still
+    // verified against those and dropped — graceful recall under the cap
+    val existing = ((0 until 50).map(i => (i.toLong, fuzzyText(1, -1))) ++
+      Seq((60L, fuzzyText(2, -1)))).toDF("id", "text")
+    val batch = Seq((100L, fuzzyText(1, 7)), (101L, fuzzyText(9, -1))).toDF("id", "text")
+    val capped = IncrementalDedup.newDocsFuzzy(existing, batch, fuzzyCfg, bucketCap = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(capped === Seq(101L))
+    val exact = IncrementalDedup.newDocsFuzzy(existing, batch, fuzzyCfg)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(exact === capped)
+  }
+
+  test("newDocsFuzzy: sub-minLength batch docs are always new; re-crawled id does not conflate") {
+    val existing = Seq((5L, fuzzyText(5, -1)), (6L, fuzzyText(6, -1))).toDF("id", "text")
+    val batch = Seq(
+      (5L, fuzzyText(5, 3)),   // same id as existing, near-dup text -> dropped
+      (7L, "too few tokens"),  // below minLength -> no shingles -> kept
+      (8L, fuzzyText(40, -1))) // new class -> kept
+      .toDF("id", "text")
+    val got = IncrementalDedup.newDocsFuzzy(existing, batch, fuzzyCfg)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(7L, 8L))
+  }
+
+  test("pipeline --existing-fuzzy --remove-runs --shard-tokens composition") {
+    import org.apache.spark.sql.functions.xxhash64
+    val dir = java.nio.file.Files.createTempDirectory("pipeflags").toString
+    // existing corpus: 8 classes; batch: near-dups of classes 0-2 (url-distinct,
+    // so exact incremental keeps them; fuzzy must drop them) + new classes
+    val ts = new java.sql.Timestamp(0L)
+    val existing = (0 until 8).map(c =>
+      Page(s"https://e/$c", ts, null, fuzzyText(c, -1), "en")).toDF()
+    existing.write.mode("overwrite").parquet(s"$dir/existing")
+    val batch = ((0 until 3).map(c =>
+        Page(s"https://b/$c", ts, null, fuzzyText(c, c), "en")) ++
+      (20 until 26).map(c =>
+        Page(s"https://b/$c", ts, null, fuzzyText(c, -1), "en"))).toDF()
+    batch.write.mode("overwrite").parquet(s"$dir/batch")
+    val args = Pipeline.parse(Array(
+      "--input", s"$dir/batch", "--output", s"$dir/out",
+      "--existing", s"$dir/existing", "--existing-fuzzy",
+      "--ngram", "3", "--remove-runs", "--shard-tokens", "60"))
+    val (kept, _) = Pipeline.run(spark, args)
+    val rows = kept.select(col("url"), col("shard")).as[(String, Long)]
+      .collect().sortBy(_._1)
+    // the 3 near-dups of existing classes are gone; 6 new classes survive
+    assert(rows.map(_._1).toSeq === (20 until 26).map(c => s"https://b/$c"))
+    // shard packing: 40-token docs at budget 60 → shards advance every ~2 docs
+    val shardsById = kept
+      .select(xxhash64(col("url")).as("id"), col("shard")).as[(Long, Long)]
+      .collect().sortBy(_._1).map(_._2)
+    assert(shardsById.toSeq === shardsById.sorted.toSeq)
+    // 40-token docs, budget 60: prefixes 0,40,..,200 → shards 0,0,1,2,2,3
+    assert(shardsById.toSeq === Seq(0L, 0L, 1L, 2L, 2L, 3L))
+    assert(kept.columns.contains("shard"))
+  }
+
   test("bloom prefilter is load-bearing: rejects most new keys before any join") {
     val existing = corpus(1L to 1000L, i => s"page $i")
     val bloom = IncrementalDedup.buildBloom(existing, "text", fpp = 0.01)

@@ -1,6 +1,113 @@
 package dedup
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+class SuffixRemoveSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = DedupConfig(idCol = "id", textCol = "text",
+    suffixMinRun = 120, saltBuckets = 1, allPairsCap = 1 << 20)
+
+  /** Deterministic pseudo-random letters (no shared substrings by chance). */
+  private def rndText(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+
+  test("coveredIntervals equals the brute-force per-position truth") {
+    val l = 8
+    val block = rndText(1, 30)
+    val a = rndText(2, 50) + block + rndText(3, 40)
+    val b = rndText(4, 20) + block + rndText(5, 15) + block.take(12) + rndText(6, 25)
+    val got = SuffixDedup.coveredIntervals(a, b, l)
+    // brute truth: position p covered iff some l-gram window [q, q+l) with
+    // q <= p < q+l has b.substring(q, q+l) occurring in a
+    val covered = (0 until b.length).filter { p =>
+      (math.max(0, p - l + 1) to math.min(p, b.length - l)).exists { q =>
+        a.contains(b.substring(q, q + l))
+      }
+    }.toSet
+    val gotSet = got.flatMap { case (s, e) => s until e }.toSet
+    assert(gotSet === covered)
+    // disjoint, sorted intervals
+    assert(got.sliding(2).forall(w => w.length < 2 || w(0)._2 < w(1)._1))
+  }
+
+  test("coveredIntervals: no match, short strings, full-cover") {
+    assert(SuffixDedup.coveredIntervals(rndText(7, 100), rndText(8, 100), 10).isEmpty)
+    assert(SuffixDedup.coveredIntervals("abc", "abcdef", 5).isEmpty)
+    assert(SuffixDedup.coveredIntervals(null, "x", 2).isEmpty)
+    val t = rndText(9, 60)
+    assert(SuffixDedup.coveredIntervals(t, t, 10).toSeq === Seq((0, 60)))
+  }
+
+  test("removeRuns cuts the shared block from larger-id docs only") {
+    // digit boundary sentinels make the maximal shared run EXACTLY the
+    // block (letter-only rndText cannot extend a run across a digit pair)
+    val block = rndText(10, 150) // ≥ minRun chars
+    val d0 = rndText(11, 200) + "0" + block + "1" + rndText(12, 100)
+    val d1 = rndText(13, 80) + "2" + block + "3" + rndText(14, 90)
+    val d2 = rndText(15, 300) // untouched
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2)).toDF("id", "text")
+    val got = SuffixDedup.removeRuns(docs, cfg)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((0L, d0, 0L)))               // earliest occurrence kept
+    assert(got(1)._3 === 150L)                      // the block is cut from d1
+    assert(got(1)._2 === rndText(13, 80) + "2" + "3" + rndText(14, 90))
+    assert(got(2) === ((2L, d2, 0L)))
+    // conservation: clean length + removed == original length
+    got.zip(Seq(d0, d1, d2)).foreach { case ((_, clean, rm), orig) =>
+      assert(clean.length + rm === orig.length)
+    }
+  }
+
+  test("removeRuns: three-way share removes from both later docs, against originals") {
+    val block = rndText(20, 130)
+    val d0 = rndText(21, 50) + "0" + block + "1" + rndText(22, 50)
+    val d1 = rndText(23, 60) + "2" + block + "3" + rndText(24, 60)
+    val d2 = rndText(25, 70) + "4" + block + "5" + rndText(26, 70)
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2)).toDF("id", "text")
+    val got = SuffixDedup.removeRuns(docs, cfg)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0)._3 === 0L)
+    assert(got(1)._3 === 130L && got(2)._3 === 130L)
+  }
+
+  test("removeRuns: runs shorter than minRun are not cut; salted config equals exact") {
+    val short = rndText(30, 80) // < 120 chars shared
+    val d0 = rndText(31, 100) + short + rndText(32, 100)
+    val d1 = rndText(33, 100) + short + rndText(34, 100)
+    val docs = Seq((0L, d0), (1L, d1)).toDF("id", "text")
+    val got = SuffixDedup.removeRuns(docs, cfg).as[(Long, String, Long)].collect()
+    assert(got.forall(_._3 === 0L))
+    // salted production topology on a corpus with real cuts
+    val block = rndText(40, 140)
+    val docs2 = (0L to 9L).map(i => (i, rndText(50 + i.toInt, 100) + block))
+      .toDF("id", "text").repartition(7)
+    val exact = SuffixDedup.removeRuns(docs2, cfg)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val salted = SuffixDedup.removeRuns(docs2,
+        cfg.copy(saltBuckets = 4, allPairsCap = 0, chainEdges = true))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(exact.head._3 === 0L && exact.tail.forall(_._3 === 140L))
+    assert(salted === exact)
+  }
+
+  test("removeRuns passes null and sub-anchor-length texts through") {
+    val docs = Seq((0L, null.asInstanceOf[String]), (1L, "tiny"), (2L, rndText(60, 500)))
+      .toDF("id", "text")
+    val got = SuffixDedup.removeRuns(docs, cfg)
+      .select(col("id"), col("text_clean"), col("n_removed"))
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1)
+    assert(got(0) === ((0L, None, 0L)))
+    assert(got(1) === ((1L, Some("tiny"), 0L)))
+    assert(got(2)._3 === 0L)
+  }
+}
+
+
 
 class SuffixDedupSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.spark
