@@ -37,6 +37,7 @@ import org.apache.spark.sql.functions._
   *     [--semantic] [--sem-k 100] [--sem-eps 0.05] [--sem-dim 64]
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
+  *     [--sample-alpha A] [--sample-target F]
   *     [--existing <pages parquet>] [--existing-fuzzy]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
@@ -60,6 +61,8 @@ object Pipeline {
       redactPii: Boolean = false,
       removeRuns: Boolean = false,
       shardTokens: Long = 0L,
+      sampleAlpha: Double = 1.0,
+      sampleTarget: Double = 0.0,
       existing: String = "",
       existingFuzzy: Boolean = false,
       byLang: Boolean = false,
@@ -97,6 +100,8 @@ object Pipeline {
         case "--redact-pii" => a = a.copy(redactPii = true); i += 1
         case "--remove-runs" => a = a.copy(removeRuns = true); i += 1
         case "--shard-tokens" => a = a.copy(shardTokens = argv(i + 1).toLong); i += 2
+        case "--sample-alpha" => a = a.copy(sampleAlpha = argv(i + 1).toDouble); i += 2
+        case "--sample-target" => a = a.copy(sampleTarget = argv(i + 1).toDouble); i += 2
         case "--existing" => a = a.copy(existing = argv(i + 1)); i += 2
         case "--existing-fuzzy" => a = a.copy(existingFuzzy = true); i += 1
         case "--by-lang" => a = a.copy(byLang = true); i += 1
@@ -108,6 +113,7 @@ object Pipeline {
     require(a.input.nonEmpty || a.synth > 0, "--input or --synth is required")
     require(!a.existingFuzzy || a.existing.nonEmpty,
       "--existing-fuzzy requires --existing <pages parquet>")
+    require(a.sampleTarget <= 1.0, "--sample-target must be in (0, 1]")
     a
   }
 
@@ -235,6 +241,7 @@ object Pipeline {
       (if (args.redactPii) "+pr" else "") +
       (if (args.removeRuns) "+rr" else "") +
       (if (args.shardTokens > 0) s"+st${args.shardTokens}" else "") +
+      (if (args.sampleTarget > 0) s"+sa${args.sampleAlpha}t${args.sampleTarget}" else "") +
       (if (args.existing.nonEmpty) "+in" else "") +
       (if (args.existingFuzzy) "+inf" else "") +
       (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
@@ -356,13 +363,27 @@ object Pipeline {
           keptPages.drop("text").join(cleaned, Seq("id"))
             .withColumnRenamed("text_clean", "text")
         }
+      // `--sample-target F` (+ `--sample-alpha A`): deterministic per-lang
+      // temperature resampling of the final corpus (mC4/XLM-R rebalance) —
+      // md5(url)-keyed Bernoulli, so reruns/resumes keep identical rows and
+      // a lower target keeps a SUBSET (monotone). Runs before sharding so
+      // shards pack what actually ships.
+      val sampled =
+        if (args.sampleTarget <= 0) runsCut
+        else {
+          val counts = runsCut.groupBy(col("lang")).count().collect()
+            .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+          val rates = Sampling.temperatureRates(counts, args.sampleAlpha, args.sampleTarget)
+          Sampling.hashSample(runsCut, col("url"),
+            element_at(typedLit(rates), coalesce(col("lang"), lit(""))))
+        }
       val sharded =
-        if (args.shardTokens <= 0) runsCut
+        if (args.shardTokens <= 0) sampled
         else {
           val w = (regexp_count(lower(col("text")), lit("(?U)\\W")) + 1).cast("long")
-          val shard = Shards.assignByBudget(runsCut, "id", w, args.shardTokens)
+          val shard = Shards.assignByBudget(sampled, "id", w, args.shardTokens)
             .select(col("id"), col("shard"))
-          runsCut.join(shard, Seq("id"))
+          sampled.join(shard, Seq("id"))
         }
       if (args.redactPii) sharded.withColumn("text", Pii.redact(col("text")))
       else sharded

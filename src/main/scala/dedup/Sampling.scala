@@ -80,4 +80,54 @@ object Sampling {
       .select(col("id").as(idCol))
     pages.join(keptIds, Seq(idCol), "left_semi")
   }
+
+  // ------------------------------------------- deterministic hash sampling
+  /** Uniform hash of a stable text key onto [0, 2^32): the first 8 hex
+    * chars of md5 — chosen over xxhash64 because every SQL engine can
+    * recompute it (the DuckDB oracle does), so a sampling decision is
+    * auditable outside Spark. Null key → null (dropped by hashSample). */
+  def hashUnit(keyText: Column): Column =
+    conv(substring(md5(keyText), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * hashUnit(keyText) < floor(rate · 2^32). Zero shuffle, zero RNG state —
+    * the decision is a pure projection of the row, so it is reproducible
+    * across reruns, partition layouts and engines, and DOWNSAMPLING IS
+    * MONOTONE: the rows kept at rate r' < r are a subset of those kept at
+    * r (the property ad-hoc `rand()` sampling lacks; reruns of rand()
+    * resample everything). `rate` may be a per-row column (per-language /
+    * per-source rates via element_at on a map literal, or any expression);
+    * rows with null rate or null key are dropped. */
+  def hashSample(df: DataFrame, keyText: Column, rate: Column): DataFrame =
+    df.where(hashUnit(keyText) < (rate * lit(4294967296.0)).cast("long"))
+
+  /** Per-key keep-rates for temperature resampling (the multilingual
+    * rebalance of mC4/XLM-R: sampling probability ∝ (n_k/N)^alpha with
+    * alpha < 1 upweighting rare keys). Rates are water-filled so the
+    * expected kept total is `targetFraction · N` even when some keys
+    * saturate at rate 1: r_k = min(1, c · n_k^(alpha-1)), c found by
+    * bisection on the monotone total. alpha = 1 degenerates to uniform
+    * targetFraction for every key. Driver-side math over O(#keys) counts —
+    * pair with [[hashSample]] via a map-literal rate column. */
+  def temperatureRates(
+      counts: Map[String, Long],
+      alpha: Double,
+      targetFraction: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction in (0,1], got $targetFraction")
+    val n = counts.values.map(_.toDouble).sum
+    if (n == 0) return counts.map { case (k, _) => k -> 0.0 }
+    val target = targetFraction * n
+    def kept(c: Double): Double =
+      counts.values.map(v => math.min(1.0, c * math.pow(v.toDouble, alpha - 1)) * v).sum
+    var lo = 0.0
+    var hi = 1.0
+    while (kept(hi) < target && hi < 1e18) hi *= 2 // all rates saturate → 1.0
+    var i = 0
+    while (i < 200) { val mid = (lo + hi) / 2; if (kept(mid) < target) lo = mid else hi = mid; i += 1 }
+    counts.map { case (k, v) =>
+      k -> math.min(1.0, hi * math.pow(v.toDouble, alpha - 1))
+    }
+  }
 }

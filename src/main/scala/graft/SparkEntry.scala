@@ -448,6 +448,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // Deterministic hash sampling (Sampling.hashSample): per-language
+    // Bernoulli rates (n/8 grid — exact in binary both engines) keyed on
+    // md5(doc_id) so DuckDB recomputes the IDENTICAL keep decision per row
+    // — no RNG, auditable outside Spark. Temperature-rate derivation is
+    // driver-side float math and suite-gated instead (SamplingSpec).
+    "q_lang_sample" -> ((s, dir) => {
+      val rate = ((ascii(substring(col("lang"), 1, 1)) % 7) + 1).cast("double") / lit(8.0)
+      Sampling.hashSample(documents(s, dir), col("doc_id").cast("string"), rate)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Corpus vocabulary top-k (TextAnalysis.topWords): 100 most frequent
     // whitespace tokens, ties by word ascending — fully SQL-replicable.
     "q_top_words" -> ((s, dir) =>
@@ -824,6 +835,11 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_lang_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64 <
+        |  ((((ascii(substr(lang, 1, 1)) % 7) + 1) / 8.0) * 4294967296)::BIGINT""".stripMargin,
 
     "q_remove_runs" ->
       """WITH g0 AS (SELECT doc_id,

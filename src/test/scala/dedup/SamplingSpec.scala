@@ -64,6 +64,85 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("hashUnit matches an independent MD5 computation, in [0, 2^32)") {
+    val keys = Seq("hello", "a", "", "https://x/1")
+    val got = keys.toDF("k").select(Sampling.hashUnit(col("k"))).as[Long].collect()
+    val expect = keys.map { k =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(k.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    assert(got.toSeq === expect)
+    assert(got.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("hashSample: deterministic, monotone-nested, ~rate fraction kept") {
+    val df = (1L to 2000L).map(i => s"key$i").toDF("k")
+    def kept(r: Double) = Sampling.hashSample(df, col("k"), lit(r))
+      .as[String].collect().toSet
+    val k3 = kept(0.3)
+    val k6 = kept(0.6)
+    assert(k3.subsetOf(k6), "downsampling must nest")
+    assert(kept(0.3) === k3, "rerun must keep identical rows")
+    assert(math.abs(k3.size / 2000.0 - 0.3) < 0.04)
+    assert(math.abs(k6.size / 2000.0 - 0.6) < 0.04)
+    assert(kept(1.0).size === 2000 && kept(0.0).isEmpty)
+    // null key or null rate -> dropped
+    val withNull = Seq(("a", java.lang.Double.valueOf(1.0)),
+      (null, java.lang.Double.valueOf(1.0)), ("b", null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "r")
+    assert(Sampling.hashSample(withNull, col("k"), col("r")).count() === 1L)
+  }
+
+  test("temperatureRates: alpha=1 uniform; alpha<1 boosts rare keys; total on target") {
+    val counts = Map("big" -> 100000L, "mid" -> 10000L, "rare" -> 1000L)
+    val uni = Sampling.temperatureRates(counts, 1.0, 0.5)
+    assert(uni.values.forall(r => math.abs(r - 0.5) < 1e-9))
+    val t = Sampling.temperatureRates(counts, 0.3, 0.5)
+    val expectedKept = counts.map { case (k, n) => t(k) * n }.sum
+    assert(math.abs(expectedKept - 0.5 * counts.values.sum) < 1.0)
+    // water-filling can saturate several rare keys at 1.0 — monotone, not strict
+    assert(t("rare") >= t("mid") && t("mid") >= t("big") && t("rare") > t("big"),
+      s"rates not rarity-monotone: $t")
+    assert(t.values.forall(r => r >= 0 && r <= 1))
+    // infeasible-saturation edge: target 1.0 -> every rate 1.0
+    val all = Sampling.temperatureRates(counts, 0.3, 1.0)
+    assert(all.values.forall(r => math.abs(r - 1.0) < 1e-9))
+  }
+
+  test("temperature sampling end-to-end: per-key kept counts track the rates") {
+    val rows = (1L to 6000L).map { i =>
+      val k = if (i <= 4000) "big" else if (i <= 5500) "mid" else "rare"
+      (k, s"url$i")
+    }
+    val df = rows.toDF("lang", "url")
+    val counts = rows.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val rates = Sampling.temperatureRates(counts, 0.5, 0.5)
+    val kept = Sampling.hashSample(df, col("url"),
+        element_at(typedLit(rates), col("lang")))
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    counts.foreach { case (k, n) =>
+      val expect = rates(k) * n
+      assert(math.abs(kept.getOrElse(k, 0L) - expect) < 4 * math.sqrt(expect) + 3,
+        s"$k kept ${kept.get(k)} vs expected $expect (rate ${rates(k)})")
+    }
+  }
+
+  test("pipeline --sample-target: deterministic rebalance of the kept corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("pipesample").toString
+    val base = Pipeline.parse(Array("--synth", "400", "--output", s"$dir/a"))
+    val (kept0, _) = Pipeline.run(spark, base)
+    val n0 = kept0.count()
+    val args = Pipeline.parse(Array("--synth", "400", "--output", s"$dir/b",
+      "--sample-alpha", "0.5", "--sample-target", "0.5"))
+    val (kept1, _) = Pipeline.run(spark, args)
+    val n1 = kept1.count()
+    assert(n1 < n0 && n1 > n0 / 4, s"sampled $n1 of $n0")
+    // deterministic: a rerun (resume) returns the identical row set
+    val (kept2, _) = Pipeline.run(spark, args)
+    assert(kept2.select("url").as[String].collect().sorted.toSeq ===
+      kept1.select("url").as[String].collect().sorted.toSeq)
+  }
+
   test("topWords: global top-k by (count desc, word asc)") {
     val df = Seq(
       "a a a b b c", "b c d", "a  b", "").toDF("text")
