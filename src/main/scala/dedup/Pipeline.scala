@@ -36,6 +36,7 @@ import org.apache.spark.sql.functions._
   *     [--simhash] [--suffix]
   *     [--semantic] [--sem-k 100] [--sem-eps 0.05] [--sem-dim 64]
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
+  *     [--resolve-recrawls] [--blocklist w1,w2 --block-max-permille 0]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
   *     [--existing <pages parquet>] [--existing-fuzzy]
@@ -55,6 +56,9 @@ object Pipeline {
       semEps: Double = 0.05,
       semDim: Int = 64,
       inferLang: Boolean = false,
+      resolveRecrawls: Boolean = false,
+      blocklist: Seq[String] = Nil,
+      blockMaxPerMille: Int = 0,
       quality: Boolean = false,
       extractHtml: Boolean = false,
       dedupLines: Boolean = false,
@@ -94,6 +98,10 @@ object Pipeline {
         case "--sem-eps" => a = a.copy(semEps = argv(i + 1).toDouble); i += 2
         case "--sem-dim" => a = a.copy(semDim = argv(i + 1).toInt); i += 2
         case "--infer-lang" => a = a.copy(inferLang = true); i += 1
+        case "--resolve-recrawls" => a = a.copy(resolveRecrawls = true); i += 1
+        case "--blocklist" =>
+          a = a.copy(blocklist = argv(i + 1).split(",").toSeq.filter(_.nonEmpty)); i += 2
+        case "--block-max-permille" => a = a.copy(blockMaxPerMille = argv(i + 1).toInt); i += 2
         case "--quality" => a = a.copy(quality = true); i += 1
         case "--extract-html" => a = a.copy(extractHtml = true); i += 1
         case "--dedup-lines" => a = a.copy(dedupLines = true); i += 1
@@ -159,15 +167,31 @@ object Pipeline {
             col("__text_in__")).otherwise(col("__text_ex__")))
           .drop("__text_in__", "__text_ex__")
       }
-    val pages1 = if (args.inferLang) withInferredLang(pages0) else pages0
+    // `--resolve-recrawls`: a raw crawl carries the same url many times —
+    // keep the newest snapshot per url (ties broken by content hash so the
+    // survivor is deterministic) BEFORE ids are assigned; otherwise
+    // xxhash64(url) dedup ids collide across crawls of one url (the
+    // collision audit would fail fast on exactly this).
+    val pages0r =
+      if (!args.resolveRecrawls) pages0
+      else Sampling.latestPerKey(pages0, col("url"),
+        struct(col("warc_ts"), md5(col("text"))))
+    val pages1 = if (args.inferLang) withInferredLang(pages0r) else pages0r
     // `--quality`: Gopher-style gate BEFORE dedup (the standard webtext
     // order — filtering first shrinks every downstream shuffle). Pure
     // Catalyst projection + filter; payload schema passes through intact.
-    val pages2 =
+    val pages1b =
       if (!args.quality) pages1
       else TextAnalysis.qualityFilter(pages1, "text").where(col("keep"))
         .drop("n_tokens", "ok_len", "ok_word_len", "ok_alpha",
           "ok_digits", "ok_repetition", "keep")
+    // `--blocklist w1,w2 --block-max-permille N`: C4-style wordlist gate
+    // (zero-shuffle projection) alongside the quality gate, pre-dedup.
+    val pages2 =
+      if (args.blocklist.isEmpty) pages1b
+      else TextAnalysis.blocklistFilter(pages1b, "text",
+          args.blocklist, args.blockMaxPerMille)
+        .where(col("keep")).drop("n_tokens", "n_blocked", "keep")
     // `--dedup-lines`: CCNet-style boilerplate-line removal BEFORE doc-level
     // dedup (an explicit corpus transform — it rewrites `text`, so the
     // verbatim-text invariant holds from here DOWNSTREAM; opting in means
@@ -235,6 +259,10 @@ object Pipeline {
     val store = new CheckpointStore(spark, outRoot, cfg.configHash +
       (if (args.simhash) "+sh" else "") + (if (args.suffix) "+sa" else "") +
       (if (args.inferLang) "+il" else "") +
+      (if (args.resolveRecrawls) "+rc" else "") +
+      (if (args.blocklist.nonEmpty)
+        s"+bl${Hashes.xxh64Str(args.blocklist.mkString(","))}p${args.blockMaxPerMille}"
+      else "") +
       (if (args.quality) "+qf" else "") +
       (if (args.extractHtml) "+hx" else "") +
       (if (args.dedupLines) "+ld" else "") +

@@ -81,6 +81,20 @@ object Sampling {
     pages.join(keptIds, Seq(idCol), "left_semi")
   }
 
+  /** Re-crawl resolution: one row per key — the row with the maximum
+    * `order` value (e.g. keep the NEWEST crawl of each url: key = url,
+    * order = struct(warc_ts, md5(text)) — callers must make `order` total
+    * per key or ties pick an arbitrary survivor). One narrow shuffle with
+    * map-side partial `max_by`: a url crawled 10⁶ times reaches its
+    * reducer as one pre-combined row per map task — never a hot-key window
+    * partition (the same defense as capPerKey). */
+  def latestPerKey(df: DataFrame, key: Column, order: Column): DataFrame = {
+    val cols = df.columns
+    df.groupBy(key.as("__k"))
+      .agg(max_by(struct(cols.map(col): _*), order).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+  }
+
   // ------------------------------------------- deterministic hash sampling
   /** Uniform hash of a stable text key onto [0, 2^32): the first 8 hex
     * chars of md5 — chosen over xxhash64 because every SQL engine can

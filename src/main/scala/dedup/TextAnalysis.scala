@@ -129,6 +129,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  // ----------------------------------------------------------- blocklist
+  /** Occurrences (not distinct) of blocklisted tokens among the
+    * whitespace tokens of `text` — a pure-Catalyst higher-order-function
+    * projection (codegen'd, zero shuffle; the word list is a literal array
+    * in the plan, fine up to ~10⁴ words — broadcast a Set inside a typed
+    * map beyond that). */
+  def blockedTokenCount(text: Column, words: Seq[String]): Column =
+    size(filter(split(text, "\\s+"),
+      t => array_contains(lit(words.toArray), t))).cast("long")
+
+  /** C4-style wordlist gate, fraction-thresholded: keep a doc iff
+    * blocklisted tokens make up at most `maxPerMille`/1000 of its tokens
+    * (integer-exact predicate — no float boundary; C4 itself drops on ANY
+    * hit, which is maxPerMille = 0). Returns every doc with
+    * (n_tokens, n_blocked, keep) so callers can audit the gate. */
+  def blocklistFilter(
+      docs: DataFrame,
+      textCol: String,
+      words: Seq[String],
+      maxPerMille: Int): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("n_blocked", blockedTokenCount(col(textCol), words))
+      .withColumn("keep",
+        col("n_blocked") * 1000L <= col("n_tokens") * maxPerMille.toLong)
+
   // -------------------------------------------------------------- langid
   /** Tiny per-language stopword lists (public common words). A real
     * pipeline plugs a fastText-style model here; the Spark plumbing —

@@ -50,6 +50,8 @@ object Bench {
     "q_incremental_fuzzy",
     "q_domain_cap",
     "q_top_words",
+    "q_blocklist",
+    "q_recrawl",
     "q_lang_sample",
     "q_shards",
     "q_decontaminate")

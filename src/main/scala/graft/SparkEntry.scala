@@ -448,6 +448,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // C4-style blocklist gate (TextAnalysis.blocklistFilter): keep iff
+    // blocklisted-token occurrences ≤ 2% of tokens — integer-exact
+    // predicate, zero-shuffle higher-order-function projection. The two
+    // words are real corpus vocabulary (~0.9% each per doc), so the 2%
+    // threshold splits the corpus non-vacuously both ways.
+    "q_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(documents(s, dir), "text",
+          Seq("customer", "vector"), 20)
+        .select(col("doc_id"), col("n_tokens"), col("n_blocked"), col("keep"))),
+
+    // Re-crawl resolution (Sampling.latestPerKey): synthesize 40 urls each
+    // crawled ~12 times (url = doc_id % 40), keep the max-doc_id "newest"
+    // row per url via map-side partial max_by — no hot-key window task.
+    // DuckDB recomputes the survivor with exactly that window.
+    "q_recrawl" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val pages = d.select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 40).cast("string"),
+          lit("/p")).as("url"),
+        col("lang"))
+      Sampling.latestPerKey(pages, col("url"), col("doc_id"))
+        .select(col("doc_id"), col("url"), col("lang"))
+    }),
+
     // Deterministic hash sampling (Sampling.hashSample): per-language
     // Bernoulli rates (n/8 grid — exact in binary both engines) keyed on
     // md5(doc_id) so DuckDB recomputes the IDENTICAL keep decision per row
@@ -835,6 +859,22 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_blocklist" ->
+      """SELECT doc_id, n_tokens, n_blocked,
+        |  (n_blocked * 1000 <= n_tokens * 20) AS keep
+        |FROM (SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('customer', 'vector')))::BIGINT AS n_blocked
+        |FROM documents)""".stripMargin,
+
+    "q_recrawl" ->
+      """SELECT doc_id, url, lang FROM (
+        |  SELECT doc_id,
+        |    'https://site' || (doc_id % 40) || '/p' AS url, lang,
+        |    row_number() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id DESC) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
 
     "q_lang_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -64,6 +64,24 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("latestPerKey: window-oracle equality, payload intact, partial agg") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 400L).map(i => (s"u${rnd.nextInt(30)}", i, s"pay$i"))
+    val df = rows.toDF("url", "ts", "payload").repartition(13)
+    val got = Sampling.latestPerKey(df, col("url"), col("ts"))
+    assert(got.columns.toSeq === Seq("url", "ts", "payload"))
+    val gotSet = got.as[(String, Long, String)].collect().toSet
+    val expect = rows.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    assert(gotSet === expect)
+    // hot key: map-side partial aggregation, no window in the plan
+    val hot = (1L to 5000L).map(i => ("hot", i, "p")).toDF("url", "ts", "payload")
+      .repartition(16)
+    val plan = Sampling.latestPerKey(hot, col("url"), col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial") && !plan.contains("Window"),
+      s"latestPerKey must partial-aggregate, not window:\n$plan")
+  }
+
   test("hashUnit matches an independent MD5 computation, in [0, 2^32)") {
     val keys = Seq("hello", "a", "", "https://x/1")
     val got = keys.toDF("k").select(Sampling.hashUnit(col("k"))).as[Long].collect()

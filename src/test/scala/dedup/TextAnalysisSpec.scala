@@ -69,4 +69,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!urls.contains("http://junk/1") && !urls.contains("http://junk/2"))
     assert(urls.size >= 190, s"gate too aggressive: kept ${urls.size} of 200 synth pages")
   }
+
+  test("blocklistFilter: occurrence counts (not distinct), exact threshold, zero shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "bad bad bad ok ok ok ok ok ok ok"),   // 3/10 = 300‰
+      (2L, "bad ok ok ok ok ok ok ok ok ok"),     // 1/10 = 100‰ (boundary)
+      (3L, "ok ok ok ok ok"),                     // 0
+      (4L, "worse bad ok ok ok ok ok ok ok ok")   // 2/10 = 200‰
+    ).toDF("id", "text")
+    val got = TextAnalysis.blocklistFilter(docs, "text", Seq("bad", "worse"), 100)
+      .select(col("id"), col("n_tokens"), col("n_blocked"), col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 10L, 3L, false),
+      (2L, 10L, 1L, true),  // exactly at the 100-permille boundary keeps
+      (3L, 5L, 0L, true),
+      (4L, 10L, 2L, false)))
+    val plan = TextAnalysis.blocklistFilter(docs, "text", Seq("bad"), 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist gate must not shuffle:\n$plan")
+  }
+
+  test("pipeline --blocklist and --resolve-recrawls compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pipeblock").toString
+    // two crawls of the same url: the newer one must survive resolution
+    val pages = Seq(
+      Page("https://a/1", new java.sql.Timestamp(1000L), null, "alpha beta gamma delta epsilon zeta", "en"),
+      Page("https://a/1", new java.sql.Timestamp(2000L), null, "alpha beta gamma delta epsilon NEWER", "en"),
+      Page("https://a/2", new java.sql.Timestamp(1000L), null, "spam spam spam spam spam words here", "en"),
+      Page("https://a/3", new java.sql.Timestamp(1000L), null, "clean text with several regular tokens", "en")
+    ).toDF()
+    pages.write.mode("overwrite").parquet(s"$dir/in")
+    val args = Pipeline.parse(Array(
+      "--input", s"$dir/in", "--output", s"$dir/out",
+      "--resolve-recrawls", "--blocklist", "spam,junk", "--block-max-permille", "100"))
+    val (kept, _) = Pipeline.run(spark, args)
+    val rows = kept.select(col("url"), col("text")).as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("https://a/1", "https://a/3"))
+    assert(rows(0)._2.endsWith("NEWER"), "recrawl resolution must keep the newest snapshot")
+  }
 }
