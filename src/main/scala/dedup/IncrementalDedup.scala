@@ -75,6 +75,23 @@ object IncrementalDedup {
     FuzzyIndex(Lsh.bandKeys(sh, cfg).toDF(), sh.toDF())
   }
 
+  /** Persist the index: the expensive side of incremental fuzzy dedup is
+    * shingling + 250-lane MinHash over the 100-TB corpus — saved once here,
+    * never recomputed per batch. Bands are written repartitioned on
+    * (band, bucket) so bucket-range scans cluster; config identity is the
+    * caller's contract (store under a cfg.configHash-derived path — batch
+    * queries MUST band with the same config or buckets never collide). */
+  def saveFuzzyIndex(index: FuzzyIndex, path: String): Unit = {
+    index.bands.repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  def loadFuzzyIndex(spark: SparkSession, path: String): FuzzyIndex =
+    FuzzyIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"))
+
   /** Batch rows with NO verified near-duplicate (exact Jaccard ≥
     * cfg.threshold) in `existing` — the fuzzy counterpart of [[newDocs]].
     * Candidates come from shared LSH band buckets (identical banding config

@@ -110,6 +110,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(a === b && a.length === 6)
   }
 
+  test("newDocsFuzzy: saved+loaded index gives the identical answer") {
+    val existing = (0 until 10).map(c => (c.toLong, fuzzyText(c, -1))).toDF("id", "text")
+    val batch = (0 until 15).map(c => (700L + c, fuzzyText(c, c + 1))).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fidx").toString
+    IncrementalDedup.saveFuzzyIndex(
+      IncrementalDedup.buildFuzzyIndex(existing, fuzzyCfg), s"$dir/idx")
+    val loaded = IncrementalDedup.loadFuzzyIndex(spark, s"$dir/idx")
+    val a = IncrementalDedup.newDocsFuzzy(existing, batch, fuzzyCfg)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = IncrementalDedup.newDocsFuzzy(existing, batch, fuzzyCfg, Some(loaded))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b && a.length === 5)
+  }
+
   test("newDocsFuzzy bucketCap: hot bucket of identical corpus docs still drops the dup") {
     // 50 byte-identical existing docs share EVERY band bucket (hot key);
     // cap 2 keeps only the 2 min-id per bucket yet the batch copy is still
