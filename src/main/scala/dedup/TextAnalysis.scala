@@ -155,6 +155,65 @@ object TextAnalysis {
       .withColumn("keep",
         col("n_blocked") * 1000L <= col("n_tokens") * maxPerMille.toLong)
 
+  // ------------------------------------------------------- rare tokens
+  /** Corpus-relative out-of-vocabulary statistics — the integer-exact core
+    * of a CCNet-style LM-quality signal (a high rare-token rate flags
+    * gibberish, boilerplate mangling, OCR noise; the float-perplexity
+    * variant needs an external LM and has no cross-engine-exact oracle).
+    *
+    * Vocabulary = the at-most-`vocabK` most frequent tokens with corpus
+    * count ≥ `minCount` (ties broken count desc, token asc — the topWords
+    * rule); a token occurrence is RARE iff its token is not in the
+    * vocabulary. Two passes:
+    *   1. token counts (one narrow partial-agg shuffle) → vocabulary to
+    *      the driver — bounded by vocabK BY CONSTRUCTION (at 10¹⁴ tokens
+    *      an uncapped count≥k vocabulary would not be broadcastable);
+    *   2. zero-shuffle scan probing a broadcast sorted xxh64 array per
+    *      token (the Decontaminate pattern — no grams×corpus join).
+    * Returns (idCol, n_tokens, n_rare) for every doc; n_tokens counts
+    * nonempty whitespace tokens. */
+  def rareTokenStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      vocabK: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(split(col(textCol), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy(col("n").desc, col("t").asc)
+      .limit(vocabK)
+      .select(col("t")).as[String].collect()
+      .map(Hashes.xxh64Str(_)).sorted
+    val bc = spark.sparkContext.broadcast(vocab)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val arr = bc.value
+        it.map { case (id, text) =>
+          var nTok = 0L
+          var nRare = 0L
+          if (text != null) {
+            val ts = text.split("\\s+")
+            var i = 0
+            while (i < ts.length) {
+              if (ts(i).nonEmpty) {
+                nTok += 1
+                if (java.util.Arrays.binarySearch(arr, Hashes.xxh64Str(ts(i))) < 0)
+                  nRare += 1
+              }
+              i += 1
+            }
+          }
+          (id, nTok, nRare)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_rare")
+  }
+
   // -------------------------------------------------------------- langid
   /** Tiny per-language stopword lists (public common words). A real
     * pipeline plugs a fastText-style model here; the Spark plumbing —

@@ -50,6 +50,7 @@ object Bench {
     "q_incremental_fuzzy",
     "q_domain_cap",
     "q_top_words",
+    "q_rare_tokens",
     "q_blocklist",
     "q_recrawl",
     "q_lang_sample",

@@ -448,6 +448,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // Corpus-relative rare-token stats (TextAnalysis.rareTokenStats): the
+    // base corpus has ZERO rare tokens (31-word vocabulary, all ≥5
+    // occurrences), so every 7th doc gets a planted once-only token —
+    // those docs must read n_rare = 1, the rest 0, and a vocabulary or
+    // probe bug flips rows both ways. DuckDB recomputes from raw strings
+    // (count + left join), independent of the engine's xxh64 probe array.
+    "q_rare_tokens" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" uniq"), col("doc_id").cast("string"))).otherwise(lit("")))
+      val d = documents(s, dir).select(col("doc_id"), planted.as("text2"))
+      TextAnalysis.rareTokenStats(d, "doc_id", "text2", 5L)
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"))
+    }),
+
     // C4-style blocklist gate (TextAnalysis.blocklistFilter): keep iff
     // blocklisted-token occurrences ≤ 2% of tokens — integer-exact
     // predicate, zero-shuffle higher-order-function projection. The two
@@ -859,6 +874,22 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_rare_tokens" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' uniq' || doc_id ELSE '' END AS t2
+        |  FROM documents),
+        |toks AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(t2, ' ')) AS t FROM d)
+        |  WHERE t <> ''),
+        |cnt AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+        |vocab AS (SELECT t FROM cnt WHERE n >= 5 ORDER BY n DESC, t ASC LIMIT 1048576),
+        |agg AS (SELECT toks.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_rare
+        |  FROM toks LEFT JOIN vocab v USING (t) GROUP BY toks.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(a.n_rare, 0)::BIGINT AS n_rare
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_blocklist" ->
       """SELECT doc_id, n_tokens, n_blocked,

@@ -92,6 +92,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blocklist gate must not shuffle:\n$plan")
   }
 
+  test("rareTokenStats: vocabulary threshold, vocabK cap, empty/null text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "common" x6, "mid" x3, "one" x1 -> with minCount 3: vocab {common, mid}
+    val docs = Seq(
+      (1L, "common common mid one"),
+      (2L, "common common mid"),
+      (3L, "common common mid"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysis.rareTokenStats(docs, "id", "text", 3L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 4L, 1L), (2L, 3L, 0L), (3L, 3L, 0L),
+      (4L, 0L, 0L), (5L, 0L, 0L)))
+    // vocabK = 1 keeps only the most frequent token; "mid" becomes rare
+    val capped = TextAnalysis.rareTokenStats(docs, "id", "text", 3L, vocabK = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(capped.toSeq === Seq((1L, 4L, 2L), (2L, 3L, 1L), (3L, 3L, 1L),
+      (4L, 0L, 0L), (5L, 0L, 0L)))
+  }
+
   test("pipeline --blocklist and --resolve-recrawls compose") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
