@@ -117,6 +117,24 @@ object IncrementalDedup {
       cfg: DedupConfig,
       index: Option[FuzzyIndex] = None,
       bucketCap: Int = 0): DataFrame = {
+    val dupIds = crossPairs(existing, batch, cfg, index, bucketCap)
+      .select(col("bid")).distinct()
+    batch.join(dupIds, batch(cfg.idCol).cast("long") === dupIds("bid"), "left_anti")
+  }
+
+  /** Verified near-duplicate PAIRS across two corpora — the analysis form
+    * of [[newDocsFuzzy]] (which keeps only "does the batch doc have ≥1
+    * match"): every (batch doc, existing doc) pair with exact Jaccard ≥
+    * cfg.threshold, as (bid, eid, inter, uni). Used for dedup audits
+    * ("what did each dropped doc match?") and corpus-overlap studies.
+    * Same plan: batch-side banding, (band, bucket) equi-join against the
+    * amortized index, exact verify — never an all-pairs join. */
+  def crossPairs(
+      existing: DataFrame,
+      batch: DataFrame,
+      cfg: DedupConfig,
+      index: Option[FuzzyIndex] = None,
+      bucketCap: Int = 0): DataFrame = {
     val idx = index.getOrElse(buildFuzzyIndex(existing, cfg))
     val bSh = Lsh.shingleSets(batch, cfg)
     val bBands = Lsh.bandKeys(bSh, cfg).toDF()
@@ -140,15 +158,16 @@ object IncrementalDedup {
       val (i, u) = VerifyPairs.jaccardCounts(a, b)
       Array(i, u)
     }
-    val dupIds = cand.hint("shuffle_hash")
+    cand.hint("shuffle_hash")
       .join(s1, "bid")
       .hint("shuffle_hash") // candidate-sized subtree stays the build side
       .join(s2, "eid")
       .withColumn("iu", iu(col("sh_b"), col("sh_e")))
       .where(col("iu").getItem(0).cast("long") * 1000000L >=
         lit(num) * col("iu").getItem(1).cast("long"))
-      .select(col("bid")).distinct()
-    batch.join(dupIds, batch(cfg.idCol).cast("long") === dupIds("bid"), "left_anti")
+      .select(col("bid"), col("eid"),
+        col("iu").getItem(0).cast("long").as("inter"),
+        col("iu").getItem(1).cast("long").as("uni"))
   }
 
   /** Batch rows whose text does not occur (byte-identical) in `existing`.

@@ -48,6 +48,7 @@ object Bench {
     "q_pii_redact",
     "q_incremental",
     "q_incremental_fuzzy",
+    "q_cross_pairs",
     "q_domain_cap",
     "q_top_words",
     "q_rare_tokens",

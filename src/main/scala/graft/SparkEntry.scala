@@ -536,6 +536,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // Cross-corpus verified pairs (IncrementalDedup.crossPairs): the
+    // analysis form of incremental fuzzy dedup — every (batch, existing)
+    // pair at trigram-jaccard ≥ 0.7 with its exact (inter, uni). Same
+    // split + planting as q_incremental_fuzzy, so the planted copies
+    // guarantee pairs exist; DuckDB recomputes pairs AND counts from raw
+    // strings.
+    "q_cross_pairs" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val existing = d.where(col("doc_id") % 3 =!= 0)
+      val planted = existing.where(col("doc_id") % 89 === 2)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val batch = d.where(col("doc_id") % 3 === 0).unionByName(planted)
+      IncrementalDedup.crossPairs(existing, batch, docCfg)
+        .select(col("bid"), col("eid"), col("inter"), col("uni"))
+    }),
+
     // Token-budget shard packing (Shards.assignByBudget): deterministic
     // exclusive-prefix-sum sharding with NO single-partition window (range
     // partition + broadcast offsets, the Ids.orderedIds machinery); DuckDB
@@ -954,6 +970,28 @@ object SparkEntry {
         |     (len(b.g) + len(e.g) - len(list_intersect(b.g, e.g))) * 7)
         |SELECT b.doc_id, b.lang, b.n_chars FROM batch b
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+
+    "q_cross_pairs" ->
+      """WITH existing AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT * FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM existing
+        |  WHERE doc_id % 89 = 2),
+        |bg AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch
+        |        WHERE len(string_split(text, ' ')) >= 5)),
+        |eg AS (SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM existing
+        |        WHERE len(string_split(text, ' ')) >= 5))
+        |SELECT b.doc_id AS bid, e.doc_id AS eid,
+        |  len(list_intersect(b.g, e.g))::BIGINT AS inter,
+        |  (len(b.g) + len(e.g) - len(list_intersect(b.g, e.g)))::BIGINT AS uni
+        |FROM bg b JOIN eg e
+        |  ON len(list_intersect(b.g, e.g)) * 10 >=
+        |     (len(b.g) + len(e.g) - len(list_intersect(b.g, e.g))) * 7""".stripMargin,
 
     "q_shards" ->
       """SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard FROM (

@@ -110,6 +110,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(a === b && a.length === 6)
   }
 
+  test("crossPairs equals brute-force pairs with exact (inter, uni)") {
+    val existing = (0 until 12).map(c => (c.toLong, fuzzyText(c, -1)))
+    val batch = (0 until 6).map(c => (100L + c, fuzzyText(c, c))) ++
+      Seq((200L, fuzzyText(3, -1))) ++
+      (30 until 34).map(c => (300L + c, fuzzyText(c, -1)))
+    val got = IncrementalDedup.crossPairs(
+        existing.toDF("id", "text"), batch.toDF("id", "text"), fuzzyCfg)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def sh(t: String) = TextNorm.shingleHashes(t, 3, 5)
+    val expect = (for {
+      (bid, bt) <- batch
+      (eid, et) <- existing
+      (i, u) = VerifyPairs.jaccardCounts(sh(bt), sh(et))
+      if i.toLong * 10 >= u.toLong * 7
+    } yield (bid, eid, i.toLong, u.toLong)).toSet
+    assert(got === expect)
+    assert(got.size === 7) // 6 near-dups + 1 identical copy
+  }
+
+  test("pipeline kitchen-sink: every stage flag composes and resumes") {
+    val dir = java.nio.file.Files.createTempDirectory("pipesink").toString
+    val args = Pipeline.parse(Array(
+      "--synth", "800", "--output", s"$dir/out",
+      "--simhash", "--suffix", "--semantic", "--sem-k", "10",
+      "--infer-lang", "--quality", "--dedup-lines", "--redact-pii",
+      "--remove-runs", "--shard-tokens", "5000",
+      "--sample-alpha", "0.7", "--sample-target", "0.8",
+      "--blocklist", "zzzz", "--block-max-permille", "0",
+      "--resolve-recrawls"))
+    val (kept1, a1) = Pipeline.run(spark, args)
+    val n1 = kept1.count()
+    assert(n1 > 0 && n1 < a1.count())
+    assert(kept1.columns.contains("shard"))
+    val (kept2, _) = Pipeline.run(spark, args) // resume: identical output
+    assert(kept2.select("url").as[String].collect().sorted.toSeq ===
+      kept1.select("url").as[String].collect().sorted.toSeq)
+  }
+
   test("newDocsFuzzy: saved+loaded index gives the identical answer") {
     val existing = (0 until 10).map(c => (c.toLong, fuzzyText(c, -1))).toDF("id", "text")
     val batch = (0 until 15).map(c => (700L + c, fuzzyText(c, c + 1))).toDF("id", "text")
