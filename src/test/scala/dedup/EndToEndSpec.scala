@@ -71,6 +71,38 @@ class EndToEndSpec extends AnyFunSuite {
     assert(recall >= 0.99, s"recall $recall below gate")
   }
 
+  test("incremental fuzzy recall >= 0.99 on the synth corpus split in two") {
+    // split the corpus into "existing" (even ids) and "batch" (odd ids):
+    // the planted dup classes cross the split, so the truth is the
+    // cross-split slice of the brute-force pair set; newDocsFuzzy must
+    // drop >=0.99 of the batch docs that have an existing near-dup, and
+    // crossPairs must be exactly the verified subset of that truth.
+    val existing = corpus.where(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(2L)) === 0L)
+    val batch = corpus.where(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(2L)) === 1L)
+    val crossTruth = truthPairs.filter { case (a, b) =>
+      (Math.floorMod(a, 2L) == 0L) != (Math.floorMod(b, 2L) == 0L)
+    }
+    assert(crossTruth.nonEmpty, "split must cut through planted dup classes")
+    val dupBatchTruth = crossTruth.map { case (a, b) =>
+      if (Math.floorMod(a, 2L) == 1L) a else b
+    }
+    val keptIds = IncrementalDedup.newDocsFuzzy(existing, batch, cfg)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val dropped = dupBatchTruth.count(!keptIds.contains(_))
+    val recall = dropped.toDouble / dupBatchTruth.size
+    info(s"cross-split dup batch docs: ${dupBatchTruth.size}, dropped: $dropped, recall: $recall")
+    assert(recall >= 0.99, s"incremental fuzzy recall $recall below gate")
+    // precision: every crossPairs row is a true >= threshold pair
+    val pairs = IncrementalDedup.crossPairs(existing, batch, cfg)
+      .select("bid", "eid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bad = pairs.filterNot { case (b, e) =>
+      crossTruth.contains((math.max(b, e), math.min(b, e)))
+    }
+    assert(bad.isEmpty, s"${bad.size} false-positive cross pairs: ${bad.take(3)}")
+  }
+
   test("verified pairs are all true positives (precision of the verify gate)") {
     import spark.implicits._
     val verified = result.edges.select("src", "dst").as[(Long, Long)].collect()
