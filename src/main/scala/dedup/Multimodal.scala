@@ -29,6 +29,9 @@ object Multimodal {
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
     else if (bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F') "pdf"
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
+    else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C') "flac"
+    else if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') "mp3" // ID3v2-tagged
+    else if (bytes(0) == 0xFF.toByte && (bytes(1) & 0xE0) == 0xE0 && bytes(1) != 0xFF.toByte) "mp3" // frame sync (FF FF would be a lost-sync fill byte)
     else if (bytes(0) == 'B' && bytes(1) == 'M' && bytes.length >= 26) "bmp"
     else {
       val head = new String(bytes, 0, math.min(bytes.length, 64),
@@ -133,6 +136,100 @@ object Multimodal {
     else Some((rate, ch, bits, if (byteRate > 0) dataLen * 1000L / byteRate else 0L))
   }
 
+  /** REAL FLAC audio metadata — STREAMINFO block parse, no codec:
+    * (sampleRate, channels, bitsPerSample, durationMs). Layout per the
+    * FLAC format spec (RFC 9639 §8.2): after the "fLaC" marker and the
+    * 4-byte metadata-block header, STREAMINFO packs at byte offsets
+    * 18..25 (relative to file start): sample rate (20 bits), channels−1
+    * (3 bits), bits-per-sample−1 (5 bits), total samples (36 bits).
+    * Returns None for truncated bytes, a non-STREAMINFO first block, or
+    * rate 0 — never throws. */
+  def flacMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 42 || sniffMagic(bytes) != "flac") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    if ((u8(4) & 0x7F) != 0) return None // first block must be STREAMINFO (type 0)
+    val blockLen = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+    if (blockLen < 34) return None
+    // bytes 18..20: rrrrrrrr rrrrrrrr rrrrcccb  (r=rate, c=channels-1, b=bps-1 hi)
+    val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >>> 4)
+    val channels = ((u8(20) >>> 1) & 0x7) + 1
+    val bps = (((u8(20) & 0x1) << 4) | (u8(21) >>> 4)) + 1
+    val totalSamples = ((u8(21) & 0xF).toLong << 32) | (u8(22).toLong << 24) |
+      (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
+    if (rate <= 0) None
+    else Some((rate, channels, bps, totalSamples * 1000L / rate))
+  }
+
+  /** Minimal FLAC header ("fLaC" + last-block STREAMINFO) for the given
+    * audio parameters — the fixture dual of [[flacMeta]]; the suite pins
+    * both sides against independent byte-offset goldens. */
+  def flacHeader(rate: Int, channels: Int, bps: Int, totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](42)
+    out(0) = 'f'.toByte; out(1) = 'L'.toByte; out(2) = 'a'.toByte; out(3) = 'C'.toByte
+    out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    out(7) = 34          // block length (bytes 5..7 big-endian)
+    out(18) = (rate >>> 12).toByte
+    out(19) = (rate >>> 4).toByte
+    out(20) = (((rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) | (((bps - 1) >>> 4) & 0x1)).toByte
+    out(21) = ((((bps - 1) & 0xF) << 4) | ((totalSamples >>> 32) & 0xF).toInt).toByte
+    out(22) = (totalSamples >>> 24).toByte
+    out(23) = (totalSamples >>> 16).toByte
+    out(24) = (totalSamples >>> 8).toByte
+    out(25) = totalSamples.toByte
+    out
+  }
+
+  private val Mp3BitrateV1L3 = // kbps, index 1..14 (0=free, 15=bad), MPEG1 Layer III
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitrateV2L3 = // MPEG2 / MPEG2.5 Layer III
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
+
+  /** REAL MP3 metadata — first-frame header parse, Layer III only (the
+    * web-crawl case): (sampleRate, channels, bitrateKbps, durationMsCbr).
+    * Walks past an ID3v2 tag (syncsafe size at bytes 6..9), then decodes
+    * the 4-byte frame header per the MPEG-1/2 audio spec: 11-bit sync,
+    * 2-bit version, 2-bit layer, 4-bit bitrate index, 2-bit sample-rate
+    * index, 2-bit channel mode. Duration is the CBR estimate
+    * (audioBytes·8 / bitrate) — VBR needs a Xing walk, out of scope.
+    * Returns None for non-Layer-III, free/bad bitrate, or truncation. */
+  def mp3Meta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes == null || sniffMagic(bytes) != "mp3") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+      off = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)) // syncsafe
+    if (off + 4 > bytes.length) return None
+    if (u8(off) != 0xFF || (u8(off + 1) & 0xE0) != 0xE0) return None
+    val version = (u8(off + 1) >>> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
+    val layer = (u8(off + 1) >>> 1) & 0x3   // 1=Layer III
+    if (layer != 1 || version == 1) return None
+    val brIdx = u8(off + 2) >>> 4
+    val srIdx = (u8(off + 2) >>> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val bitrate = if (version == 3) Mp3BitrateV1L3(brIdx) else Mp3BitrateV2L3(brIdx)
+    val rate = version match {
+      case 3 => Mp3RateV1(srIdx)
+      case 2 => Mp3RateV1(srIdx) / 2
+      case _ => Mp3RateV1(srIdx) / 4
+    }
+    val channels = if (((u8(off + 3) >>> 6) & 0x3) == 3) 1 else 2
+    Some((rate, channels, bitrate, (bytes.length - off).toLong * 8L / bitrate))
+  }
+
+  /** Minimal MPEG1 Layer III frame header (+ `padBytes` of zero audio
+    * payload so the CBR duration estimate is testable) — fixture dual of
+    * [[mp3Meta]]. `brIdx`/`srIdx` index the public bitrate/sample-rate
+    * tables. */
+  def mp3Header(brIdx: Int, srIdx: Int, mono: Boolean, padBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](4 + padBytes)
+    out(0) = 0xFF.toByte
+    out(1) = 0xFB.toByte // sync + MPEG1 + Layer III + no CRC
+    out(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+    out(3) = (if (mono) 0xC0 else 0x00).toByte
+    out
+  }
+
   /** STUB decode + feature-extract: a deterministic 16-dim byte-histogram
     * "embedding" standing in for a real image/audio feature extractor (no
     * media libs in this container). Batch shape, schema and partitioning
@@ -188,10 +285,16 @@ object Multimodal {
           val n = if (bin == null) 0L else bin.length.toLong
           val kind = sniffMagic(bin)
           val img = imageDims(bin)
-          val wav = wavMeta(bin)
+          // one audio parse per blob, format-dispatched by the magic
+          val au = kind match {
+            case "riff" => wavMeta(bin).map(m => (m._1, m._2, m._4))
+            case "flac" => flacMeta(bin).map(m => (m._1, m._2, m._4))
+            case "mp3"  => mp3Meta(bin).map(m => (m._1, m._2, m._4))
+            case _      => None
+          }
           (id, n, kind,
             img.map(_._1), img.map(_._2),
-            wav.map(_._1), wav.map(_._2), wav.map(_._4))
+            au.map(_._1), au.map(_._2), au.map(_._3))
         }
       }
       .toDF("id", "n_bytes", "magic", "width", "height",

@@ -36,6 +36,35 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** ORC page table: same declared-schema contract as [[pages]] (Spark's
+    * native vectorized ORC reader gives the same pruning/pushdown story as
+    * parquet — PlanSpec asserts PushedFilters reach the scan). */
+  def pagesOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Page.schema).orc(path)
+
+  /** CSV page table. CSV cannot carry the opaque `html: binary` payload,
+    * so the declared schema is the Page schema minus `html` (restored as a
+    * typed null column — downstream operators see the full contract).
+    * multiLine + quote-escape handles embedded newlines in `text`; a
+    * corrupt-record column surfaces malformed rows instead of dropping
+    * them (the [[pagesJsonl]] rule). */
+  def pagesCsv(spark: SparkSession, path: String): DataFrame = {
+    val csvSchema = org.apache.spark.sql.types.StructType(
+      Page.schema.fields.filterNot(_.name == "html"))
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .withColumn("html", lit(null).cast("binary"))
+      .select("url", "warc_ts", "html", "text", "lang", "_corrupt_record")
+  }
+
   /** Text-file fallback (S3, fuzzy_spark.py:279-281): one line = one doc;
     * url is synthesized from the content hash (stable across reruns). */
   def pagesText(spark: SparkSession, path: String): DataFrame =

@@ -214,6 +214,121 @@ object TextAnalysis {
       .toDF(idCol, "n_tokens", "n_rare")
   }
 
+  // ------------------------------------------------------- char-LM score
+  /** CCNet-style character-LM document scoring (Wenzek et al. 2020 train a
+    * char-level KenLM and rank docs by perplexity; here the LM is a
+    * corpus-trained bigram model — self-supervised, no external model
+    * file, which is what this sandbox can honestly host).
+    *
+    * Two passes, mirroring [[rareTokenStats]]:
+    *   1. corpus bigram counts (per-partition HashMap pre-combine, then
+    *      one narrow partial-agg shuffle), top-`vocabK` collected to the
+    *      driver — bounded BY CONSTRUCTION (full CJK bigram space would
+    *      not broadcast; ASCII/Latin corpora fit entirely);
+    *   2. zero-shuffle scoring scan probing a broadcast sorted-hash
+    *      array (binary search per bigram).
+    *
+    * Returns one row per doc: `n_bigrams` and `familiarity` (sum of the
+    * corpus counts of each bigram occurrence — integer-exact, the
+    * DuckDB-comparable projection) plus `ppl`, the add-one-smoothed
+    * bigram perplexity exp(−Σ ln p(b) / n) with
+    * p(b) = (count(b)+1)/(T+V+1) — the CCNet ranking signal (floats, so
+    * suite-verified rather than oracle-hashed). Bigrams are consecutive
+    * UTF-16 unit pairs — identical to code points off the astral plane.
+    * Docs shorter than 2 chars (or null) score n_bigrams=0, familiarity=0,
+    * ppl=null. */
+  def charLmStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabK: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        val h = new java.util.HashMap[String, Long]()
+        it.foreach { t =>
+          if (t != null) {
+            var i = 0
+            while (i + 1 < t.length) {
+              h.merge(t.substring(i, i + 2), 1L, (a, b) => a + b); i += 1
+            }
+          }
+        }
+        scala.jdk.CollectionConverters.MapHasAsScala(h).asScala.iterator
+      }
+      .toDF("b", "n")
+      .groupBy(col("b")).agg(sum(col("n")).as("n"))
+      .cache()
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).as[Long].head()
+    val top = counts.orderBy(col("n").desc, col("b").asc).limit(vocabK)
+      .as[(String, Long)].collect()
+    counts.unpersist()
+    val sortedPairs = top.map { case (b, n) => (Hashes.xxh64Str(b), n) }.sortBy(_._1)
+    val hs = sortedPairs.map(_._1)
+    val cs = sortedPairs.map(_._2)
+    val vocabV = hs.length.toLong
+    val bcH = spark.sparkContext.broadcast(hs)
+    val bcC = spark.sparkContext.broadcast(cs)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val harr = bcH.value
+        val carr = bcC.value
+        val denom = (total + vocabV + 1L).toDouble
+        it.map { case (id, text) =>
+          var nBg = 0L
+          var fam = 0L
+          var logSum = 0.0
+          if (text != null) {
+            var i = 0
+            while (i + 1 < text.length) {
+              val j = java.util.Arrays.binarySearch(harr, Hashes.xxh64Str(text.substring(i, i + 2)))
+              val c = if (j >= 0) carr(j) else 0L
+              nBg += 1
+              fam += c
+              logSum += math.log((c + 1L).toDouble / denom)
+              i += 1
+            }
+          }
+          (id, nBg, fam,
+            if (nBg == 0L) None else Some(math.exp(-logSum / nBg)))
+        }
+      }
+      .toDF(idCol, "n_bigrams", "familiarity", "ppl")
+  }
+
+  /** CCNet head/middle/tail bucketing: per-language perplexity terciles
+    * over [[charLmStats]] output (CCNet §4.3 keeps "head"+"middle" for
+    * training). Terciles come from one `percentile_approx` aggregate per
+    * language (tiny result, broadcast-joined back — no second shuffle of
+    * the corpus); null lang falls in an explicit `__null__` group rather
+    * than silently dropping (round-2 ADVICE rule). Zero-bigram docs
+    * (ppl null) land in "tail". */
+  def charLmBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      vocabK: Int = 1 << 16): DataFrame = {
+    val stats = charLmStats(docs, idCol, textCol, vocabK)
+    val withLang = stats.join(
+      docs.select(col(idCol).cast("long").as(idCol),
+        coalesce(col(langCol), lit("__null__")).as("__lang__")),
+      idCol)
+    val cuts = withLang.groupBy(col("__lang__"))
+      .agg(percentile_approx(col("ppl"), array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000))
+        .as("cuts"))
+    withLang.join(broadcast(cuts), "__lang__")
+      .withColumn("bucket",
+        when(col("ppl").isNull, lit("tail"))
+          .when(col("ppl") <= element_at(col("cuts"), 1), lit("head"))
+          .when(col("ppl") <= element_at(col("cuts"), 2), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("__lang__").as(langCol), col("n_bigrams"),
+        col("familiarity"), col("ppl"), col("bucket"))
+  }
+
   // -------------------------------------------------------------- langid
   /** Tiny per-language stopword lists (public common words). A real
     * pipeline plugs a fastText-style model here; the Spark plumbing —

@@ -41,6 +41,8 @@ object Bench {
     "q_token_bpe",
     "q_binary_meta",
     "q_media_meta",
+    "q_audio_meta",
+    "q_char_lm",
     "q_quality_filter",
     "q_url_host",
     "q_html_text",

@@ -308,6 +308,16 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
     }),
+    // CCNet-style char-bigram LM: the integer-exact projection (bigram
+    // count + familiarity = Σ corpus-count per bigram occurrence). DuckDB
+    // recomputes both from raw strings via generate_series — independent
+    // of the engine's hash-probe vocabulary. vocabK is left at its default
+    // (≫ the ≤27² ascii bigram space here) so the cap never truncates.
+    "q_char_lm" -> ((s, dir) => {
+      TextAnalysis.charLmStats(documents(s, dir), "doc_id", "text")
+        .where(col("n_bigrams") > 0) // oracle's join drops bigram-less docs
+        .select(col("doc_id"), col("n_bigrams"), col("familiarity"))
+    }),
     // ------------------------------------------- multimodal binary column
     // (documents has no binary column; utf-8-encoding text stands in for
     // the html payload — the typed binary plumbing is what's exercised)
@@ -431,6 +441,32 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("magic"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+
+    // Audio metadata (FLAC STREAMINFO parse): synthesize a FLAC header
+    // whose rate/channels/duration are pure doc_id arithmetic; every 11th
+    // doc gets a non-audio blob so the null path is non-vacuous. DuckDB
+    // derives the expectation from the id arithmetic alone — a bit-packing
+    // bug in either flacHeader or flacMeta fails the hash (and the suite
+    // pins each side against independent byte goldens).
+    "q_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val d = documents(s, dir).select(col("doc_id")).as[Long]
+      val bin = d.mapPartitions(_.map { id =>
+        val blob =
+          if (id % 11L == 0L) "not audio at all".getBytes
+          else {
+            val rate = (8000L + (id % 5L) * 8000L).toInt
+            Multimodal.flacHeader(rate, (id % 2L).toInt + 1, 16,
+              rate.toLong * ((id % 10L) + 1L))
+          }
+        (id, blob)
+      }).toDF("doc_id", "bin")
+      Multimodal.mediaMeta(bin, "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("magic"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"))
     }),
 
     // Per-domain frequency cap (Sampling.domainCap): synthesize a URL whose
@@ -799,6 +835,31 @@ object SparkEntry {
         |       (doc_id % 1000) + 1 AS width,
         |       (n_chars % 800) + 1 AS height
         |FROM documents""".stripMargin,
+
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'bin' ELSE 'flac' END AS magic,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE 8000 + (doc_id % 5) * 8000 END AS sample_rate,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE (doc_id % 2) + 1 END AS channels,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE ((doc_id % 10) + 1) * 1000 END AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "q_char_lm" ->
+      """WITH bg AS (
+        |  SELECT d.doc_id, substr(d.text, CAST(t.i AS INT), 2) AS b
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(generate_series(1, length(d.text)-1)) AS i) t
+        |  WHERE length(d.text) >= 2
+        |), cnt AS (
+        |  SELECT b, count(*) AS c FROM bg GROUP BY b
+        |)
+        |SELECT bg.doc_id,
+        |  count(*)::BIGINT AS n_bigrams,
+        |  CAST(sum(cnt.c) AS BIGINT) AS familiarity
+        |FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id""".stripMargin,
 
     "q_html_text" ->
       """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted

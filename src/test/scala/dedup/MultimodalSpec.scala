@@ -117,6 +117,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L).getString(2) === "empty" && out(4L).getLong(1) === 0L)
   }
 
+  // Independent hand-built FLAC header per RFC 9639 §8.2: fLaC marker,
+  // last-block STREAMINFO header, then the 8 packed bytes at offset 18.
+  private def flacBytes(rate: Int, ch: Int, bps: Int, samples: Long): Array[Byte] = {
+    val packed = (rate.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | samples // 20+3+5+36 bits, MSB-first
+    "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      new Array[Byte](10) ++ // min/max blocksize + min/max framesize
+      (0 to 7).map(i => ((packed >>> (56 - 8 * i)) & 0xFF).toByte).toArray ++
+      new Array[Byte](16) // unset MD5 signature completes the 34-byte block
+  }
+
+  test("flacMeta: STREAMINFO golden bytes + constructor roundtrip") {
+    // 44100 Hz stereo 16-bit, exactly 2 s of samples
+    assert(Multimodal.flacMeta(flacBytes(44100, 2, 16, 88200L)) ===
+      Some((44100, 2, 16, 2000L)))
+    assert(Multimodal.flacMeta(Multimodal.flacHeader(48000, 1, 24, 12000L)) ===
+      Some((48000, 1, 24, 250L)))
+    // constructor must byte-match the independent golden (symmetric-bug guard)
+    assert(Multimodal.flacHeader(44100, 2, 16, 88200L).toSeq ===
+      flacBytes(44100, 2, 16, 88200L).toSeq)
+    // byte-offset spot check: rate 44100 = 0xAC44 → bytes 18..19 = 0x0A, 0xC4
+    val b = Multimodal.flacHeader(44100, 2, 16, 88200L)
+    assert((b(18) & 0xFF) === 0x0A && (b(19) & 0xFF) === 0xC4)
+    assert(Multimodal.flacMeta(flacBytes(44100, 2, 16, 88200L).take(30)) === None)
+    assert(Multimodal.flacMeta("fLaCxxxx".getBytes) === None)
+    assert(Multimodal.flacMeta(null) === None)
+  }
+
+  test("mp3Meta: frame-header decode, ID3v2 skip, CBR duration") {
+    // brIdx 9 = 128 kbps, srIdx 0 = 44100 Hz; 16000 bytes → 1000 ms at 128 kbps
+    val frame = Multimodal.mp3Header(9, 0, mono = false, padBytes = 16000 - 4)
+    assert(Multimodal.mp3Meta(frame) === Some((44100, 2, 128, 1000L)))
+    assert(Multimodal.mp3Meta(Multimodal.mp3Header(1, 2, mono = true, 0)) ===
+      Some((32000, 1, 32, 1L))) // 4 header bytes · 8 / 32 kbps = 1 ms
+    // ID3v2 tag (10-byte header, zero-length body) must be skipped
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 0) ++ frame
+    assert(Multimodal.mp3Meta(id3) === Some((44100, 2, 128, 1000L)))
+    // free bitrate (idx 0) and reserved sample-rate (idx 3) are rejected
+    assert(Multimodal.mp3Meta(Multimodal.mp3Header(0, 0, mono = false, 0)) === None)
+    assert(Multimodal.mp3Meta(Multimodal.mp3Header(9, 3, mono = false, 0)) === None)
+    assert(Multimodal.mp3Meta(null) === None)
+  }
+
+  test("sniffMagic: flac and mp3 (bare sync + ID3) recognized; jpeg unaffected") {
+    assert(Multimodal.sniffMagic("fLaC0000".getBytes) === "flac")
+    assert(Multimodal.sniffMagic(Array(0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0)) === "mp3")
+    assert(Multimodal.sniffMagic("ID3abcd".getBytes) === "mp3")
+    assert(Multimodal.sniffMagic(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) === "jpeg")
+  }
+
+  test("mediaMeta routes audio columns across wav/flac/mp3") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, wavBytes(16000, 1, 16, 16000)),
+      (2L, Multimodal.flacHeader(44100, 2, 16, 44100L)),
+      (3L, Multimodal.mp3Header(9, 0, mono = true, 16000 - 4)))
+    val out = Multimodal.mediaMeta(rows.toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getInt(5), r.getInt(6), r.getLong(7)))).toMap
+    assert(out(1L) === (("riff", 16000, 1, 500L)))
+    assert(out(2L) === (("flac", 44100, 2, 1000L)))
+    assert(out(3L) === (("mp3", 44100, 1, 1000L)))
+  }
+
   test("describeBinary: schema and per-row metadata over a DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

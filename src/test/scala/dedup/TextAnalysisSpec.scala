@@ -135,4 +135,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq === Seq("https://a/1", "https://a/3"))
     assert(rows(0)._2.endsWith("NEWER"), "recrawl resolution must keep the newest snapshot")
   }
+
+  test("charLmStats: hand-computed bigram counts, familiarity and perplexity") {
+    import spark.implicits._
+    // corpus: aa×3 (doc1), ab×2 + ba×1 (doc2); doc3 too short for a bigram
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "b")).toDF("id", "text")
+    val out = TextAnalysis.charLmStats(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === 9L) // 3 occurrences × corpus count 3
+    assert(out(2L)._2 === 5L) // ab(2) + ba(1) + ab(2)
+    assert(out(3L) === ((0L, 0L, None)))
+    // T=6, V=3: p(aa) = 4/10 → ppl(doc1) = 1/0.4 = 2.5 exactly
+    assert(math.abs(out(1L)._3.get - 2.5) < 1e-9)
+    // doc2: (p(ab)² p(ba))^(-1/3) = (0.3²·0.2)^(-1/3)
+    assert(math.abs(out(2L)._3.get - math.pow(0.3 * 0.3 * 0.2, -1.0 / 3)) < 1e-9)
+  }
+
+  test("charLmStats: vocabK cap sends out-of-vocab bigrams to the UNK slot") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abab")).toDF("id", "text")
+    val out = TextAnalysis.charLmStats(docs, "id", "text", vocabK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 9L) // "aa" survives the cap (most frequent)
+    assert(out(2L) === 0L) // ab/ba evicted → count 0 (smoothing still scores them)
+  }
+
+  test("charLmStats: gibberish scores strictly worse than corpus-like text") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over the lazy dog and runs away home "
+    val corpus = (0 until 20).map(i => (i.toLong, natural * 3)) :+
+      ((99L, "zq xv qj wk vx jz kq xw zj vq")) // bigrams the corpus never repeats
+    val out = TextAnalysis.charLmStats(corpus.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val worstNatural = (0 until 20).map(i => out(i.toLong)).max
+    assert(out(99L) > worstNatural * 2,
+      s"gibberish ppl ${out(99L)} should dominate natural max $worstNatural")
+  }
+
+  test("charLmBuckets: per-language terciles; null lang gets an explicit bucket") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over the lazy dog again and again "
+    val docs = Seq(
+      (1L, natural * 4, "en"),         // cleanest → head
+      (2L, natural * 2 + "zzqqxxvv", "en"), // middling
+      (3L, "zq xv qj wk vx jz kq xw", "en"), // gibberish → tail
+      (4L, natural, null)              // null lang must not vanish
+    ).toDF("id", "text", "lang")
+    val out = TextAnalysis.charLmBuckets(docs, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(5))).toMap
+    assert(out.size === 4, "every doc must come back exactly once")
+    assert(out(1L)._2 === "head")
+    assert(out(3L)._2 === "tail")
+    assert(out(4L)._1 === "__null__")
+  }
 }
