@@ -1,6 +1,6 @@
 package dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact dedup by content hash (reference exact_spark.py:128-131 uses
@@ -21,6 +21,37 @@ object ExactDedup {
     val keyed = docs.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
     val reps = keyed.groupBy(col("h")).agg(min(col("id")).as("component"))
     keyed.join(reps, "h").select(col("id"), col("component"))
+  }
+
+  /** Canonical text for normalization-insensitive dedup: lowercase, strip
+    * everything but letters/digits/whitespace, collapse whitespace runs,
+    * trim. Pure Catalyst (codegen'd, zero shuffle) and deliberately
+    * restricted to regex classes with identical semantics in Java regex
+    * and RE2 (`\p{L}`, `\p{N}`, `\s`) so any SQL engine can recompute the
+    * key — the near-universal web-pipeline variant of exact dedup (same
+    * page re-served with tracking punctuation, case or spacing drift). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]+", ""),
+      "\\s+", " "))
+
+  /** [[assignments]] keyed on md5 of the NORMALIZED text — byte-different
+    * but normalization-equal docs land in one component. The shuffle shape
+    * is unchanged (16-byte key + id). */
+  def normalizedAssignments(docs: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      md5(normalizeText(col(textCol))).as("h"))
+    val reps = keyed.groupBy(col("h")).agg(min(col("id")).as("component"))
+    keyed.join(reps, "h").select(col("id"), col("component"))
+  }
+
+  /** [[kept]] under the normalized key: min-id representative per
+    * normalization class survives. */
+  def normalizedKept(docs: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val removal = normalizedAssignments(docs, idCol, textCol)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(removal, Seq(idCol), "left_anti")
   }
 
   /** Rows kept after exact dedup (min-id representative per text), via

@@ -113,6 +113,124 @@ object TextAnalysis {
           col("ok_digits") && col("ok_repetition"))
   }
 
+  // ---------------------------------------------------------- repetition
+  /** Gopher repetition signals (Rae et al. 2021 Table A1 rows 4–12): the
+    * within-doc word-n-gram duplication numerators, one zero-shuffle typed
+    * pass per doc, integers only (the fraction is numerator / n_word_chars,
+    * thresholded per-mille in [[repetitionFilter]] — no float boundary).
+    *
+    *  - `top_{2,3,4}_chars`  = count(most frequent n-gram) × its char
+    *    length excluding separators (the overlap-ignoring convention the
+    *    public Gopher reimplementations use). Tie-break: count desc, gram
+    *    chars desc, gram string asc — deterministic and replicable in any
+    *    SQL engine with binary collation.
+    *  - `dup_{5..10}_chars` = chars of words covered by ANY occurrence of
+    *    an n-gram that occurs ≥2× in the doc (interval union over word
+    *    indexes — a word counts once however many duplicated grams span it).
+    *
+    * Gram keys are exact space-joined strings (words contain no whitespace
+    * by construction), not hashes — oracle-exact by design; the per-doc
+    * HashMap is bounded by doc length, never corpus size. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.trim.split("\\s+").filter(_.nonEmpty)
+          var nChars = 0L
+          var wi = 0
+          while (wi < words.length) { nChars += words(wi).length; wi += 1 }
+          def gramKeys(n: Int): Array[String] = {
+            if (words.length < n) return Array.empty
+            val keys = new Array[String](words.length - n + 1)
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i + n <= words.length) {
+              sb.setLength(0)
+              var k = 0
+              while (k < n) { if (k > 0) sb.append(' '); sb.append(words(i + k)); k += 1 }
+              keys(i) = sb.toString
+              i += 1
+            }
+            keys
+          }
+          def counts(keys: Array[String]): java.util.HashMap[String, Integer] = {
+            val m = new java.util.HashMap[String, Integer]()
+            var i = 0
+            while (i < keys.length) {
+              m.merge(keys(i), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b)); i += 1
+            }
+            m
+          }
+          def topChars(n: Int): Long = {
+            val keys = gramKeys(n)
+            if (keys.isEmpty) return 0L
+            val m = counts(keys)
+            var best: String = null
+            var bestC = 0
+            m.forEach { (g, c) =>
+              if (best == null) { best = g; bestC = c }
+              else {
+                val gc = g.length - (n - 1)
+                val bc = best.length - (n - 1)
+                if (c > bestC || (c == bestC && (gc > bc || (gc == bc && g.compareTo(best) < 0)))) {
+                  best = g; bestC = c
+                }
+              }
+            }
+            bestC.toLong * (best.length - (n - 1))
+          }
+          def dupChars(n: Int): Long = {
+            val keys = gramKeys(n)
+            if (keys.isEmpty) return 0L
+            val m = counts(keys)
+            val covered = new Array[Boolean](words.length)
+            var i = 0
+            while (i < keys.length) {
+              if (m.get(keys(i)) > 1) {
+                var k = 0
+                while (k < n) { covered(i + k) = true; k += 1 }
+              }
+              i += 1
+            }
+            var s = 0L
+            var j = 0
+            while (j < words.length) { if (covered(j)) s += words(j).length; j += 1 }
+            s
+          }
+          (id, nChars, topChars(2), topChars(3), topChars(4),
+            dupChars(5), dupChars(6), dupChars(7), dupChars(8), dupChars(9), dupChars(10))
+        }
+      }
+      .toDF(idCol, "n_word_chars", "top_2_chars", "top_3_chars", "top_4_chars",
+        "dup_5_chars", "dup_6_chars", "dup_7_chars", "dup_8_chars", "dup_9_chars",
+        "dup_10_chars")
+  }
+
+  /** Gopher's published repetition thresholds (Table A1: top-2/3/4-gram
+    * char fraction > 0.20/0.18/0.16 removes; duplicated 5..10-gram char
+    * fraction > 0.15/0.14/0.13/0.12/0.11/0.10 removes), applied as
+    * integer per-mille predicates over [[repetitionStats]]. Returns the
+    * stats plus per-rule booleans and `keep`. */
+  def repetitionFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val limits = Seq(
+      "top_2_chars" -> 200L, "top_3_chars" -> 180L, "top_4_chars" -> 160L,
+      "dup_5_chars" -> 150L, "dup_6_chars" -> 140L, "dup_7_chars" -> 130L,
+      "dup_8_chars" -> 120L, "dup_9_chars" -> 110L, "dup_10_chars" -> 100L)
+    val withRules = limits.foldLeft(repetitionStats(docs, idCol, textCol)) {
+      case (df, (c, perMille)) =>
+        df.withColumn(s"ok_$c".stripSuffix("_chars"),
+          col(c) * 1000L <= col("n_word_chars") * perMille)
+    }
+    withRules.withColumn("keep",
+      limits.map { case (c, _) => col(s"ok_$c".stripSuffix("_chars")) }
+        .reduce(_ && _))
+  }
+
   // ---------------------------------------------------------- vocabulary
   /** Corpus vocabulary: the k most frequent whitespace tokens with counts,
     * ties broken by word ascending (deterministic). The count shuffle is

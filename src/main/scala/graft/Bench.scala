@@ -43,6 +43,8 @@ object Bench {
     "q_media_meta",
     "q_audio_meta",
     "q_char_lm",
+    "q_repetition",
+    "q_norm_dedup",
     "q_quality_filter",
     "q_url_host",
     "q_html_text",

@@ -308,6 +308,36 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
     }),
+    // Gopher repetition numerators (TextAnalysis.repetitionStats): every
+    // 6th doc is self-concatenated so duplicated 5-grams and top-2-gram
+    // counts ≥2 exist by construction (non-vacuous both ways); DuckDB
+    // recomputes words→grams→top/coverage from raw strings with window
+    // functions — engine-independent. Projection kept to the n=2 top and
+    // n=5 dup columns to keep the oracle SQL tractable; the other n are
+    // identical code paths, suite-verified.
+    "q_repetition" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+      val d = documents(s, dir).select(col("doc_id"), planted.as("text"))
+      TextAnalysis.repetitionStats(d, "doc_id", "text")
+        .select(col("doc_id"), col("n_word_chars"), col("top_2_chars"), col("dup_5_chars"))
+    }),
+
+    // Normalization-insensitive exact dedup (ExactDedup.normalizedAssignments):
+    // every 9th doc gets an offset-id twin differing only in case,
+    // punctuation and leading whitespace — the twin MUST collapse onto the
+    // original (component = original id), everything else stays a
+    // singleton. DuckDB recomputes the same canonical form (regex classes
+    // chosen for identical Java-regex/RE2 semantics) and min-id grouping.
+    "q_norm_dedup" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = base.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+      dedup.ExactDedup.normalizedAssignments(base.union(twins), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // CCNet-style char-bigram LM: the integer-exact projection (bigram
     // count + familiarity = Σ corpus-count per bigram occurrence). DuckDB
     // recomputes both from raw strings via generate_series — independent
@@ -846,6 +876,67 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 = 0 THEN NULL
         |       ELSE ((doc_id % 10) + 1) * 1000 END AS duration_ms
         |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents
+        |), words AS (
+        |  SELECT a.doc_id, CAST(t.i AS INT) AS pos, a.w[CAST(t.i AS INT)] AS word
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug) a,
+        |       LATERAL (SELECT unnest(generate_series(1, len(a.w))) AS i) t
+        |  WHERE a.w[CAST(t.i AS INT)] != ''
+        |), g2 AS (
+        |  SELECT doc_id, pos, word || ' ' || lead(word, 1) OVER w AS gram
+        |  FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(word, 1) OVER w IS NOT NULL
+        |), top2 AS (
+        |  SELECT doc_id, c * gchars AS top_2_chars FROM (
+        |    SELECT doc_id, count(*) AS c, length(gram) - 1 AS gchars, gram,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY count(*) DESC, length(gram) - 1 DESC, gram ASC) AS rn
+        |    FROM g2 GROUP BY doc_id, gram)
+        |  WHERE rn = 1
+        |), g5 AS (
+        |  SELECT doc_id, pos,
+        |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w || ' '
+        |      || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS gram
+        |  FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(word,4) OVER w IS NOT NULL
+        |), dupg AS (
+        |  SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) > 1
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + o.k AS cpos
+        |  FROM g5 g JOIN dupg d USING (doc_id, gram),
+        |       LATERAL (SELECT unnest(generate_series(0, 4)) AS k) o
+        |), dup5 AS (
+        |  SELECT c.doc_id, sum(length(w.word)) AS dup_5_chars
+        |  FROM cov c JOIN words w ON w.doc_id = c.doc_id AND w.pos = c.cpos
+        |  GROUP BY c.doc_id
+        |), totals AS (
+        |  SELECT doc_id, sum(length(word)) AS n_word_chars FROM words GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(t.n_word_chars AS BIGINT) AS n_word_chars,
+        |  CAST(coalesce(top2.top_2_chars, 0) AS BIGINT) AS top_2_chars,
+        |  CAST(coalesce(dup5.dup_5_chars, 0) AS BIGINT) AS dup_5_chars
+        |FROM totals t LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)""".stripMargin,
+
+    "q_norm_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || upper(text) || '!!'
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]+', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM aug
+        |)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS component
+        |FROM norm""".stripMargin,
 
     "q_char_lm" ->
       """WITH bg AS (

@@ -136,6 +136,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(0)._2.endsWith("NEWER"), "recrawl resolution must keep the newest snapshot")
   }
 
+  private def repRow(text: String): Map[String, Long] = {
+    import spark.implicits._
+    val r = TextAnalysis.repetitionStats(Seq((1L, text)).toDF("id", "text"), "id", "text")
+      .collect().head
+    r.schema.fieldNames.drop(1).map(n => n -> r.getAs[Long](n)).toMap
+  }
+
+  test("repetitionStats: hand-computed top-n-gram and dup-n-gram numerators") {
+    val r = repRow("a b a b c")
+    assert(r("n_word_chars") === 5L)
+    assert(r("top_2_chars") === 4L) // "a b" ×2, 2 chars each
+    assert(r("top_3_chars") === 3L) // all count 1, gchars tie → "a b a" lexicographic
+    assert(r("top_4_chars") === 4L)
+    assert(r("dup_5_chars") === 0L) // the single 5-gram occurs once
+    // a doc shorter than n yields 0, never throws
+    assert(repRow("one")("top_2_chars") === 0L)
+    assert(repRow("")("n_word_chars") === 0L)
+  }
+
+  test("repetitionStats: dup coverage is an interval UNION (overlaps count once)") {
+    // "x y z w v" at positions 0 and 5 → every word covered exactly once
+    assert(repRow("x y z w v x y z w v")("dup_5_chars") === 10L)
+    // overlapping occurrences of "a a a a a" must not double-count
+    assert(repRow("a a a a a a")("dup_5_chars") === 6L)
+  }
+
+  test("repetitionStats: top tie-break prefers longer gram then lexicographic") {
+    assert(repRow("aa aa b")("top_2_chars") === 4L) // "aa aa" (4) beats "aa b" (3)
+  }
+
+  test("repetitionFilter: Gopher thresholds, integer-exact boundary") {
+    import spark.implicits._
+    // 60 distinct 2-char words: every fraction far under its limit
+    val clean = (0 until 60).map(i => f"${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, "aa bb cc dd ee ff gg hh ii jj"), // top2 = 4/20 = exactly 200‰ → ok_top_2
+      (3L, "a bb cc dd ee ff gg hh ii jj"),  // top2 = 4/19 > 200‰ → ok_top_2 false
+      (4L, "spam spam spam spam spam spam spam spam") // saturated repetition
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionFilter(docs, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("ok_top_2"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) === ((true, true)))
+    assert(out(2L)._1 === true, "exactly-at-threshold must pass (<=)")
+    assert(out(3L)._1 === false)
+    assert(out(4L)._2 === false)
+  }
+
   test("charLmStats: hand-computed bigram counts, familiarity and perplexity") {
     import spark.implicits._
     // corpus: aa×3 (doc1), ab×2 + ba×1 (doc2); doc3 too short for a bigram
