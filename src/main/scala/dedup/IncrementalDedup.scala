@@ -116,8 +116,9 @@ object IncrementalDedup {
       batch: DataFrame,
       cfg: DedupConfig,
       index: Option[FuzzyIndex] = None,
-      bucketCap: Int = 0): DataFrame = {
-    val dupIds = crossPairs(existing, batch, cfg, index, bucketCap)
+      bucketCap: Int = 0,
+      pruneFpp: Double = 0.0): DataFrame = {
+    val dupIds = crossPairs(existing, batch, cfg, index, bucketCap, pruneFpp)
       .select(col("bid")).distinct()
     batch.join(dupIds, batch(cfg.idCol).cast("long") === dupIds("bid"), "left_anti")
   }
@@ -128,19 +129,33 @@ object IncrementalDedup {
     * cfg.threshold, as (bid, eid, inter, uni). Used for dedup audits
     * ("what did each dropped doc match?") and corpus-overlap studies.
     * Same plan: batch-side banding, (band, bucket) equi-join against the
-    * amortized index, exact verify — never an all-pairs join. */
+    * amortized index, exact verify — never an all-pairs join.
+    *
+    * `pruneFpp > 0` turns on Bloom semi-join reduction of the corpus index
+    * (BloomPrune): one pass over the SMALL side (batch bands, b×|batch|
+    * keys) builds a filter on xxhash64(band, bucket); the CORPUS side is
+    * probed map-side inside codegen directly above its scan, so index rows
+    * in buckets the batch never touches die before the join's Exchange —
+    * the difference between shuffling 10^12 index rows per batch and
+    * shuffling ~|collisions| + fpp·|index|. Exact: false positives are
+    * eliminated by the (band, bucket) equi-join itself. */
   def crossPairs(
       existing: DataFrame,
       batch: DataFrame,
       cfg: DedupConfig,
       index: Option[FuzzyIndex] = None,
-      bucketCap: Int = 0): DataFrame = {
+      bucketCap: Int = 0,
+      pruneFpp: Double = 0.0): DataFrame = {
     val idx = index.getOrElse(buildFuzzyIndex(existing, cfg))
     val bSh = Lsh.shingleSets(batch, cfg)
     val bBands = Lsh.bandKeys(bSh, cfg).toDF()
+    val bandKey = xxhash64(col("band"), col("bucket"))
+    val pruned =
+      if (pruneFpp <= 0) idx.bands
+      else BloomPrune.prune(idx.bands, bandKey, bBands, bandKey, fpp = pruneFpp)
     val exBands =
-      if (bucketCap <= 0) idx.bands
-      else Sampling.capPerKey(idx.bands,
+      if (bucketCap <= 0) pruned
+      else Sampling.capPerKey(pruned,
           struct(col("band"), col("bucket")), col("id"), bucketCap)
         .select(col("key.band").as("band"), col("key.bucket").as("bucket"), col("id"))
     val cand = bBands.select(col("band"), col("bucket"), col("id").as("bid"))

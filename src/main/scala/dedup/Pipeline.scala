@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   *     [--resolve-recrawls] [--blocklist w1,w2 --block-max-permille 0]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
-  *     [--existing <pages parquet>] [--existing-fuzzy]
+  *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
   */
@@ -69,6 +69,7 @@ object Pipeline {
       sampleTarget: Double = 0.0,
       existing: String = "",
       existingFuzzy: Boolean = false,
+      pruneFpp: Double = 0.01,
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
@@ -112,6 +113,10 @@ object Pipeline {
         case "--sample-target" => a = a.copy(sampleTarget = argv(i + 1).toDouble); i += 2
         case "--existing" => a = a.copy(existing = argv(i + 1)); i += 2
         case "--existing-fuzzy" => a = a.copy(existingFuzzy = true); i += 1
+        // Bloom semi-join reduction of the corpus band index in
+        // --existing-fuzzy (BloomPrune; exactness-preserving, default on;
+        // 0 disables — e.g. when the batch rivals the corpus in size)
+        case "--prune-fpp" => a = a.copy(pruneFpp = argv(i + 1).toDouble); i += 2
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -225,7 +230,7 @@ object Pipeline {
           IncrementalDedup.newDocsFuzzy(
             existingPages.withColumn("__fid", xxhash64(col("url"))),
             byteNew.withColumn("__fid", xxhash64(col("url"))),
-            fCfg).drop("__fid")
+            fCfg, pruneFpp = args.pruneFpp).drop("__fid")
         }
       }
     val fp = sourceFingerprint(spark, args)

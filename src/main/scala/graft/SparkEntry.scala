@@ -598,7 +598,9 @@ object SparkEntry {
       val planted = existing.where(col("doc_id") % 89 === 2)
         .withColumn("doc_id", col("doc_id") + 10000000L)
       val batch = d.where(col("doc_id") % 3 === 0).unionByName(planted)
-      IncrementalDedup.newDocsFuzzy(existing, batch, docCfg)
+      // pruneFpp on: the Bloom semi-join reduction of the corpus band
+      // index runs UNDER the DuckDB oracle (exactness-preserving prune).
+      IncrementalDedup.newDocsFuzzy(existing, batch, docCfg, pruneFpp = 0.01)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
@@ -614,7 +616,7 @@ object SparkEntry {
       val planted = existing.where(col("doc_id") % 89 === 2)
         .withColumn("doc_id", col("doc_id") + 10000000L)
       val batch = d.where(col("doc_id") % 3 === 0).unionByName(planted)
-      IncrementalDedup.crossPairs(existing, batch, docCfg)
+      IncrementalDedup.crossPairs(existing, batch, docCfg, pruneFpp = 0.01)
         .select(col("bid"), col("eid"), col("inter"), col("uni"))
     }),
 
