@@ -40,6 +40,7 @@ import org.apache.spark.sql.functions._
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
   *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
+  *     [--exact-join]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
   */
@@ -69,6 +70,7 @@ object Pipeline {
       sampleTarget: Double = 0.0,
       existing: String = "",
       existingFuzzy: Boolean = false,
+      exactJoin: Boolean = false,
       pruneFpp: Double = 0.01,
       byLang: Boolean = false,
       collisionCheck: Boolean = true,
@@ -113,6 +115,10 @@ object Pipeline {
         case "--sample-target" => a = a.copy(sampleTarget = argv(i + 1).toDouble); i += 2
         case "--existing" => a = a.copy(existing = argv(i + 1)); i += 2
         case "--existing-fuzzy" => a = a.copy(existingFuzzy = true); i += 1
+        // exact-recall candidate generation: SSJoin prefix-filtered
+        // similarity join instead of MinHash-LSH banding (recall 1.0;
+        // costlier on dup-heavy corpora — run after exact dedup)
+        case "--exact-join" => a = a.copy(exactJoin = true); i += 1
         // Bloom semi-join reduction of the corpus band index in
         // --existing-fuzzy (BloomPrune; exactness-preserving, default on;
         // 0 disables — e.g. when the batch rivals the corpus in size)
@@ -277,6 +283,7 @@ object Pipeline {
       (if (args.sampleTarget > 0) s"+sa${args.sampleAlpha}t${args.sampleTarget}" else "") +
       (if (args.existing.nonEmpty) "+in" else "") +
       (if (args.existingFuzzy) "+inf" else "") +
+      (if (args.exactJoin) "+xj" else "") +
       (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 
@@ -302,14 +309,26 @@ object Pipeline {
     import spark.implicits._
     val shingleDs = shingles.as[DocShingles]
 
-    val bands = store.stage("bands") {
+    // lazy: --exact-join never references bands, so the banding stage is
+    // neither computed nor checkpointed in that mode
+    lazy val bands = store.stage("bands") {
       Lsh.bandKeys(shingleDs, cfg).toDF()
     }.as[BandKey]
 
     val candidates = store.stage("candidates") {
       val (nb, _) = cfg.bandsRows
       val bp = cfg.bandsPerPass
-      if (bp <= 0 || bp >= nb)
+      if (args.exactJoin)
+        // --exact-join: SSJoin prefix-filtered candidates over the SAME
+        // checkpointed shingle sets — a provable superset of every
+        // ≥-threshold pair (no banding miss rate); the shared verify
+        // stage below trims it to exactly the true pairs. MinHash/banding
+        // is skipped entirely (`bands` above is lazy).
+        SSJoin.candidates(
+          shingles.select(col("id"), col("shingles").as("toks")), cfg.threshold)
+          .select(greatest(col("id_a"), col("id_b")).as("src"),
+            least(col("id_a"), col("id_b")).as("dst"))
+      else if (bp <= 0 || bp >= nb)
         Lsh.groupEdges(bands, cfg.saltBuckets, cfg.allPairsCap, cfg.chainEdges)
       else {
         // batched banding over the CHECKPOINTED bands stage: each pass

@@ -120,18 +120,24 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_chars"))
     }),
     // ------------------------------------------------- n-gram exact Jaccard
+    // Engine side is SSJoin (prefix-filtered exact similarity join, recall
+    // 1.0 by the prefix-filter theorem) — the DuckDB oracle recomputes the
+    // same pairs BRUTE-FORCE from raw text, so this row proves the
+    // prefix+length filters lose nothing. (Until r3 the engine side was
+    // itself an all-pairs join — correct but an O(n²) scale anti-pattern.)
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       val g = documents(s, dir)
         .where(nTokens(col("text")) >= 5)
-        .select(col("doc_id"), triGrams(col("text")).as("g"))
-      val a = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
-      val b = g.select(col("doc_id").as("id_b"), col("g").as("gb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-        .withColumn("uni", (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
-        .where(col("inter") * 10 >= col("uni") * 7)
-        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+        .select(col("doc_id").as("id"), triGrams(col("text")).as("toks"))
+      SSJoin.pairs(g, 0.7)
     }),
+    // Exact-recall dedup assignments through the same join (SSJoin
+    // .assignments = shingle sets → prefix-join pairs → CC): must equal the
+    // ground-truth component graph DuckDB derives brute-force — the same
+    // oracle q_fuzzy_assign is held to, with recall 1.0 guaranteed rather
+    // than (1-(1-J^r)^b)-probable.
+    "q_ssjoin_assign" -> ((s, dir) =>
+      SSJoin.assignments(documents(s, dir), docCfg)),
     // ------------------------------------------------- connected components
     "q_cc_chain" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -733,6 +739,10 @@ object SparkEntry {
       """SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY lang, source) AS component
         |FROM documents""".stripMargin,
     "q_fuzzy_assign" ->
+      (fuzzyCcSql +
+        """SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
+    "q_ssjoin_assign" ->
       (fuzzyCcSql +
         """SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),

@@ -1,0 +1,142 @@
+package dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SSJoinSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  /** Brute-force ground truth: all-pairs exact (inter, uni) at threshold. */
+  private def brute(tokSets: DataFrame, t: Double): Set[(Long, Long, Long, Long)] = {
+    val num = math.round(t * 1000000L)
+    val g = tokSets.select(col("id").cast("long").as("id"),
+      array_distinct(col("toks")).as("g"))
+    val a = g.select(col("id").as("id_a"), col("g").as("ga"))
+    val b = g.select(col("id").as("id_b"), col("g").as("gb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni", (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
+      .where(col("inter") * 1000000L >= lit(num) * col("uni"))
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def got(tokSets: DataFrame, t: Double): Set[(Long, Long, Long, Long)] =
+    SSJoin.pairs(tokSets, t)
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  /** Deterministic word corpus: clusters of near-dups + unrelated noise.
+    * Docs in cluster c share a base vocabulary and differ by a few
+    * suffix words — a spread of true jaccards above and below any t. */
+  private def corpus(n: Int, nClusters: Int = 7): DataFrame = {
+    (0 until n).map { i =>
+      val c = i % nClusters
+      val base = (0 until 12).map(k => s"base${c}_$k")
+      val extra = (0 until (i % 5)).map(k => s"extra${i}_$k")
+      val stop = Seq("the", "and") // corpus-wide stopwords (hot tokens)
+      (i.toLong, (base ++ extra ++ stop).toArray)
+    }.toDF("id", "toks")
+  }
+
+  test("pairs == brute force at several thresholds (string tokens)") {
+    val ts = corpus(60)
+    for (t <- Seq(0.5, 0.7, 0.85, 0.999)) {
+      val e = brute(ts, t)
+      val g = got(ts, t)
+      assert(g === e, s"threshold $t")
+      if (t <= 0.7) assert(e.nonEmpty, s"threshold $t should have true pairs")
+    }
+  }
+
+  test("pairs == brute force on int shingle-hash sets") {
+    val docs = (0 until 40).map { i =>
+      val words = (0 until 30).map(k => s"w${(i / 4) * 30 + k}") // 4-doc clusters
+        .updated(i % 30, s"mut$i") // one mutated word each
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val cfg = DedupConfig(ngram = 3, minLength = 3, threshold = 0.6, seed = 11)
+    val ts = Lsh.shingleSets(docs, cfg).toDF()
+      .select(col("id"), col("shingles").as("toks"))
+    assert(got(ts, 0.6) === brute(ts, 0.6))
+    assert(brute(ts, 0.6).nonEmpty)
+  }
+
+  test("corpus-wide stopword generates zero candidates beyond the true ones") {
+    // every doc shares "the"/"and"; with df ordering those sort LAST and
+    // never enter any prefix, so candidate volume tracks true clusters,
+    // not n²/2
+    val ts = corpus(140, nClusters = 14) // ≤ 14·C(10,2)=630 within-cluster
+    val nCand = SSJoin.candidates(ts, 0.7).count()
+    val allPairs = 140L * 139L / 2L
+    assert(nCand < allPairs / 10, s"candidates $nCand vs all-pairs $allPairs")
+    // and the candidate set is a superset of the true pairs
+    val cand = SSJoin.candidates(ts, 0.7)
+      .as[(Long, Long)].collect().toSet
+    val truePairs = brute(ts, 0.7).map(p => (p._1, p._2))
+    assert(truePairs.subsetOf(cand))
+  }
+
+  test("dfCap above the max prefix df changes nothing; tiny dfCap only drops pairs") {
+    val ts = corpus(60)
+    val base = SSJoin.candidates(ts, 0.7).as[(Long, Long)].collect().toSet
+    val capped = SSJoin.candidates(ts, 0.7, dfCap = 1000L).as[(Long, Long)].collect().toSet
+    assert(capped === base)
+    val tiny = SSJoin.candidates(ts, 0.7, dfCap = 2L).as[(Long, Long)].collect().toSet
+    assert(tiny.subsetOf(base))
+  }
+
+  test("assignments: exact recall-1.0 dedup equals brute-force clustering") {
+    val docs = (0 until 48).map { i =>
+      val words = (0 until 25).map(k => s"w${(i / 3) * 25 + k}")
+        .updated(i % 25, s"mut$i")
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val cfg = DedupConfig(ngram = 3, minLength = 3, threshold = 0.55, seed = 5)
+    val ts = Lsh.shingleSets(docs, cfg).toDF()
+      .select(col("id"), col("shingles").as("toks"))
+    val edges = brute(ts, 0.55).toSeq
+      .map(p => (math.max(p._1, p._2), math.min(p._1, p._2))).toDF("src", "dst")
+    val expect = ConnectedComponents.assignAll(
+      docs.select(col("id")),
+      ConnectedComponents.runAdaptive(edges))
+      .as[(Long, Long)].collect().toSet
+    val gotA = SSJoin.assignments(docs, cfg).as[(Long, Long)].collect().toSet
+    assert(gotA === expect)
+    assert(expect.exists { case (id, comp) => id != comp }) // real clusters
+  }
+
+  test("no cartesian product anywhere in the pairs plan") {
+    val ts = corpus(20)
+    val plan = SSJoin.pairs(ts, 0.7).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("pipeline --exact-join: same kept set as the LSH flagship on the synth corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("ssjoinpipe").toString
+    val lsh = Pipeline.parse(Array("--synth", "600", "--output", s"$dir/lsh"))
+    val exact = Pipeline.parse(Array("--synth", "600", "--output", s"$dir/xj", "--exact-join"))
+    val (keptL, aL) = Pipeline.run(spark, lsh)
+    val (keptX, aX) = Pipeline.run(spark, exact)
+    // exact-join recall is a superset of LSH's; on the synth corpus LSH
+    // already finds every planted pair, so the outputs coincide exactly
+    assert(keptX.select("url").as[String].collect().sorted.toSeq ===
+      keptL.select("url").as[String].collect().sorted.toSeq)
+    assert(aX.as[(Long, Long)].collect().toSet === aL.as[(Long, Long)].collect().toSet)
+    assert(keptX.count() < aX.count()) // dedup actually removed dups
+    // the exact mode never computed a banding checkpoint
+    assert(!new java.io.File(s"$dir/xj").listFiles.exists(_.getName == "bands"))
+  }
+
+  test("sub-token docs and singleton-token docs are handled") {
+    val ts = Seq(
+      (1L, Array("only")),
+      (2L, Array("only")),
+      (3L, Array.empty[String]),
+      (4L, Array("lonely", "words", "here"))).toDF("id", "toks")
+    assert(got(ts, 0.7) === Set((1L, 2L, 1L, 1L)))
+  }
+}
