@@ -284,7 +284,9 @@ object Pipeline {
       (if (args.existing.nonEmpty) "+in" else "") +
       (if (args.existingFuzzy) "+inf" else "") +
       (if (args.exactJoin) "+xj" else "") +
-      (if (args.semantic) s"+se${args.semK}e${args.semEps}d${args.semDim}" else ""),
+      // "tf" marks the r3 encoder switch (fake → hashed TF-IDF): old
+      // checkpoint dirs recompute instead of resuming stale vectors
+      (if (args.semantic) s"+setf${args.semK}e${args.semEps}d${args.semDim}" else ""),
       sourceFp)
 
     // ids stage: stable xxhash64(url) ids; downstream engine stages carry
@@ -371,14 +373,15 @@ object Pipeline {
     }
 
     // semantic family (reference semantic dedup single gpu/*): embed from
-    // raw text (batched stand-in encoder, real broadcast+batch plumbing) →
-    // seeded KMeans cells → per-cell cosine prune; removed ids fold into
-    // the final kept filter
+    // raw text (hashed TF-IDF — a REAL model-free vectorizer; swap
+    // Embedding.embed back in to exercise the neural-encoder plumbing
+    // stand-in) → seeded KMeans cells → per-cell cosine prune; removed ids
+    // fold into the final kept filter
     val semRemoved =
       if (!args.semantic) None
       else {
         val embeddings = store.stage("embeddings") {
-          Embedding.embed(docs, cfg, args.semDim)
+          Embedding.tfidfEmbed(docs, cfg, args.semDim)
         }
         Some(store.stage("sem_pruned") {
           val n = store.manifest("embeddings").map(_("rows").asInstanceOf[Long])

@@ -39,6 +39,50 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(a(i1) === a(i2))
   }
 
+  test("tfidfEmbed: hand-computed idf weights and cosine ordering") {
+    import spark.implicits._
+    // "common" appears in all 4 docs; rare words in one or two. With the
+    // IDF downweighting, a pair sharing a RARE word must score higher
+    // cosine than a pair sharing only the common word.
+    val docs = Seq(
+      (1L, "common rare1 rare1 rare1"),
+      (2L, "common rare1 rare1 rare1"),
+      (3L, "common other3"),
+      (4L, "common other4")).toDF("id", "text")
+    val dim = 512 // large: no lane collisions among the 5 words (verified below)
+    val lanes = Seq("common", "rare1", "other3", "other4").map(Embedding.lane(_, dim, cfg.seed))
+    assert(lanes.distinct.size === lanes.size, "test needs collision-free lanes")
+    val v = Embedding.tfidfEmbed(docs, cfg, dim = dim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum // unit vectors
+    assert(math.abs(cos(v(1L), v(2L)) - 1.0) < 1e-5, "identical docs -> cosine 1")
+    assert(cos(v(1L), v(3L)) < cos(v(1L), v(2L)))
+    // docs 3,4 share only the corpus-wide word: idf = ln(5/5)+1 = 1 on that
+    // lane vs ln(5/2)+1 on other lanes — hand-check the exact cosine
+    val idfCommon = math.log(5.0 / 5.0) + 1.0
+    val idfRare = math.log(5.0 / 2.0) + 1.0
+    val expected34 = (idfCommon * idfCommon) / (idfCommon * idfCommon + idfRare * idfRare)
+    assert(math.abs(cos(v(3L), v(4L)) - expected34) < 1e-5)
+    // unit-norm everywhere
+    v.values.foreach { a =>
+      assert(math.abs(math.sqrt(a.map(x => x.toDouble * x).sum) - 1.0) < 1e-4)
+    }
+  }
+
+  test("tfidfEmbed: batch/partition invariant; null and empty text yield zero vectors") {
+    import spark.implicits._
+    val docs = corpus(200).unionByName(
+      Seq((900001L, null.asInstanceOf[String]), (900002L, "")).toDF("id", "text"))
+    def vecs(df: org.apache.spark.sql.DataFrame, batch: Int): Map[Long, Seq[Float]] =
+      Embedding.tfidfEmbed(df, cfg, dim = 32, batchSize = batch).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val a = vecs(docs, 5)
+    val b = vecs(docs.repartition(17), 1024)
+    assert(a === b)
+    assert(a(900001L).forall(_ == 0f) && a(900002L).forall(_ == 0f))
+  }
+
   test("pipeline --semantic: embed/prune stages commit; pruned ids leave kept") {
     val out = java.nio.file.Files.createTempDirectory("sempipe").toString
     val args = Pipeline.Args(synth = 400, output = out,
