@@ -138,6 +138,16 @@ object SparkEntry {
     // than (1-(1-J^r)^b)-probable.
     "q_ssjoin_assign" -> ((s, dir) =>
       SSJoin.assignments(documents(s, dir), docCfg)),
+    // Cluster-size histogram over the flagship dup graph — the dedup
+    // audit number a corpus owner reads first ("how much mass sits in
+    // how-big clusters"); two partial-aggregable groupBys over the
+    // assignment output, oracle = the same histogram over DuckDB's
+    // brute-force component graph.
+    "q_cluster_sizes" -> ((s, dir) =>
+      FuzzyDedup.assignments(documents(s, dir), docCfg)
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"))),
     // ------------------------------------------------- connected components
     "q_cc_chain" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -746,6 +756,11 @@ object SparkEntry {
       (fuzzyCcSql +
         """SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
+    "q_cluster_sizes" ->
+      (fuzzyCcSql +
+        """, sizes AS (SELECT coalesce(c.component, d.doc_id) AS comp, count(*)::BIGINT AS cluster_size
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id GROUP BY 1)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1""".stripMargin),
     "q_fuzzy_kept" ->
       (fuzzyCcSql +
         """SELECT d.doc_id, d.lang, d.source, d.n_chars

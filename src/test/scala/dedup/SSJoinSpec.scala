@@ -115,6 +115,23 @@ class SSJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"))
   }
 
+  test("randomized corpora: pairs == brute force across seeds and thresholds") {
+    // seeded-random token sets: mixed sizes, shared pools, singletons —
+    // the adversarial surface for the prefix/length filters
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = (0 until 40).map(k => s"p$k")
+      val rows = (0 until 50).map { i =>
+        val sz = 1 + rnd.nextInt(12)
+        val toks = Array.fill(sz)(pool(rnd.nextInt(pool.size))) :+ s"own${rnd.nextInt(10)}"
+        (i.toLong, toks)
+      }
+      val ts = rows.toDF("id", "toks")
+      for (t <- Seq(0.4, 0.6, 0.8))
+        assert(got(ts, t) === brute(ts, t), s"seed $seed threshold $t")
+    }
+  }
+
   test("pipeline --exact-join: same kept set as the LSH flagship on the synth corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ssjoinpipe").toString
     val lsh = Pipeline.parse(Array("--synth", "600", "--output", s"$dir/lsh"))
