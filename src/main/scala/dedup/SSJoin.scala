@@ -126,6 +126,56 @@ object SSJoin {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** Exact CONTAINMENT-similarity join: every ordered pair (a, b) with
+    * |a∩b| / |a| ≥ threshold, a ≠ b — "a is (mostly) contained in b".
+    *
+    * This is the asymmetric predicate Jaccard-based dedup structurally
+    * misses: a 200-token wire story quoted verbatim inside a 5,000-token
+    * page has containment 1.0 but Jaccard ≈ 0.04 — invisible to MinHash
+    * banding at any useful threshold (the reference has no counterpart;
+    * its suffix stage catches only EXACT long runs). Same prefix-filter
+    * argument as `pairs`: I ≥ ⌈t·|a|⌉ forces a's
+    * (|a| − ⌈t·|a|⌉ + 1)-prefix to intersect a∩b ⊆ b, so a's prefix
+    * tokens are joined against the FULL token index of the corpus (no
+    * length filter — sizes legitimately differ wildly; no prefix on the
+    * b side — containment puts no lower bound on |a∩b|/|b|).
+    *
+    * Skew note: the index side carries every (token, doc) row, so a
+    * stopword-heavy PROBE prefix meets a stopword's full df. df ordering
+    * makes that rare (a stopword enters a prefix only when a doc has
+    * almost nothing rarer); `dfCap` bounds the worst case by dropping
+    * tokens with df > cap from the JOIN only — recall then degrades only
+    * for probe docs whose prefix is entirely corpus-hot, the honest
+    * trade at 10¹² docs. Output (id_a, id_b, inter, len_a). */
+  def containmentPairs(
+      tokSets: DataFrame, threshold: Double, dfCap: Long = 0L): DataFrame = {
+    val num = math.round(threshold * 1000000L)
+    val ordered = orderedTokenSets(tokSets)
+    val pre0 = prefixed(ordered, threshold)
+    val idx0 = ordered.select(col("id").as("id_b"), explode(col("toks")).as("tok"))
+    val (pre, idx) =
+      if (dfCap <= 0L) (pre0, idx0)
+      else {
+        val ok = ordered.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).select("tok")
+        (pre0.join(ok, Seq("tok")), idx0.join(ok, Seq("tok")))
+      }
+    val cand = pre.select(col("id").as("id_a"), col("tok"))
+      .join(idx, Seq("tok"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val s1 = ordered.select(col("id").as("id_a"), col("toks").as("ta"))
+    val s2 = ordered.select(col("id").as("id_b"), col("toks").as("tb"))
+    cand.hint("shuffle_hash").join(s1, "id_a")
+      .hint("shuffle_hash").join(s2, "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("len_a", size(col("ta")).cast("long"))
+      .where(col("inter") * 1000000L >= lit(num) * col("len_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("len_a"))
+  }
+
   /** Exact fuzzy-dedup assignments: the flagship's shingle sets through the
     * exact join instead of MinHash banding — recall 1.0 by construction,
     * same output contract as FuzzyDedup.assignments (id, component=min of

@@ -25,6 +25,7 @@ object Bench {
     "q_ngram_jaccard_pairs", // exact SSJoin (prefix-filtered), recall 1.0
     "q_ssjoin_assign", // SSJoin pairs -> CC assignments
     "q_cluster_sizes",
+    "q_containment", // asymmetric quote-inside-page pairs (SSJoin family)
     "q_simhash_assign",
     "q_suffix_assign",
     "q_remove_runs",

@@ -148,6 +148,16 @@ object SparkEntry {
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"))),
+    // Containment join: |a∩b|/|a| ≥ 0.9 ordered pairs over the same
+    // trigram sets — the asymmetric near-dup predicate MinHash cannot
+    // see (quote-inside-page); exact-dup clusters make it non-vacuous
+    // both directions. Oracle recomputes brute-force from raw text.
+    "q_containment" -> ((s, dir) => {
+      val g = documents(s, dir)
+        .where(nTokens(col("text")) >= 5)
+        .select(col("doc_id").as("id"), triGrams(col("text")).as("toks"))
+      SSJoin.containmentPairs(g, 0.9)
+    }),
     // ------------------------------------------------- connected components
     "q_cc_chain" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -756,6 +766,16 @@ object SparkEntry {
       (fuzzyCcSql +
         """SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))::BIGINT AS inter, len(a.g)::BIGINT AS len_a
+        |FROM grams a JOIN grams b ON a.doc_id != b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) * 10 >= len(a.g) * 9""".stripMargin,
     "q_cluster_sizes" ->
       (fuzzyCcSql +
         """, sizes AS (SELECT coalesce(c.component, d.doc_id) AS comp, count(*)::BIGINT AS cluster_size

@@ -115,6 +115,60 @@ class SSJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"))
   }
 
+  /** Brute-force containment ground truth (ordered pairs, a != b). */
+  private def bruteContain(tokSets: DataFrame, t: Double): Set[(Long, Long, Long, Long)] = {
+    val num = math.round(t * 1000000L)
+    val g = tokSets.select(col("id").cast("long").as("id"),
+      array_distinct(col("toks")).as("g"))
+    val a = g.select(col("id").as("id_a"), col("g").as("ga"))
+    val b = g.select(col("id").as("id_b"), col("g").as("gb"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("len_a", size(col("ga")).cast("long"))
+      .where(col("inter") * 1000000L >= lit(num) * col("len_a"))
+      .select("id_a", "id_b", "inter", "len_a")
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("containmentPairs: asymmetric — quote inside a long page is found one way only") {
+    val small = (0 until 8).map(k => s"quote$k")
+    val big = small ++ (0 until 80).map(k => s"page$k")
+    val ts = Seq(
+      (1L, small.toArray),
+      (2L, big.toArray),
+      (3L, (0 until 40).map(k => s"other$k").toArray)).toDF("id", "toks")
+    val gotC = SSJoin.containmentPairs(ts, 0.9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotC === Set((1L, 2L, 8L, 8L))) // a=1 contained in b=2; never 2-in-1
+    // ...and Jaccard misses it entirely at any useful threshold
+    assert(got(ts, 0.5).isEmpty)
+  }
+
+  test("containmentPairs == brute force across seeds and thresholds") {
+    for (seed <- Seq(4, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = (0 until 30).map(k => s"p$k")
+      val ts = (0 until 40).map { i =>
+        (i.toLong, Array.fill(1 + rnd.nextInt(10))(pool(rnd.nextInt(pool.size))))
+      }.toDF("id", "toks")
+      for (t <- Seq(0.5, 0.8, 1.0)) {
+        val e = bruteContain(ts, t)
+        assert(SSJoin.containmentPairs(ts, t)
+          .as[(Long, Long, Long, Long)].collect().toSet === e, s"seed $seed t $t")
+        if (t <= 0.8) assert(e.nonEmpty)
+      }
+    }
+  }
+
+  test("containmentPairs dfCap: large cap is a no-op, tiny cap only loses pairs") {
+    val ts = corpus(50)
+    val base = SSJoin.containmentPairs(ts, 0.8).as[(Long, Long, Long, Long)].collect().toSet
+    assert(SSJoin.containmentPairs(ts, 0.8, dfCap = 1000L)
+      .as[(Long, Long, Long, Long)].collect().toSet === base)
+    assert(SSJoin.containmentPairs(ts, 0.8, dfCap = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSet.subsetOf(base))
+  }
+
   test("randomized corpora: pairs == brute force across seeds and thresholds") {
     // seeded-random token sets: mixed sizes, shared pools, singletons —
     // the adversarial surface for the prefix/length filters
