@@ -33,6 +33,10 @@ object Multimodal {
     else if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') "mp3" // ID3v2-tagged
     else if (bytes(0) == 0xFF.toByte && (bytes(1) & 0xE0) == 0xE0 && bytes(1) != 0xFF.toByte) "mp3" // frame sync (FF FF would be a lost-sync fill byte)
     else if (bytes(0) == 'B' && bytes(1) == 'M' && bytes.length >= 26) "bmp"
+    else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+             bytes(6) == 'y' && bytes(7) == 'p') "mp4" // ISO-BMFF (mp4/mov/m4a)
+    else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+             bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "webm" // EBML (webm/mkv)
     else {
       val head = new String(bytes, 0, math.min(bytes.length, 64),
         java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
@@ -230,6 +234,211 @@ object Multimodal {
     out
   }
 
+  /** REAL MP4 (ISO-BMFF) video metadata — box-walk, no codec:
+    * (durationMs, Option(width, height)). Layout per ISO/IEC 14496-12:
+    * boxes are [u32 size]["4cc" type][payload] (size 1 → 64-bit extended
+    * size at offset 8; size 0 → box runs to end). Duration comes from
+    * `moov`→`mvhd` (timescale u32 + duration u32/u64 by version); display
+    * dimensions from the first `moov`→`trak`→`tkhd` with nonzero 16.16
+    * fixed-point width/height (audio-only tracks carry 0×0). Returns None
+    * for truncation, a missing moov/mvhd, or timescale 0 — never throws. */
+  def mp4Meta(bytes: Array[Byte]): Option[(Long, Option[(Int, Int)])] = {
+    if (bytes == null || sniffMagic(bytes) != "mp4") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be32(i: Int) = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var durMs = -1L
+    var dims: Option[(Int, Int)] = None
+    // walk boxes in [from, until); handler gets (type, payloadStart, payloadEnd)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val size0 = be32(i)
+        val tpe = fourcc(i + 4)
+        var payload = i + 8
+        val size =
+          if (size0 == 1L) { if (i + 16 > until) return; payload = i + 16; be64(i + 8) }
+          else if (size0 == 0L) (until - i).toLong // box extends to end
+          else size0
+        if (size < (payload - i).toLong || i + size > until) return // corrupt/truncated
+        f(tpe, payload, i + size.toInt)
+        i += size.toInt
+      }
+    }
+    walk(0, bytes.length) { (tpe, ms, me) =>
+      if (tpe == "moov") walk(ms, me) { (t2, ps, pe) =>
+        if (t2 == "mvhd") {
+          val v = u8(ps)
+          if (v == 1 && ps + 32 <= pe) { // v1: ts at +20 (u32), dur at +24 (u64)
+            val ts = be32(ps + 20)
+            if (ts > 0) durMs = be64(ps + 24) * 1000L / ts
+          } else if (v == 0 && ps + 20 <= pe) { // v0: ts at +12, dur at +16
+            val ts = be32(ps + 12)
+            if (ts > 0) durMs = be32(ps + 16) * 1000L / ts
+          }
+        } else if (t2 == "trak" && dims.isEmpty) walk(ps, pe) { (t3, ks, ke) =>
+          if (t3 == "tkhd" && dims.isEmpty) {
+            val off = if (u8(ks) == 1) ks + 88 else ks + 76 // v1 fields are wider
+            if (off + 8 <= ke) {
+              val w = (be32(off) >>> 16).toInt  // 16.16 fixed point
+              val h = (be32(off + 4) >>> 16).toInt
+              if (w > 0 && h > 0) dims = Some((w, h))
+            }
+          }
+        }
+      }
+    }
+    if (durMs < 0) None else Some((durMs, dims))
+  }
+
+  /** Minimal ISO-BMFF file (ftyp + moov{mvhd v0 timescale=1000, trak{tkhd
+    * with 16.16 dims}}) — fixture dual of [[mp4Meta]]; the suite pins both
+    * sides against independent byte-offset goldens. `w`/`h` 0 omits the
+    * trak (audio-only .m4a shape). */
+  def mp4Header(durationMs: Long, w: Int, h: Int): Array[Byte] = {
+    val withTrak = w > 0 && h > 0
+    val moovSize = 8 + 108 + (if (withTrak) 100 else 0)
+    val out = new Array[Byte](16 + moovSize)
+    def putBe32(off: Int, v: Long): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, out, off, 4)
+    putBe32(0, 16); putTag(4, "ftyp"); putTag(8, "isom"); putBe32(12, 0)
+    val moov = 16
+    putBe32(moov, moovSize); putTag(moov + 4, "moov")
+    val mvhd = moov + 8
+    putBe32(mvhd, 108); putTag(mvhd + 4, "mvhd") // v0: 8 hdr + 100 payload
+    putBe32(mvhd + 8 + 12, 1000L)       // timescale = 1000 → duration IS ms
+    putBe32(mvhd + 8 + 16, durationMs)  // duration (u32, v0)
+    if (withTrak) {
+      val trak = mvhd + 108
+      putBe32(trak, 100); putTag(trak + 4, "trak")
+      val tkhd = trak + 8
+      putBe32(tkhd, 92); putTag(tkhd + 4, "tkhd") // v0: 8 hdr + 84 payload
+      putBe32(tkhd + 8 + 76, w.toLong << 16) // 16.16 fixed
+      putBe32(tkhd + 8 + 80, h.toLong << 16)
+    }
+    out
+  }
+
+  /** REAL WebM/Matroska (EBML) video metadata — element-walk, no codec:
+    * (durationMs, Option(width, height)). Layout per RFC 8794 (EBML) +
+    * the public Matroska element registry: varint IDs/sizes; duration =
+    * Segment→Info Duration (float, in TimestampScale units, default scale
+    * 1,000,000 ns = 1 ms/unit); dimensions = Segment→Tracks→TrackEntry→
+    * Video PixelWidth/PixelHeight (uints). Handles unknown-size (all-ones
+    * vint) Segments as running to end-of-buffer. Returns None on
+    * truncation or a missing Duration — never throws. */
+  def webmMeta(bytes: Array[Byte]): Option[(Long, Option[(Int, Int)])] = {
+    if (bytes == null || sniffMagic(bytes) != "webm") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    // EBML varint length = 1 + leading zero bits of the first byte
+    def vintLen(i: Int): Int = {
+      val b = u8(i)
+      if (b == 0) -1 else Integer.numberOfLeadingZeros(b) - 23 // 32-8=24 bits offset
+    }
+    // element ID: stored bytes verbatim (marker kept), as unsigned value
+    def readId(i: Int): (Long, Int) = {
+      val n = vintLen(i)
+      if (n < 1 || i + n > bytes.length) return (-1L, 0)
+      var v = 0L; var k = 0
+      while (k < n) { v = (v << 8) | u8(i + k); k += 1 }
+      (v, n)
+    }
+    // element size: marker bit stripped; all-value-bits-ones = unknown (-1)
+    def readSize(i: Int): (Long, Int) = {
+      val n = vintLen(i)
+      if (n < 1 || i + n > bytes.length) return (-2L, 0)
+      var v = (u8(i) & (0xFF >>> n)).toLong
+      var k = 1
+      while (k < n) { v = (v << 8) | u8(i + k); k += 1 }
+      val allOnes = (1L << (7 * n)) - 1
+      (if (v == allOnes) -1L else v, n)
+    }
+    def readUint(from: Int, until: Int): Long = {
+      var v = 0L; var i = from
+      while (i < until) { v = (v << 8) | u8(i); i += 1 }
+      v
+    }
+    def readFloat(from: Int, until: Int): Double = (until - from) match {
+      case 4 => java.lang.Float.intBitsToFloat(readUint(from, until).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(readUint(from, until))
+      case _ => Double.NaN
+    }
+    var tsScaleNs = 1000000L // Matroska default: 1 ms per timestamp unit
+    var durUnits = Double.NaN
+    var pw = 0L; var ph = 0L
+    def walk(from: Int, until: Int)(f: (Long, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i < until) {
+        val (id, idLen) = readId(i)
+        if (idLen == 0) return
+        val (size, szLen) = readSize(i + idLen)
+        if (szLen == 0) return
+        val ps = i + idLen + szLen
+        val pe = if (size == -1L) until else ps + size.toInt
+        if (size < -1L || pe > until) return // corrupt/truncated
+        f(id, ps, pe)
+        i = pe
+      }
+    }
+    walk(0, bytes.length) { (id0, ss, se) =>
+      if (id0 == 0x18538067L) walk(ss, se) { (id1, is, ie) => // Segment
+        if (id1 == 0x1549A966L) walk(is, ie) { (id2, ps, pe) => // Info
+          if (id2 == 0x2AD7B1L) tsScaleNs = readUint(ps, pe)
+          else if (id2 == 0x4489L) durUnits = readFloat(ps, pe)
+        } else if (id1 == 0x1654AE6BL) walk(is, ie) { (id2, es, ee) => // Tracks
+          if (id2 == 0xAEL) walk(es, ee) { (id3, vs, ve) => // TrackEntry
+            if (id3 == 0xE0L) walk(vs, ve) { (id4, ps, pe) => // Video
+              if (id4 == 0xB0L) { if (pw == 0) pw = readUint(ps, pe) }
+              else if (id4 == 0xBAL) { if (ph == 0) ph = readUint(ps, pe) }
+            }
+          }
+        }
+      }
+    }
+    if (durUnits.isNaN || tsScaleNs <= 0) None
+    else Some((math.round(durUnits * tsScaleNs / 1e6),
+      if (pw > 0 && ph > 0) Some((pw.toInt, ph.toInt)) else None))
+  }
+
+  /** Minimal WebM (EBML header + Segment{Info{TimestampScale, Duration
+    * f32}, Tracks{TrackEntry{Video{PixelWidth, PixelHeight}}}}) — fixture
+    * dual of [[webmMeta]]. `w`/`h` 0 omits the Tracks branch. */
+  def webmHeader(durationMs: Long, w: Int, h: Int): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    def id(v: Long, n: Int): Unit = { var k = n - 1; while (k >= 0) { buf += (v >>> (8 * k)).toByte; k -= 1 } }
+    def size1(v: Int): Unit = buf += (0x80 | v).toByte // 1-byte vint size
+    def uintBytes(v: Long): Array[Byte] = {
+      var n = 1; while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(k => (v >>> (8 * (n - 1 - k))).toByte)
+    }
+    id(0x1A45DFA3L, 4); size1(0) // EBML header, empty (sniff needs the magic only)
+    val withVideo = w > 0 && h > 0
+    val pwB = uintBytes(w.toLong); val phB = uintBytes(h.toLong)
+    val videoLen = 2 + pwB.length + 2 + phB.length        // B0.., BA..
+    val entryLen = 2 + videoLen                            // E0 [sz] video
+    val tracksLen = 2 + entryLen                           // AE [sz] entry
+    val infoLen = 3 + 1 + 3 + 2 + 1 + 4 // 2AD7B1 sz(1) val(3) | 4489 sz(1) f32
+    val segLen = (4 + 1 + infoLen) + (if (withVideo) 4 + 1 + tracksLen else 0)
+    id(0x18538067L, 4); size1(segLen)   // Segment
+    id(0x1549A966L, 4); size1(infoLen)  // Info
+    id(0x2AD7B1L, 3); size1(3); id(1000000L, 3) // TimestampScale = 1e6 ns
+    id(0x4489L, 2); size1(4)            // Duration (float32, units = ms)
+    id(java.lang.Float.floatToIntBits(durationMs.toFloat).toLong & 0xFFFFFFFFL, 4)
+    if (withVideo) {
+      id(0x1654AE6BL, 4); size1(tracksLen) // Tracks
+      id(0xAEL, 1); size1(entryLen)        // TrackEntry
+      id(0xE0L, 1); size1(videoLen)        // Video
+      id(0xB0L, 1); size1(pwB.length); buf ++= pwB
+      id(0xBAL, 1); size1(phB.length); buf ++= phB
+    }
+    buf.toArray
+  }
+
   /** STUB decode + feature-extract: a deterministic 16-dim byte-histogram
     * "embedding" standing in for a real image/audio feature extractor (no
     * media libs in this container). Batch shape, schema and partitioning
@@ -285,16 +494,23 @@ object Multimodal {
           val n = if (bin == null) 0L else bin.length.toLong
           val kind = sniffMagic(bin)
           val img = imageDims(bin)
-          // one audio parse per blob, format-dispatched by the magic
+          // one audio/video parse per blob, format-dispatched by the magic
           val au = kind match {
             case "riff" => wavMeta(bin).map(m => (m._1, m._2, m._4))
             case "flac" => flacMeta(bin).map(m => (m._1, m._2, m._4))
             case "mp3"  => mp3Meta(bin).map(m => (m._1, m._2, m._4))
             case _      => None
           }
+          val vid = kind match {
+            case "mp4"  => mp4Meta(bin)
+            case "webm" => webmMeta(bin)
+            case _      => None
+          }
+          val dims = img.orElse(vid.flatMap(_._2))
           (id, n, kind,
-            img.map(_._1), img.map(_._2),
-            au.map(_._1), au.map(_._2), au.map(_._3))
+            dims.map(_._1), dims.map(_._2),
+            au.map(_._1), au.map(_._2),
+            au.map(_._3).orElse(vid.map(_._1)))
         }
       }
       .toDF("id", "n_bytes", "magic", "width", "height",

@@ -48,6 +48,7 @@ object Bench {
     "q_binary_meta",
     "q_media_meta",
     "q_audio_meta",
+    "q_video_meta",
     "q_char_lm",
     "q_repetition",
     "q_norm_dedup",

@@ -525,6 +525,33 @@ object SparkEntry {
           col("duration_ms"))
     }),
 
+    // Video-container metadata (Multimodal.mp4Meta/webmMeta): REAL ISO-BMFF
+    // box-walk and EBML element-walk — headers synthesized from pure doc_id
+    // arithmetic (every 9th doc is non-video, the rest alternate mp4/webm),
+    // so DuckDB derives magic/width/height/duration from the id alone,
+    // independent of both the parsers and their fixture duals.
+    "q_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val d = documents(s, dir).select(col("doc_id")).as[Long]
+      val bin = d.mapPartitions(_.map { id =>
+        val blob =
+          if (id % 9L == 0L) "not a video container".getBytes
+          else {
+            val dur = ((id % 10L) + 1L) * 500L
+            val w = 320 + (id % 4L).toInt * 160
+            val h = 240 + (id % 4L).toInt * 120
+            if (id % 2L == 0L) Multimodal.mp4Header(dur, w, h)
+            else Multimodal.webmHeader(dur, w, h)
+          }
+        (id, blob)
+      }).toDF("doc_id", "bin")
+      Multimodal.mediaMeta(bin, "doc_id", "bin")
+        .select(col("id").as("doc_id"), col("magic"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("duration_ms"))
+    }),
+
     // Per-domain frequency cap (Sampling.domainCap): synthesize a URL whose
     // registrable domain is doc_id % 13 by construction, keep the 20
     // min-id pages per domain. DuckDB derives the expected kept set from
@@ -922,6 +949,18 @@ object SparkEntry {
         |       ELSE (doc_id % 2) + 1 END AS channels,
         |  CASE WHEN doc_id % 11 = 0 THEN NULL
         |       ELSE ((doc_id % 10) + 1) * 1000 END AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 'bin'
+        |       WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS magic,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE 320 + (doc_id % 4) * 160 END AS width,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE 240 + (doc_id % 4) * 120 END AS height,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE ((doc_id % 10) + 1) * 500 END AS duration_ms
         |FROM documents""".stripMargin,
 
     "q_repetition" ->

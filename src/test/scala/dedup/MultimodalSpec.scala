@@ -180,6 +180,126 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) === (("mp3", 44100, 1, 1000L)))
   }
 
+  // Independent hand-built ISO-BMFF bytes per ISO/IEC 14496-12 (big-endian
+  // DataOutputStream — a different construction path than Multimodal's
+  // offset-poking, so a symmetric layout bug cannot self-verify).
+  private def mp4Bytes(durMs: Long, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeInt(16); o.writeBytes("ftyp"); o.writeBytes("isom"); o.writeInt(0)
+    val withTrak = w > 0 && h > 0
+    o.writeInt(8 + 108 + (if (withTrak) 100 else 0)); o.writeBytes("moov")
+    o.writeInt(108); o.writeBytes("mvhd")   // v0: 8 hdr + 100 payload
+    o.writeInt(0)                            // version+flags
+    o.writeInt(0); o.writeInt(0)             // creation, modification
+    o.writeInt(1000)                         // timescale: units ARE ms
+    o.writeInt(durMs.toInt)                  // duration
+    o.write(new Array[Byte](100 - 20))       // rate/volume/matrix/next-track
+    if (withTrak) {
+      o.writeInt(100); o.writeBytes("trak")
+      o.writeInt(92); o.writeBytes("tkhd")   // v0: 8 hdr + 84 payload
+      o.write(new Array[Byte](76))           // flags..matrix
+      o.writeInt(w << 16); o.writeInt(h << 16) // 16.16 fixed point
+    }
+    bos.toByteArray
+  }
+
+  test("mp4Meta: box-walk golden bytes + constructor roundtrip + mvhd v1") {
+    assert(Multimodal.mp4Meta(mp4Bytes(2500L, 640, 480)) ===
+      Some((2500L, Some((640, 480)))))
+    // audio-only (.m4a shape): duration, no dims
+    assert(Multimodal.mp4Meta(mp4Bytes(800L, 0, 0)) === Some((800L, None)))
+    // constructor must byte-match the independent golden
+    assert(Multimodal.mp4Header(2500L, 640, 480).toSeq ===
+      mp4Bytes(2500L, 640, 480).toSeq)
+    // byte-offset spot check: moov size 216 at bytes 16..19; timescale 1000
+    // = 0x3E8 big-endian at bytes 44..47 (mvhd payload starts at 32, +12)
+    val b = Multimodal.mp4Header(2500L, 640, 480)
+    assert((b(19) & 0xFF) === 216 && (b(46) & 0xFF) === 0x03 && (b(47) & 0xFF) === 0xE8)
+    // mvhd version 1: 64-bit duration, timescale 90000 → 180000 units = 2 s
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeInt(16); o.writeBytes("ftyp"); o.writeBytes("isom"); o.writeInt(0)
+    o.writeInt(8 + 120); o.writeBytes("moov")
+    o.writeInt(120); o.writeBytes("mvhd")
+    o.writeInt(0x01000000)                   // version 1
+    o.writeLong(0L); o.writeLong(0L)         // creation, modification (u64)
+    o.writeInt(90000); o.writeLong(180000L)  // timescale, duration (u64)
+    o.write(new Array[Byte](112 - 32))
+    assert(Multimodal.mp4Meta(bos.toByteArray) === Some((2000L, None)))
+    // truncation / non-video / null are None, never a throw
+    assert(Multimodal.mp4Meta(mp4Bytes(2500L, 640, 480).take(30)) === None)
+    assert(Multimodal.mp4Meta("not an mp4 blob!".getBytes) === None)
+    assert(Multimodal.mp4Meta(null) === None)
+  }
+
+  test("webmMeta: EBML golden bytes + constructor roundtrip + scale/float variants") {
+    def f32(v: Float): Array[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      Array((bits >>> 24).toByte, (bits >>> 16).toByte, (bits >>> 8).toByte, bits.toByte)
+    }
+    // Independent hand-built element stream per RFC 8794 + Matroska registry
+    val golden: Array[Byte] =
+      Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte, 0x80.toByte) ++ // EBML hdr, empty
+      Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, (0x80 | 36).toByte) ++ // Segment
+      Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66, (0x80 | 14).toByte) ++ // Info
+      Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte, 0x83.toByte, 0x0F, 0x42, 0x40) ++ // scale 1e6
+      Array[Byte](0x44, 0x89.toByte, 0x84.toByte) ++ f32(1500f) ++      // Duration
+      Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B, (0x80 | 12).toByte) ++ // Tracks
+      Array[Byte](0xAE.toByte, (0x80 | 10).toByte) ++                   // TrackEntry
+      Array[Byte](0xE0.toByte, (0x80 | 8).toByte) ++                    // Video
+      Array[Byte](0xB0.toByte, 0x82.toByte, 0x02, 0x80.toByte) ++       // PixelWidth 640
+      Array[Byte](0xBA.toByte, 0x82.toByte, 0x01, 0x68)                 // PixelHeight 360
+    assert(Multimodal.webmMeta(golden) === Some((1500L, Some((640, 360)))))
+    assert(Multimodal.webmHeader(1500L, 640, 360).toSeq === golden.toSeq)
+    // non-default TimestampScale: 2e6 ns/unit, 250 units → 500 ms
+    val scaled: Array[Byte] =
+      Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte, 0x80.toByte) ++
+      Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, (0x80 | 19).toByte) ++
+      Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66, (0x80 | 14).toByte) ++
+      Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte, 0x83.toByte, 0x1E, 0x84.toByte, 0x80.toByte) ++
+      Array[Byte](0x44, 0x89.toByte, 0x84.toByte) ++ f32(250f)
+    assert(Multimodal.webmMeta(scaled) === Some((500L, None)))
+    // 8-byte (double) Duration and an unknown-size (0xFF) Segment
+    val d64bits = java.lang.Double.doubleToLongBits(1500.0)
+    val streamed: Array[Byte] =
+      Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte, 0x80.toByte) ++
+      Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xFF.toByte) ++ // unknown size
+      Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66, (0x80 | 18).toByte) ++
+      Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte, 0x83.toByte, 0x0F, 0x42, 0x40) ++
+      Array[Byte](0x44, 0x89.toByte, 0x88.toByte) ++
+      (0 to 7).map(i => ((d64bits >>> (56 - 8 * i)) & 0xFF).toByte).toArray
+    assert(Multimodal.webmMeta(streamed) === Some((1500L, None)))
+    assert(Multimodal.webmMeta(golden.take(20)) === None)
+    assert(Multimodal.webmMeta("EBML? not really".getBytes) === None)
+    assert(Multimodal.webmMeta(null) === None)
+  }
+
+  test("sniffMagic: mp4 (ftyp at offset 4) and webm (EBML magic) recognized") {
+    assert(Multimodal.sniffMagic(mp4Bytes(1000L, 64, 64)) === "mp4")
+    assert(Multimodal.sniffMagic(Multimodal.webmHeader(1000L, 64, 64)) === "webm")
+    // a RIFF file whose bytes 4..7 spell nothing stays riff
+    assert(Multimodal.sniffMagic("RIFFxxxxWAVE".getBytes) === "riff")
+  }
+
+  test("mediaMeta routes video columns across mp4/webm") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.mp4Header(2500L, 640, 480)),
+      (2L, Multimodal.webmHeader(1500L, 640, 360)),
+      (3L, Multimodal.mp4Header(800L, 0, 0))) // audio-only m4a shape
+    val out = Multimodal.mediaMeta(rows.toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(2) === "mp4")
+    assert(out(1L).getInt(3) === 640 && out(1L).getInt(4) === 480)
+    assert(out(1L).isNullAt(5) && out(1L).getLong(7) === 2500L) // no sample_rate
+    assert(out(2L).getString(2) === "webm")
+    assert(out(2L).getInt(3) === 640 && out(2L).getInt(4) === 360)
+    assert(out(2L).getLong(7) === 1500L)
+    assert(out(3L).getString(2) === "mp4")
+    assert(out(3L).isNullAt(3) && out(3L).isNullAt(4) && out(3L).getLong(7) === 800L)
+  }
+
   test("describeBinary: schema and per-row metadata over a DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
