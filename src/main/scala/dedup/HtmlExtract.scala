@@ -131,6 +131,136 @@ object HtmlExtract {
     sb.substring(0, end)
   }
 
+  /** Decode the same entity set [[text]] handles, for attribute values
+    * (URLs in href routinely carry &amp;). Unknown entities pass through. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        var k = i + 1
+        val lim = math.min(n, i + 10)
+        while (k < lim && s.charAt(k) != ';') k += 1
+        val semi = if (k < lim) k else -1
+        var decoded: String = null
+        if (semi > 0) {
+          val ent = s.substring(i + 1, semi)
+          decoded = ent.toLowerCase match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              try String.valueOf(Integer.parseInt(ent.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            case _ if ent.startsWith("#") =>
+              try String.valueOf(Integer.parseInt(ent.substring(1)).toChar)
+              catch { case _: Exception => null }
+            case _ => null
+          }
+        }
+        if (decoded == null) { sb.append(c); i += 1 }
+        else { sb.append(decoded); i = semi + 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** All `<a href=…>` targets in document order — the outlink half of a
+    * crawl link graph. Same single-pass no-regex discipline as [[text]]:
+    * case-insensitive tag/attribute match, quoted ('/") and unquoted
+    * attribute values, entity-decoded (&amp; inside URLs), skips script/
+    * style/comment content (a commented-out anchor is not a link).
+    * Malformed markup never throws. */
+  def links(html: String): Seq[String] = {
+    if (html == null) return Seq.empty
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    def startsWithIgnoreCase(at: Int, s: String): Boolean = {
+      if (at + s.length > n) return false
+      var k = 0
+      while (k < s.length) {
+        if (Character.toLowerCase(html.charAt(at + k)) != s.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+    def skipPast(at: Int, close: String): Int = {
+      var j = at
+      while (j < n) {
+        if (html.charAt(j) == '<' && startsWithIgnoreCase(j, close)) {
+          var k = j + close.length
+          while (k < n && html.charAt(k) != '>') k += 1
+          return math.min(k + 1, n)
+        }
+        j += 1
+      }
+      n
+    }
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (startsWithIgnoreCase(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (startsWithIgnoreCase(i, "<script")) i = skipPast(i + 7, "</script")
+        else if (startsWithIgnoreCase(i, "<style")) i = skipPast(i + 6, "</style")
+        else if (startsWithIgnoreCase(i, "<a") && i + 2 < n &&
+                 (Character.isWhitespace(html.charAt(i + 2)) || html.charAt(i + 2) == '>')) {
+          // scan attributes inside this tag for href=
+          var j = i + 2
+          var quote: Char = 0
+          var href: String = null
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val cj = html.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0; j += 1 }
+            else if (cj == '"' || cj == '\'') { quote = cj; j += 1 }
+            else if (href == null && startsWithIgnoreCase(j, "href") &&
+                     (j == i + 2 || (!Character.isLetterOrDigit(html.charAt(j - 1)) &&
+                                     html.charAt(j - 1) != '-'))) { // not data-href etc.
+              var k = j + 4
+              while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
+              if (k < n && html.charAt(k) == '=') {
+                k += 1
+                while (k < n && Character.isWhitespace(html.charAt(k))) k += 1
+                if (k < n && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                  val q = html.charAt(k)
+                  val e = html.indexOf(q, k + 1)
+                  href = if (e < 0) html.substring(k + 1) else html.substring(k + 1, e)
+                  j = if (e < 0) n else e + 1
+                } else { // unquoted value: runs to whitespace or '>'
+                  var e = k
+                  while (e < n && !Character.isWhitespace(html.charAt(e)) && html.charAt(e) != '>') e += 1
+                  href = html.substring(k, e)
+                  j = e
+                }
+              } else j = k
+            } else j += 1
+          }
+          val v = if (href == null) null else decodeEntities(href.trim)
+          if (v != null && v.nonEmpty) out += v
+          i = math.min(j + 1, n)
+        } else {
+          var j = i + 1
+          var quote: Char = 0
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val cj = html.charAt(j)
+            if (quote == 0 && (cj == '"' || cj == '\'')) quote = cj
+            else if (cj == quote) quote = 0
+            j += 1
+          }
+          i = math.min(j + 1, n)
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   /** html binary column (UTF-8) → extracted text column. A JVM closure is
     * the right tool here (a stateful scanner has no Catalyst spelling);
     * narrow projection, no shuffle. */

@@ -54,6 +54,8 @@ object Bench {
     "q_norm_dedup",
     "q_quality_filter",
     "q_url_host",
+    "q_link_graph",
+    "q_pagerank",
     "q_html_text",
     "q_line_dedup",
     "q_pii_redact",

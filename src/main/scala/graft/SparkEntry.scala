@@ -415,6 +415,52 @@ object SparkEntry {
         UrlOps.normalize(url).as("url_norm"))
     }),
 
+    // Host link graph (HtmlExtract.links + LinkGraph): Spark builds REAL
+    // html (quoted/single-quoted/unquoted hrefs, an &amp; entity, a
+    // commented-out anchor, a script-embedded anchor, a duplicate-host
+    // link) and runs the scanner + distinct-edge + degree plan; DuckDB
+    // derives the expected edge set from the doc_id arithmetic alone —
+    // independent of the HTML scanner, the host regex, and the dedup.
+    "q_link_graph" -> ((s, dir) => {
+      val url = concat(lit("https://s"), (col("doc_id") % 9).cast("string"),
+        lit(".example.com/page/"), col("doc_id").cast("string"))
+      val dst1 = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org"))
+      val dst2 = concat(lit("https://h"), ((col("doc_id") + 3) % 5).cast("string"),
+        lit(".example.net"))
+      val html = concat(
+        lit("<html><body><h1>Doc</h1><a class=\"x\" href=\""), dst1,
+        lit("/a?b=1&amp;c=2\">one</a> <a href='"), dst2,
+        lit("/q'>two</a><a href="), dst1,
+        lit("/dup >dup-host</a><!-- <a href=\"https://nope.example/\">no</a> -->"),
+        lit("<script>var a = '<a href=\"https://alsono.example/\">';</script></body></html>"))
+      val pages = documents(s, dir)
+        .select(url.as("url"), encode(html, "UTF-8").as("html"))
+      LinkGraph.degrees(LinkGraph.hostEdges(pages))
+        .select(col("host"), col("out_deg"), col("in_deg"))
+    }),
+
+    // Integer fixed-point PageRank (LinkGraph.pageRankInt) over the same
+    // arithmetic-derived host graph, 2 iterations: every step is integer
+    // division + integer sums, so DuckDB reproduces the ranks BIT-EXACTLY
+    // by unrolling the same two iterations — a hard hash oracle where
+    // float PageRank could only offer a tolerance check.
+    "q_pagerank" -> ((s, dir) => {
+      val url = concat(lit("https://s"), (col("doc_id") % 9).cast("string"),
+        lit(".example.com/page/"), col("doc_id").cast("string"))
+      val dst1 = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org"))
+      val dst2 = concat(lit("https://h"), ((col("doc_id") + 3) % 5).cast("string"),
+        lit(".example.net"))
+      val html = concat(
+        lit("<a href=\""), dst1, lit("/a\">one</a><a href='"), dst2,
+        lit("/b'>two</a>"))
+      val pages = documents(s, dir)
+        .select(url.as("url"), encode(html, "UTF-8").as("html"))
+      LinkGraph.pageRankInt(LinkGraph.hostEdges(pages), iterations = 2)
+        .select(col("host"), col("rank").as("rank_fp"))
+    }),
+
     // Gopher-style quality gate (TextAnalysis.qualityFilter): every rule
     // is integer-exact cross-multiplication, so DuckDB replicates the
     // booleans bit-for-bit from the raw text.
@@ -1049,6 +1095,53 @@ object SparkEntry {
         |  'https://user@www.site' || (doc_id % 50) || '.example.com/p/'
         |    || doc_id || '?x=1' AS url_norm
         |FROM documents""".stripMargin,
+
+    "q_link_graph" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || (doc_id % 9) || '.example.com' AS src_host,
+        |                  'h' || (doc_id % 7) || '.example.org' AS dst_host
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT 's' || (doc_id % 9) || '.example.com',
+        |                  'h' || ((doc_id + 3) % 5) || '.example.net'
+        |  FROM documents
+        |), od AS (SELECT src_host AS host, count(*) AS out_deg FROM e GROUP BY 1),
+        |   ind AS (SELECT dst_host AS host, count(*) AS in_deg FROM e GROUP BY 1)
+        |SELECT coalesce(od.host, ind.host) AS host,
+        |       coalesce(out_deg, 0)::BIGINT AS out_deg,
+        |       coalesce(in_deg, 0)::BIGINT AS in_deg
+        |FROM od FULL OUTER JOIN ind ON od.host = ind.host""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || (doc_id % 9) || '.example.com' AS src_host,
+        |                  'h' || (doc_id % 7) || '.example.org' AS dst_host
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT 's' || (doc_id % 9) || '.example.com',
+        |                  'h' || ((doc_id + 3) % 5) || '.example.net'
+        |  FROM documents
+        |), v AS (
+        |  SELECT DISTINCT host FROM (
+        |    SELECT src_host AS host FROM e UNION ALL SELECT dst_host FROM e)
+        |), deg AS (SELECT src_host, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM v),
+        |s1 AS (
+        |  SELECT e.dst_host AS host, sum(r0.r // deg.d) AS s
+        |  FROM e JOIN deg USING (src_host) JOIN r0 ON r0.host = e.src_host
+        |  GROUP BY 1
+        |), r1 AS (
+        |  SELECT v.host, 150000 + (850 * coalesce(s1.s, 0)) // 1000 AS r
+        |  FROM v LEFT JOIN s1 USING (host)
+        |), s2 AS (
+        |  SELECT e.dst_host AS host, sum(r1.r // deg.d) AS s
+        |  FROM e JOIN deg USING (src_host) JOIN r1 ON r1.host = e.src_host
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT v.host, 150000 + (850 * coalesce(s2.s, 0)) // 1000 AS r
+        |  FROM v LEFT JOIN s2 USING (host)
+        |)
+        |SELECT host, r::BIGINT AS rank_fp FROM r2""".stripMargin,
 
     "q_quality_filter" ->
       """WITH f AS (
