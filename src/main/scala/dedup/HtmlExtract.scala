@@ -261,6 +261,160 @@ object HtmlExtract {
     out.toSeq
   }
 
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "td", "th", "tr", "table", "section", "article", "header", "footer",
+    "nav", "aside", "blockquote", "pre", "br", "form", "body", "html")
+
+  /** jusText-style MAIN-CONTENT extraction: split the page into blocks at
+    * block-level tag boundaries, keep a block iff it is long enough
+    * (≥ `minBlockChars` after whitespace collapse) AND not link-dominated
+    * (anchor-text chars · 1000 ≤ block chars · `maxLinkPermille`) — the
+    * two-signal core of the jusText/boilerpipe family (Pomikálek 2011):
+    * navigation, footers, and link farms are short or link-dense; body
+    * prose is neither. Kept blocks join with '\n'.
+    *
+    * Same single-pass scanner discipline as [[text]] (script/style/
+    * comment exclusion, entity decode, whitespace collapse, never
+    * throws); integer-exact link-density predicate (no float threshold).
+    * This is SOURCE PREP like [[text]] — never applied inside the dedup
+    * flagship (text-verbatim invariant, SURVEY.md §1). */
+  def mainContent(html: String, minBlockChars: Int = 40, maxLinkPermille: Int = 300): String = {
+    if (html == null) return ""
+    val n = html.length
+    val out = new java.lang.StringBuilder()
+    val block = new java.lang.StringBuilder()
+    var anchorChars = 0
+    var anchorDepth = 0
+    var lastSpace = true
+    var i = 0
+
+    def startsWithIgnoreCase(at: Int, s: String): Boolean = {
+      if (at + s.length > n) return false
+      var k = 0
+      while (k < s.length) {
+        if (Character.toLowerCase(html.charAt(at + k)) != s.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+    def skipElement(at: Int, name: String): Int = {
+      var j = at
+      val close = "</" + name
+      while (j < n) {
+        if (html.charAt(j) == '<' && startsWithIgnoreCase(j, close)) {
+          var k = j + close.length
+          while (k < n && html.charAt(k) != '>') k += 1
+          return math.min(k + 1, n)
+        }
+        j += 1
+      }
+      n
+    }
+    def appendChar(c: Char): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        if (!lastSpace) { block.append(' '); lastSpace = true }
+      } else {
+        block.append(c)
+        if (anchorDepth > 0) anchorChars += 1
+        lastSpace = false
+      }
+    }
+    def flush(): Unit = {
+      var end = block.length
+      while (end > 0 && block.charAt(end - 1) == ' ') end -= 1
+      var start = 0
+      while (start < end && block.charAt(start) == ' ') start += 1
+      val len = end - start
+      if (len >= minBlockChars && anchorChars.toLong * 1000L <= len.toLong * maxLinkPermille) {
+        if (out.length > 0) out.append('\n')
+        out.append(block, start, end)
+      }
+      block.setLength(0)
+      anchorChars = 0
+      lastSpace = true
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (startsWithIgnoreCase(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (startsWithIgnoreCase(i, "<script")) i = skipElement(i + 7, "script")
+        else if (startsWithIgnoreCase(i, "<style")) i = skipElement(i + 6, "style")
+        else if (startsWithIgnoreCase(i, "<noscript")) i = skipElement(i + 9, "noscript")
+        else {
+          // read the tag name (after optional '/')
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          // skip to tag end, honoring quoted attribute values
+          var quote: Char = 0
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val cj = html.charAt(j)
+            if (quote == 0 && (cj == '"' || cj == '\'')) quote = cj
+            else if (cj == quote) quote = 0
+            j += 1
+          }
+          i = math.min(j + 1, n)
+          if (name == "a") {
+            if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+            else anchorDepth += 1
+            appendChar(' ') // tags are word boundaries
+          } else if (BlockTags.contains(name)) {
+            flush()
+            anchorDepth = 0 // block boundary terminates any dangling anchor
+          } else appendChar(' ')
+        }
+      } else if (c == '&') {
+        val semi = {
+          var k = i + 1
+          val lim = math.min(n, i + 10)
+          while (k < lim && html.charAt(k) != ';') k += 1
+          if (k < lim) k else -1
+        }
+        if (semi < 0) { appendChar(c); i += 1 }
+        else {
+          val ent = html.substring(i + 1, semi)
+          val dec: String = ent.toLowerCase match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              try String.valueOf(Integer.parseInt(ent.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            case _ if ent.startsWith("#") =>
+              try String.valueOf(Integer.parseInt(ent.substring(1)).toChar)
+              catch { case _: Exception => null }
+            case _ => null
+          }
+          if (dec == null) { appendChar(c); i += 1 }
+          else { dec.foreach(appendChar); i = semi + 1 }
+        }
+      } else {
+        appendChar(c)
+        i += 1
+      }
+    }
+    flush()
+    out.toString
+  }
+
+  /** Column form of [[mainContent]] over an html STRING column — same
+    * JVM-closure justification as [[extractColumn]]; narrow, no shuffle. */
+  def mainContentCol(html: Column, minBlockChars: Int = 40,
+      maxLinkPermille: Int = 300): Column = {
+    val fn = udf((s: String) => mainContent(s, minBlockChars, maxLinkPermille))
+    fn(html)
+  }
+
   /** html binary column (UTF-8) → extracted text column. A JVM closure is
     * the right tool here (a stateful scanner has no Catalyst spelling);
     * narrow projection, no shuffle. */

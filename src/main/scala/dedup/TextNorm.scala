@@ -138,6 +138,33 @@ object TextNorm {
   /** Character n-gram shingle hashes (GPU-family parity mode: width-24 char
     * windows, reference fuzzy multi gpu/minhash_multi.py:72-94). Lowercased
     * like the word mode; hashes are xxh32 of the raw window. */
+  /** Unicode NFC normalization — the CCNet-style prep step for crawl text
+    * where the same page arrives composed (é) from one mirror and
+    * decomposed (e + U+0301) from another and would otherwise hash as two
+    * distinct documents. NOT applied inside the dedup flagship (the
+    * text-verbatim invariant, SURVEY.md §1); this is source prep, opt-in
+    * before ids are assigned. Fast path: scan for any codepoint the NFC
+    * quick-check could alter (≥ U+0300) and return the original string
+    * untouched — ASCII/Latin-1 web text pays one branch per char, no
+    * allocation. */
+  def nfc(s: String): String = {
+    if (s == null) return null
+    var i = 0
+    val n = s.length
+    var ascii = true
+    while (ascii && i < n) { if (s.charAt(i) >= 0x300) ascii = false; i += 1 }
+    if (ascii) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Column form of [[nfc]]. A JVM closure is the right tool (ICU-class
+    * normalization has no Catalyst spelling); narrow projection, no
+    * shuffle. */
+  def nfcCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fn = org.apache.spark.sql.functions.udf((s: String) => nfc(s))
+    fn(c)
+  }
+
   def charShingleHashes(text: String, width: Int, minLength: Int): Array[Int] = {
     val s = text.toLowerCase(Locale.ROOT)
     if (s.length < minLength) return Array.emptyIntArray

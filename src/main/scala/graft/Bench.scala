@@ -57,6 +57,8 @@ object Bench {
     "q_link_graph",
     "q_pagerank",
     "q_html_text",
+    "q_main_content",
+    "q_nfc_norm",
     "q_line_dedup",
     "q_pii_redact",
     "q_incremental",

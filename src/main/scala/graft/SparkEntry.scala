@@ -461,6 +461,48 @@ object SparkEntry {
         .select(col("host"), col("rank").as("rank_fp"))
     }),
 
+    // Unicode NFC normalization (TextNorm.nfc): combining-sequence and
+    // compatibility characters planted by doc_id arithmetic (e+U+0301,
+    // U+212B ANGSTROM) — DuckDB's own nfc_normalize() is a fully
+    // independent implementation of the same Unicode standard, so any
+    // deviation (including the fast-path skip) fails the hash.
+    "q_nfc_norm" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" \u212B")).otherwise(lit("")))
+      val norm = TextNorm.nfcCol(planted)
+      documents(s, dir).select(col("doc_id"), norm.as("text_nfc"),
+        (norm =!= planted).as("changed"))
+    }),
+
+    // jusText-style main-content extraction (HtmlExtract.mainContent):
+    // four-block pages built by concat arithmetic — body prose (kept),
+    // an all-links nav (dropped: link density), a short footer (dropped:
+    // length), a conditional every-3rd-doc paragraph, and a prose block
+    // containing one anchor (kept, anchor text included). DuckDB writes
+    // the EXPECTED survivor text by plain string concatenation —
+    // independent of the scanner, the block splitter, and the integer
+    // link-density predicate.
+    "q_main_content" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>Body content for doc "), id,
+        lit(" lorem ipsum lorem ipsum lorem ipsum lorem ipsum lorem ipsum</p>"),
+        lit("<nav><a href=\"https://x.example/\">Home</a> " +
+          "<a href=\"https://x.example/a\">About</a> " +
+          "<a href=\"https://x.example/c\">Contact</a></nav>"),
+        lit("<p>(c) 2026</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>Extra analysis paragraph reserved for every third " +
+            "document with sufficient length to clear the gate.</p>"))
+          .otherwise(lit("")),
+        lit("<p>Read the full analysis at <a href=\"https://deep.example/r\">" +
+          "this link</a> which has plenty of surrounding prose for doc "),
+        id, lit(" to pass the length gate.</p></body></html>"))
+      documents(s, dir).select(col("doc_id"),
+        HtmlExtract.mainContentCol(html).as("main"))
+    }),
+
     // Gopher-style quality gate (TextAnalysis.qualityFilter): every rule
     // is integer-exact cross-multiplication, so DuckDB replicates the
     // booleans bit-for-bit from the raw text.
@@ -1142,6 +1184,27 @@ object SparkEntry {
         |  FROM v LEFT JOIN s2 USING (host)
         |)
         |SELECT host, r::BIGINT AS rank_fp FROM r2""".stripMargin,
+
+    "q_nfc_norm" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' ' || chr(8491) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS text_nfc,
+        |       (nfc_normalize(t) != t) AS changed
+        |FROM aug""".stripMargin,
+
+    "q_main_content" ->
+      """SELECT doc_id,
+        |  'Body content for doc ' || doc_id ||
+        |  ' lorem ipsum lorem ipsum lorem ipsum lorem ipsum lorem ipsum' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN chr(10) || 'Extra analysis paragraph reserved for every third document with sufficient length to clear the gate.'
+        |       ELSE '' END ||
+        |  chr(10) || 'Read the full analysis at this link which has plenty of surrounding prose for doc '
+        |  || doc_id || ' to pass the length gate.' AS main
+        |FROM documents""".stripMargin,
 
     "q_quality_filter" ->
       """WITH f AS (

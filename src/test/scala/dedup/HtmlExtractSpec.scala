@@ -52,4 +52,50 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(out(2L) === "uses & entities")
     assert(out(3L) === "")
   }
+
+  test("mainContent: length gate, link-density gate, kept blocks joined by \\n") {
+    val prose = "This paragraph carries enough ordinary prose to clear the " +
+      "forty character minimum with ease."
+    val html =
+      s"""<html><body>
+         |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+         |<p>$prose</p>
+         |<p>(c) 2026 short footer</p>
+         |<div>Another long paragraph with one small <a href="/x">link</a> inside
+         |enough surrounding words to stay under the density threshold.</div>
+         |</body></html>""".stripMargin
+    val got = HtmlExtract.mainContent(html)
+    assert(got ===
+      prose + "\n" +
+      "Another long paragraph with one small link inside enough surrounding " +
+      "words to stay under the density threshold.")
+  }
+
+  test("mainContent: link-dense long block dropped; thresholds are parameters") {
+    // 5 anchors of prose-length text: density ~100% despite length >= 40
+    val linkFarm = "<ul>" + (1 to 5).map(i =>
+      s"""<li><a href="/$i">a fairly long anchor text number $i</a></li>""").mkString + "</ul>"
+    assert(HtmlExtract.mainContent(linkFarm) === "")
+    // each <li> is its own ~34-char block: at minBlockChars=10 the DENSITY
+    // gate alone still drops them; disabling it (1000 permille) lets them by
+    assert(HtmlExtract.mainContent(linkFarm, minBlockChars = 10) === "")
+    assert(HtmlExtract.mainContent(linkFarm, minBlockChars = 10,
+      maxLinkPermille = 1000).nonEmpty)
+    // raising minBlockChars drops otherwise-kept prose
+    val p = "<p>Twenty-nine chars of prose..</p>"
+    assert(HtmlExtract.mainContent(p, minBlockChars = 10).nonEmpty)
+    assert(HtmlExtract.mainContent(p, minBlockChars = 200) === "")
+  }
+
+  test("mainContent: script/comment excluded, anchors reset at block boundary, never throws") {
+    val body = "Body prose long enough to clear the forty character gate easily."
+    assert(HtmlExtract.mainContent(
+      s"<script>var x='<p>no</p>';</script><p>$body</p><!-- <p>$body</p> -->") === body)
+    // an unclosed <a> must not poison the NEXT block's density accounting
+    assert(HtmlExtract.mainContent(
+      s"""<p><a href="/x">dangling anchor$body</p><p>$body</p>""") === body)
+    // adversarial markup: never throws
+    assert(HtmlExtract.mainContent("<<<<>>>> <p <a & &#zz; </") != null)
+    assert(HtmlExtract.mainContent(null) === "")
+  }
 }

@@ -77,6 +77,23 @@ class TextNormSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc: composes combining sequences, maps compatibility chars, fast-path identity") {
+    // e + COMBINING ACUTE (U+0301) -> U+00E9; ANGSTROM SIGN U+212B -> U+00C5
+    assert(TextNorm.nfc("cafe\u0301") === "caf\u00E9")
+    assert(TextNorm.nfc("\u212B") === "\u00C5")
+    // already-composed input is unchanged
+    assert(TextNorm.nfc("caf\u00E9") === "caf\u00E9")
+    // pure-ASCII fast path returns the SAME reference (no allocation)
+    val s = "plain ascii web text"
+    assert(TextNorm.nfc(s) eq s)
+    // composed Latin-1 (all cps < U+0300) takes the fast path and is
+    // legitimately NFC-stable
+    val latin1 = "d\u00E9j\u00E0 vu"
+    assert(TextNorm.nfc(latin1) eq latin1)
+    assert(TextNorm.nfc(null) === null)
+    assert(TextNorm.nfc("") === "")
+  }
+
   test("isWordCp == Java regex (?U)\\w on the BMP + supplementary samples (property)") {
     val p = java.util.regex.Pattern.compile("(?U)\\w")
     val rnd = new scala.util.Random(7)
