@@ -62,6 +62,9 @@ object Pipeline {
       blockMaxPerMille: Int = 0,
       quality: Boolean = false,
       extractHtml: Boolean = false,
+      mainContent: Boolean = false,
+      nfc: Boolean = false,
+      linkRank: Int = 0,
       dedupLines: Boolean = false,
       redactPii: Boolean = false,
       removeRuns: Boolean = false,
@@ -107,6 +110,9 @@ object Pipeline {
         case "--block-max-permille" => a = a.copy(blockMaxPerMille = argv(i + 1).toInt); i += 2
         case "--quality" => a = a.copy(quality = true); i += 1
         case "--extract-html" => a = a.copy(extractHtml = true); i += 1
+        case "--main-content" => a = a.copy(mainContent = true); i += 1
+        case "--nfc" => a = a.copy(nfc = true); i += 1
+        case "--link-rank" => a = a.copy(linkRank = argv(i + 1).toInt); i += 2
         case "--dedup-lines" => a = a.copy(dedupLines = true); i += 1
         case "--redact-pii" => a = a.copy(redactPii = true); i += 1
         case "--remove-runs" => a = a.copy(removeRuns = true); i += 1
@@ -168,16 +174,33 @@ object Pipeline {
     // prep for raw-crawl corpora). Rows that already carry text keep it
     // verbatim — the flagship's byte-identical-text invariant (SURVEY §1)
     // is about those rows and stays intact.
-    val pages0 =
+    val pages0e =
       if (!args.extractHtml) pagesIn
       else {
-        val extracted = HtmlExtract.extractColumn(
-          pagesIn.withColumnRenamed("text", "__text_in__"), "html", "__text_ex__")
+        // `--main-content` switches the fill from whole-page text to the
+        // jusText-style block filter (boilerplate/nav/footer dropped).
+        val ex =
+          if (args.mainContent)
+            HtmlExtract.mainContentCol(decode(col("html"), "UTF-8"))
+          else null
+        val extracted =
+          if (args.mainContent)
+            pagesIn.withColumnRenamed("text", "__text_in__")
+              .withColumn("__text_ex__", ex)
+          else HtmlExtract.extractColumn(
+            pagesIn.withColumnRenamed("text", "__text_in__"), "html", "__text_ex__")
         extracted.withColumn("text",
           when(col("__text_in__").isNotNull && length(col("__text_in__")) > 0,
             col("__text_in__")).otherwise(col("__text_ex__")))
           .drop("__text_in__", "__text_ex__")
       }
+    // `--nfc`: Unicode-normalize the corpus text BEFORE ids/hashes so
+    // composed and decomposed mirrors of one page dedup together. An
+    // explicit corpus transform like --dedup-lines: opting in means NFC
+    // text IS the corpus text from here downstream (CCNet prep order).
+    val pages0 =
+      if (!args.nfc) pages0e
+      else pages0e.withColumn("text", TextNorm.nfcCol(col("text")))
     // `--resolve-recrawls`: a raw crawl carries the same url many times —
     // keep the newest snapshot per url (ties broken by content hash so the
     // survivor is deterministic) BEFORE ids are assigned; otherwise
@@ -239,6 +262,14 @@ object Pipeline {
             fCfg, pruneFpp = args.pruneFpp).drop("__fid")
         }
       }
+    // `--link-rank N`: side artifact — host-level integer PageRank over the
+    // crawl's own link graph (url + html columns), N iterations, written
+    // under the output root for downstream quality weighting. Small
+    // (O(hosts)) and deterministic; overwritten per run, not checkpointed.
+    if (args.linkRank > 0) {
+      LinkGraph.pageRankInt(LinkGraph.hostEdges(pages), args.linkRank)
+        .write.mode("overwrite").parquet(s"${args.output}/host_ranks")
+    }
     val fp = sourceFingerprint(spark, args)
     if (!args.byLang) runOne(spark, args, pages, fp, args.output)
     else {
@@ -276,6 +307,8 @@ object Pipeline {
       else "") +
       (if (args.quality) "+qf" else "") +
       (if (args.extractHtml) "+hx" else "") +
+      (if (args.mainContent) "+mc" else "") +
+      (if (args.nfc) "+nfc" else "") +
       (if (args.dedupLines) "+ld" else "") +
       (if (args.redactPii) "+pr" else "") +
       (if (args.removeRuns) "+rr" else "") +

@@ -207,6 +207,47 @@ class EndToEndSpec extends AnyFunSuite {
     assert(a2.exceptAll(a1).count() === 0L, "rerun changed assignments")
   }
 
+  test("--extract-html --main-content --nfc --link-rank: source prep composes " +
+      "(boilerplate dropped, NFC merges composed/decomposed dups, ranks written)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prep").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val prose = "This page carries one long paragraph of body prose that " +
+      "clears the length gate comfortably and has no links at all."
+    val html = ("<html><body><p>" + prose + "</p>" +
+      "<nav><a href=\"https://hub.example.net/x\">Hub</a> " +
+      "<a href=\"https://hub.example.net/y\">More</a></nav></body></html>")
+      .getBytes("UTF-8")
+    // p2 decomposed (e + U+0301), p3 composed (U+00E9): byte-different,
+    // NFC-identical — must dedup to ONE kept doc under --nfc
+    val deco = "re\u0301sume\u0301 writing advice body with plenty of words here"
+    val comp = "r\u00E9sum\u00E9 writing advice body with plenty of words here"
+    Seq(
+      Page("http://a.example/1", ts, html, null, "en"),
+      Page("http://b.example/2", ts, null, deco, "en"),
+      Page("http://c.example/3", ts, null, comp, "en"))
+      .toDS().toDF().write.mode("overwrite").parquet(s"$dir/in.parquet")
+    val args = Pipeline.parse(Array(
+      "--input", s"$dir/in.parquet", "--output", s"$dir/out",
+      "--extract-html", "--main-content", "--nfc", "--link-rank", "2",
+      "--num-perm", "64", "--salt", "4"))
+    val (kept, assigns) = Pipeline.run(spark, args)
+    val texts = kept.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(assigns.count() === 3L)
+    // main content: paragraph kept, nav dropped
+    assert(texts("http://a.example/1") === prose)
+    // NFC: exactly one of the composed/decomposed twins survives, composed
+    assert(kept.count() === 2L)
+    val twin = texts.find(_._1 != "http://a.example/1").get
+    assert(twin._2 === comp)
+    // link-rank artifact: 2 hosts (a.example -> hub.example.net)
+    val ranks = spark.read.parquet(s"$dir/out/host_ranks")
+    assert(ranks.count() === 2L)
+    assert(ranks.columns.toSeq === Seq("host", "rank"))
+  }
+
   test("--existing / --dedup-lines / --redact-pii: incremental prefilter, " +
       "line dedup and PII scrub compose through the pipeline") {
     import org.apache.spark.sql.functions._
