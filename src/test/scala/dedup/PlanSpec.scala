@@ -94,7 +94,8 @@ class PlanSpec extends AnyFunSuite {
     // corpus before dedup even starts
     val qmap = graft.SparkEntry.benchQueries
     Seq("q_quality_filter", "q_url_host", "q_html_text", "q_media_meta",
-      "q_minlen_filter", "q_quality").foreach { name =>
+      "q_minlen_filter", "q_quality",
+      "q_audio_meta", "q_video_meta", "q_main_content", "q_nfc_norm").foreach { name =>
       val plan = formatted(qmap(name)(spark, sf))
       assert(!plan.contains("Exchange"),
         s"narrow operator $name plans a shuffle:\n$plan")
