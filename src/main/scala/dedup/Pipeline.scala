@@ -48,6 +48,7 @@ object Pipeline {
 
   case class Args(
       input: String = "",
+      inputWarc: String = "",
       output: String = "",
       synth: Long = 0L,
       simhash: Boolean = false,
@@ -86,6 +87,7 @@ object Pipeline {
     while (i < argv.length) {
       argv(i) match {
         case "--input" => a = a.copy(input = argv(i + 1)); i += 2
+        case "--input-warc" => a = a.copy(inputWarc = argv(i + 1)); i += 2
         case "--output" => a = a.copy(output = argv(i + 1)); i += 2
         case "--synth" => a = a.copy(synth = argv(i + 1).toLong); i += 2
         case "--threshold" => a = a.copy(cfg = a.cfg.copy(threshold = argv(i + 1).toDouble)); i += 2
@@ -135,7 +137,8 @@ object Pipeline {
       }
     }
     require(a.output.nonEmpty, "--output is required")
-    require(a.input.nonEmpty || a.synth > 0, "--input or --synth is required")
+    require(a.input.nonEmpty || a.inputWarc.nonEmpty || a.synth > 0,
+      "--input, --input-warc or --synth is required")
     require(!a.existingFuzzy || a.existing.nonEmpty,
       "--existing-fuzzy requires --existing <pages parquet>")
     require(a.sampleTarget <= 1.0, "--sample-target must be in (0, 1]")
@@ -144,10 +147,13 @@ object Pipeline {
 
   private def loadPages(spark: SparkSession, args: Args): DataFrame =
     if (args.synth > 0) Synth.pages(spark, args.synth, args.cfg.seed).toDF()
+    else if (args.inputWarc.nonEmpty) Warc.pages(spark, args.inputWarc)
     else spark.read.schema(Page.schema).parquet(args.input)
 
   private def sourceFingerprint(spark: SparkSession, args: Args): String =
     if (args.synth > 0) s"synth${args.synth}s${args.cfg.seed}"
+    else if (args.inputWarc.nonEmpty)
+      "warc" + CheckpointStore.inputFingerprint(spark, args.inputWarc)
     else CheckpointStore.inputFingerprint(spark, args.input)
 
   /** `--infer-lang`: fill null `lang` values from the page text with a

@@ -1,0 +1,164 @@
+package dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.{BufferedInputStream, EOFException, InputStream}
+
+/** WARC (ISO 28500 / WARC/1.0-1.1) source: reads Common-Crawl-style
+  * crawl archives straight into the page table shape
+  * `(url, warc_ts, html, text=null, lang=null)` — the step BEFORE
+  * `--extract-html` for corpora that arrive as raw crawl archives rather
+  * than parquet. The reference reads only parquet/jsonl (SURVEY.md §2.1);
+  * this is the same value-add class as the ORC/CSV sources.
+  *
+  * Format facts used (all from the public spec + Common Crawl layout):
+  *   - a record = version line `WARC/1.x`, CRLF-terminated named headers,
+  *     blank line, `Content-Length` octets of block, CRLF CRLF;
+  *   - `WARC-Type: response` records carry an HTTP response as the block:
+  *     status line + headers, blank line, entity body (the html);
+  *   - `.warc.gz` files are MULTI-MEMBER gzip — one member per record —
+  *     so members must be decompressed in sequence (GZIPInputStream
+  *     handles concatenated members natively).
+  *
+  * Scale shape: `sc.binaryFiles` hands each archive to a task as a
+  * PortableDataStream — records are STREAM-parsed (one record's block in
+  * memory at a time, never the whole ~1 GB archive), the RDD drop is the
+  * sanctioned per-partition imperative case (a stateful byte-stream
+  * parser has no Catalyst spelling), and the output immediately re-enters
+  * Dataset land with the declared Page schema. Malformed records are
+  * skipped, not thrown (a crawl archive at 10⁵-file scale always carries
+  * a few truncated members).
+  */
+object Warc {
+
+  /** One parsed response record. */
+  private[dedup] final case class Rec(url: String, ts: java.sql.Timestamp, html: Array[Byte])
+
+  /** CRLF-terminated line as ISO-8859-1 (WARC headers are octets);
+    * returns null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def readFully(in: InputStream, n: Long): Array[Byte] = {
+    if (n > Int.MaxValue - 8) throw new EOFException(s"block too large: $n")
+    val buf = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < buf.length) {
+      val r = in.read(buf, off, buf.length - off)
+      if (r < 0) throw new EOFException(s"truncated block at $off/$n")
+      off += r
+    }
+    buf
+  }
+
+  /** The entity body of an HTTP response block: everything after the
+    * first CRLFCRLF (or LFLF) header terminator; the whole block if no
+    * terminator is found (some archives store bare content). */
+  private[dedup] def httpBody(block: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+          block(i + 2) == '\r' && block(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(block, i + 4, block.length)
+      i += 1
+    }
+    i = 0
+    while (i + 1 < block.length) {
+      if (block(i) == '\n' && block(i + 1) == '\n')
+        return java.util.Arrays.copyOfRange(block, i + 2, block.length)
+      i += 1
+    }
+    block
+  }
+
+  private def parseTs(s: String): java.sql.Timestamp =
+    try java.sql.Timestamp.from(java.time.Instant.parse(s))
+    catch { case _: Exception => null }
+
+  /** Stream-parse WARC records; emits one Rec per well-formed
+    * `WARC-Type: response` record, skips everything else (warcinfo,
+    * request, metadata, malformed tails). */
+  private[dedup] def records(raw: InputStream): Iterator[Rec] = new Iterator[Rec] {
+    private val in = new BufferedInputStream(raw, 1 << 16)
+    private var nextRec: Rec = _
+    private var done = false
+
+    private def advance(): Unit = {
+      while (nextRec == null && !done) {
+        try {
+          // seek the version line (tolerates stray CRLFs between records)
+          var line = readLine(in)
+          while (line != null && !line.startsWith("WARC/")) line = readLine(in)
+          if (line == null) { done = true; return }
+          var tpe: String = null; var uri: String = null
+          var date: String = null; var len = -1L
+          var h = readLine(in)
+          while (h != null && h.nonEmpty) {
+            val colon = h.indexOf(':')
+            if (colon > 0) {
+              val k = h.substring(0, colon).trim.toLowerCase
+              val v = h.substring(colon + 1).trim
+              k match {
+                case "warc-type" => tpe = v
+                case "warc-target-uri" =>
+                  // some writers wrap the URI in <angle brackets>
+                  uri = v.stripPrefix("<").stripSuffix(">")
+                case "warc-date" => date = v
+                case "content-length" =>
+                  len = try v.toLong catch { case _: Exception => -1L }
+                case _ =>
+              }
+            }
+            h = readLine(in)
+          }
+          if (h == null || len < 0) { done = true; return }
+          val block = readFully(in, len)
+          // trailing CRLF CRLF separator (tolerated if absent at EOF)
+          if (tpe != null && tpe.equalsIgnoreCase("response") && uri != null)
+            nextRec = Rec(uri, parseTs(date), httpBody(block))
+        } catch {
+          case _: EOFException => done = true // truncated tail: keep what we have
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); nextRec != null }
+    override def next(): Rec = {
+      advance()
+      if (nextRec == null) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
+  }
+
+  private def isGzip(in: BufferedInputStream): Boolean = {
+    in.mark(2)
+    val a = in.read(); val b = in.read()
+    in.reset()
+    a == 0x1F && b == 0x8B
+  }
+
+  /** WARC archive(s) → page table. `path` accepts a file, directory, or
+    * glob of `.warc` / `.warc.gz` files. */
+  def pages(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (_, pds) =>
+        val base = new BufferedInputStream(pds.open(), 1 << 16)
+        val in: InputStream =
+          if (isGzip(base)) new java.util.zip.GZIPInputStream(base, 1 << 16)
+          else base
+        records(in).map(r => Page(r.url, r.ts, r.html, null, null))
+      }
+      .toDS()
+      .toDF()
+  }
+}

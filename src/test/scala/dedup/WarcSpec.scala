@@ -1,0 +1,95 @@
+package dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  /** Hand-built WARC/1.0 record per ISO 28500: version line, CRLF headers,
+    * blank line, Content-Length octets, CRLF CRLF. */
+  private def record(tpe: String, uri: String, date: String, block: Array[Byte]): Array[Byte] = {
+    val hdr = new StringBuilder()
+    hdr.append("WARC/1.0\r\n")
+    hdr.append(s"WARC-Type: $tpe\r\n")
+    if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
+    hdr.append(s"WARC-Date: $date\r\n")
+    hdr.append("WARC-Record-ID: <urn:uuid:0000>\r\n")
+    hdr.append(s"Content-Length: ${block.length}\r\n")
+    hdr.append("\r\n")
+    hdr.toString.getBytes("ISO-8859-1") ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def httpResponse(body: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body).getBytes("UTF-8")
+
+  private def archive: Array[Byte] =
+    record("warcinfo", null, "2024-01-01T00:00:00Z",
+      "software: synthetic\r\n".getBytes) ++
+    record("request", "http://a.example/1", "2024-03-05T10:20:30Z",
+      "GET /1 HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes) ++
+    record("response", "http://a.example/1", "2024-03-05T10:20:30Z",
+      httpResponse("<html><body>page one</body></html>")) ++
+    record("response", "<http://b.example/2>", "2024-03-05T11:00:00Z", // bracketed URI
+      httpResponse("<html><body>page two</body></html>"))
+
+  private def gzipMembers(recs: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { r => // one gzip MEMBER per record, Common Crawl layout
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r); gz.finish(); gz.close()
+    }
+    bos.toByteArray
+  }
+
+  test("records: response-only parse, http body split, bracketed URIs, ts parse") {
+    val recs = Warc.records(new java.io.ByteArrayInputStream(archive)).toSeq
+    assert(recs.map(_.url) === Seq("http://a.example/1", "http://b.example/2"))
+    assert(new String(recs(0).html, "UTF-8") === "<html><body>page one</body></html>")
+    assert(recs(0).ts === java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-05T10:20:30Z")))
+  }
+
+  test("records: truncated tail is dropped, prior records survive; never throws") {
+    val truncated = archive.dropRight(30) // cut into the LAST record's block
+    val recs = Warc.records(new java.io.ByteArrayInputStream(truncated)).toSeq
+    assert(recs.map(_.url) === Seq("http://a.example/1"))
+    assert(Warc.records(new java.io.ByteArrayInputStream(Array[Byte]())).toSeq === Nil)
+    assert(Warc.records(new java.io.ByteArrayInputStream(
+      "random junk\nnot a warc\n".getBytes)).toSeq === Nil)
+  }
+
+  test("httpBody: CRLF and bare-LF header terminators; headerless blocks pass through") {
+    assert(new String(Warc.httpBody("HTTP/1.1 200 OK\r\nA: b\r\n\r\nBODY".getBytes)) === "BODY")
+    assert(new String(Warc.httpBody("HTTP/1.1 200 OK\nA: b\n\nBODY".getBytes)) === "BODY")
+    assert(new String(Warc.httpBody("no headers at all".getBytes)) === "no headers at all")
+  }
+
+  test("pages: plain and multi-member-gzip archives -> Page table; pipeline composes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc")
+    java.nio.file.Files.write(dir.resolve("part1.warc"), archive)
+    java.nio.file.Files.write(dir.resolve("part2.warc.gz"), gzipMembers(Seq(
+      record("response", "http://c.example/3", "2024-04-01T00:00:00Z",
+        httpResponse("<html><body>page three from gz</body></html>")))))
+    val df = Warc.pages(spark, dir.toString)
+    // same columns and types as the declared page contract (the case-class
+    // encoder marks url nullable; the parquet contract marks it required)
+    assert(df.schema.map(f => (f.name, f.dataType)) ===
+      Page.schema.map(f => (f.name, f.dataType)))
+    val rows = df.select(col("url"), decode(col("html"), "UTF-8")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(
+      "http://a.example/1", "http://b.example/2", "http://c.example/3"))
+    assert(rows("http://c.example/3").contains("page three from gz"))
+    // full pipeline from raw WARC: --input-warc --extract-html
+    val out = java.nio.file.Files.createTempDirectory("warcout").toString
+    val args = Pipeline.parse(Array(
+      "--input-warc", dir.toString, "--output", out,
+      "--extract-html", "--num-perm", "64", "--salt", "4", "--min-length", "1"))
+    val (kept, assigns) = Pipeline.run(spark, args)
+    assert(assigns.count() === 3L && kept.count() === 3L)
+    val texts = kept.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("http://a.example/1") === "page one")
+  }
+}
