@@ -1,0 +1,59 @@
+package dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AuditSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private val cfg = DedupConfig(numPerm = 64, threshold = 0.7, minLength = 3)
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("identical docs: jaccard 1.0, every band shared, hamming 0") {
+    val r = Audit.explainPair(
+      docs(1L -> "the quick brown fox jumps over the lazy dog",
+           2L -> "the quick brown fox jumps over the lazy dog"), 1L, 2L, cfg)
+    assert(r.jaccardPermille === 1000 && r.aboveThreshold)
+    assert(r.inter === r.uni)
+    assert(r.sharedBands === r.totalBands)
+    assert(r.hamming === 0)
+    assert(Audit.render(r).contains("jaccard=1.000"))
+  }
+
+  test("unrelated docs: low jaccard, no shared bands, large hamming") {
+    val r = Audit.explainPair(
+      docs(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+           2L -> "one two three four five six seven eight nine ten"), 1L, 2L, cfg)
+    assert(r.jaccardPermille === 0 && !r.aboveThreshold)
+    assert(r.sharedBands === 0)
+    assert(r.hamming > 10)
+  }
+
+  test("report numbers are ENGINE-true: match direct primitive calls") {
+    val ta = "shared prefix words here then something unique alpha beta gamma"
+    val tb = "shared prefix words here then something unique delta epsilon zeta"
+    val r = Audit.explainPair(docs(5L -> ta, 9L -> tb), 9L, 5L, cfg) // order-free
+    assert(r.idA === 5L && r.idB === 9L)
+    val sa = TextNorm.shingleHashes(ta, cfg.ngram, cfg.minLength)
+    val sb = TextNorm.shingleHashes(tb, cfg.ngram, cfg.minLength)
+    val (i, u) = VerifyPairs.jaccardCounts(sa, sb)
+    assert(r.inter === i && r.uni === u)
+    assert(r.jaccardPermille === (i.toLong * 1000 / u).toInt)
+    assert(r.hamming === java.lang.Long.bitCount(
+      SimHash.simhash64(sa, cfg.seed) ^ SimHash.simhash64(sb, cfg.seed)))
+  }
+
+  test("missing or below-min-length docs fail loudly, naming the eligible ids") {
+    val d = docs(1L -> "plenty of words in this one to pass the gate",
+                 2L -> "too short")
+    val e1 = intercept[IllegalArgumentException] {
+      Audit.explainPair(d, 1L, 2L, cfg) // 2 fails minLength
+    }
+    assert(e1.getMessage.contains("eligible ids found: 1"))
+    intercept[IllegalArgumentException] { Audit.explainPair(d, 1L, 99L, cfg) }
+    intercept[IllegalArgumentException] { Audit.explainPair(d, 1L, 1L, cfg) }
+  }
+}
