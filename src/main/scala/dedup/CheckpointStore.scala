@@ -175,6 +175,41 @@ class CheckpointStore(
     spark.read.parquet(dataPath(name)).drop("__pid__")
   }
 
+  /** Iceberg-style snapshot listing: one row per committed stage under
+    * this root — (stage, snapshot_id, config_hash, rows, files, bytes,
+    * wall_sec, lineage) — the ops/audit surface ("which stages exist,
+    * how big, how long, derived from what"). Driver-side O(#stages)
+    * manifest reads, no data scan. */
+  def stageReport(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rootPath = new Path(root)
+    val names =
+      if (!fs.exists(rootPath)) Seq.empty[String]
+      else fs.listStatus(rootPath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => fs.exists(manifestPath(n)))
+        .sorted
+    val rows = names.flatMap { n =>
+      readManifest(n).map { node =>
+        val bytes =
+          if (node.has("data_files"))
+            node.get("data_files").properties().asScala.map(_.getValue.asLong()).sum
+          else -1L
+        (node.get("stage").asText(),
+          node.get("snapshot_id").asText(),
+          node.get("config_hash").asText(),
+          node.get("rows").asLong(),
+          if (node.has("files")) node.get("files").asLong() else -1L,
+          bytes,
+          node.get("wall_sec").asDouble(),
+          node.get("lineage").elements().asScala.map(_.asText()).toSeq)
+      }
+    }
+    rows.toDF("stage", "snapshot_id", "config_hash", "rows", "files",
+      "bytes", "wall_sec", "lineage")
+  }
+
   /** Manifest of a committed stage, for tests / metrics reporting. */
   def manifest(name: String): Option[Map[String, Any]] =
     readManifest(name).map { node =>

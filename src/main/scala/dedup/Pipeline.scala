@@ -77,6 +77,7 @@ object Pipeline {
       exactJoin: Boolean = false,
       pruneFpp: Double = 0.01,
       byLang: Boolean = false,
+      exportFormat: String = "",
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
       cfg: DedupConfig = DedupConfig(idCol = "id", textCol = "text"))
@@ -132,6 +133,7 @@ object Pipeline {
         // 0 disables — e.g. when the batch rivals the corpus in size)
         case "--prune-fpp" => a = a.copy(pruneFpp = argv(i + 1).toDouble); i += 2
         case "--by-lang" => a = a.copy(byLang = true); i += 1
+        case "--export-format" => a = a.copy(exportFormat = argv(i + 1)); i += 2
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
@@ -142,6 +144,9 @@ object Pipeline {
     require(!a.existingFuzzy || a.existing.nonEmpty,
       "--existing-fuzzy requires --existing <pages parquet>")
     require(a.sampleTarget <= 1.0, "--sample-target must be in (0, 1]")
+    require(a.exportFormat.isEmpty ||
+      Set("jsonl", "jsonl.gz", "orc", "csv").contains(a.exportFormat),
+      s"--export-format must be jsonl|jsonl.gz|orc|csv, got ${a.exportFormat}")
     a
   }
 
@@ -481,6 +486,26 @@ object Pipeline {
         }
       if (args.redactPii) sharded.withColumn("text", Pii.redact(col("text")))
       else sharded
+    }
+
+    // `--export-format`: interchange copy of the kept corpus (HF-style
+    // jsonl.gz, ORC, CSV) beside the parquet checkpoint — the checkpoint
+    // chain itself stays parquet (the resume contract). Binary html is
+    // base64 in json, dropped for csv (csv cannot carry binary).
+    if (args.exportFormat.nonEmpty) {
+      val out = s"$outRoot/export"
+      args.exportFormat match {
+        case "jsonl" => kept.write.mode("overwrite").json(out)
+        case "jsonl.gz" =>
+          kept.write.mode("overwrite").option("compression", "gzip").json(out)
+        case "orc" => kept.write.mode("overwrite").orc(out)
+        case "csv" =>
+          val noBin = kept.schema.fields.collect {
+            case f if f.dataType == org.apache.spark.sql.types.BinaryType => f.name
+          }.foldLeft(kept)((d, c) => d.drop(c))
+          noBin.write.mode("overwrite")
+            .option("header", "true").option("escape", "\"").csv(out)
+      }
     }
 
     (kept, assignments)
