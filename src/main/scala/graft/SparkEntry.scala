@@ -503,6 +503,22 @@ object SparkEntry {
         HtmlExtract.mainContentCol(html).as("main"))
     }),
 
+    // URL-canonicalization dedup (UrlOps.normalize × ExactDedup): the same
+    // page re-crawled under mixed-case scheme/host, default port, and
+    // per-crawl fragments must land in one component keyed by the
+    // normalized url. The group is (doc_id % 80) BY CONSTRUCTION, so
+    // DuckDB derives component = min id per arithmetic group without ever
+    // touching the normalizer — a normalize or grouping bug fails the hash.
+    "q_url_dedup" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 40).cast("string"),
+        lit(".Example.COM:443/p/"), (col("doc_id") % 80).cast("string"),
+        lit("#s"), col("doc_id").cast("string"))
+      val pages = documents(s, dir)
+        .select(col("doc_id"), UrlOps.normalize(url).as("u"))
+      ExactDedup.assignments(pages, "doc_id", "u")
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // Gopher-style quality gate (TextAnalysis.qualityFilter): every rule
     // is integer-exact cross-multiplication, so DuckDB replicates the
     // booleans bit-for-bit from the raw text.
@@ -1205,6 +1221,12 @@ object SparkEntry {
         |  chr(10) || 'Read the full analysis at this link which has plenty of surrounding prose for doc '
         |  || doc_id || ' to pass the length gate.' AS main
         |FROM documents""".stripMargin,
+
+    "q_url_dedup" ->
+      """SELECT d.doc_id, m.component FROM documents d
+        |JOIN (SELECT doc_id % 80 AS g, min(doc_id) AS component
+        |      FROM documents GROUP BY 1) m
+        |ON d.doc_id % 80 = m.g""".stripMargin,
 
     "q_quality_filter" ->
       """WITH f AS (
