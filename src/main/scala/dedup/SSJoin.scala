@@ -176,6 +176,24 @@ object SSJoin {
       .select(col("id_a"), col("id_b"), col("inter"), col("len_a"))
   }
 
+  /** CONTAINMENT dedup (subset/quote removal): drop every doc that is
+    * ≥ threshold contained in ANY other doc that is strictly larger, or
+    * equal-sized with a smaller id (the deterministic tie-break that also
+    * resolves mutual containment = near-identical sets). The "any other
+    * doc" rule is deliberate — containment is not transitive at a
+    * threshold, so dropping against surviving containers only would be
+    * order-dependent; this form is deterministic and matches the common
+    * subset-removal semantics. Returns the kept ids. */
+  def dropContained(tokSets: DataFrame, threshold: Double, dfCap: Long = 0L): DataFrame = {
+    val pairs = containmentPairs(tokSets, threshold, dfCap)
+    val lens = orderedTokenSets(tokSets).select(col("id").as("id_b"), col("len").as("len_b"))
+    val drops = pairs.join(lens, "id_b")
+      .where(col("len_b") > col("len_a") ||
+        (col("len_b") === col("len_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("id")).distinct()
+    tokSets.select(col("id")).join(drops, Seq("id"), "left_anti")
+  }
+
   /** Exact fuzzy-dedup assignments: the flagship's shingle sets through the
     * exact join instead of MinHash banding — recall 1.0 by construction,
     * same output contract as FuzzyDedup.assignments (id, component=min of

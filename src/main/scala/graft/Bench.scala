@@ -26,6 +26,7 @@ object Bench {
     "q_ssjoin_assign", // SSJoin pairs -> CC assignments
     "q_cluster_sizes",
     "q_containment", // asymmetric quote-inside-page pairs (SSJoin family)
+    "q_contain_kept", // containment DEDUP: subset/quote removal
     "q_simhash_assign",
     "q_suffix_assign",
     "q_remove_runs",

@@ -158,6 +158,15 @@ object SparkEntry {
         .select(col("doc_id").as("id"), triGrams(col("text")).as("toks"))
       SSJoin.containmentPairs(g, 0.9)
     }),
+    // Containment DEDUP (subset/quote removal): keep only docs not
+    // 0.9-contained in a larger (or equal-size, smaller-id) doc. DuckDB
+    // recomputes the drop rule brute-force from raw trigram sets.
+    "q_contain_kept" -> ((s, dir) => {
+      val g = documents(s, dir)
+        .where(nTokens(col("text")) >= 5)
+        .select(col("doc_id").as("id"), triGrams(col("text")).as("toks"))
+      SSJoin.dropContained(g, 0.9).select(col("id").as("doc_id"))
+    }),
     // ------------------------------------------------- connected components
     "q_cc_chain" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -907,6 +916,19 @@ object SparkEntry {
         |  len(list_intersect(a.g, b.g))::BIGINT AS inter, len(a.g)::BIGINT AS len_a
         |FROM grams a JOIN grams b ON a.doc_id != b.doc_id
         |WHERE len(list_intersect(a.g, b.g)) * 10 >= len(a.g) * 9""".stripMargin,
+    "q_contain_kept" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, len(a.g) AS la, b.doc_id AS id_b, len(b.g) AS lb
+        |  FROM grams a JOIN grams b ON a.doc_id != b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) * 10 >= len(a.g) * 9)
+        |SELECT t.doc_id FROM toks t WHERE NOT EXISTS (
+        |  SELECT 1 FROM pairs p WHERE p.id_a = t.doc_id
+        |    AND (p.lb > p.la OR (p.lb = p.la AND p.id_b < p.id_a)))""".stripMargin,
     "q_cluster_sizes" ->
       (fuzzyCcSql +
         """, sizes AS (SELECT coalesce(c.component, d.doc_id) AS comp, count(*)::BIGINT AS cluster_size

@@ -144,6 +144,40 @@ class SSJoinSpec extends AnyFunSuite {
     assert(got(ts, 0.5).isEmpty)
   }
 
+  test("dropContained: subset chain and mutual containment resolve deterministically") {
+    // 1 ⊂ 2 ⊂ 4; 3 unrelated; 5 == 6 (mutual containment, equal size)
+    val w = (0 until 100).map(k => s"w$k")
+    val ts = Seq(
+      (1L, w.take(10).toArray),
+      (2L, w.take(40).toArray),
+      (4L, w.take(100).toArray),
+      (3L, (0 until 30).map(k => s"z$k").toArray),
+      (6L, (0 until 20).map(k => s"m$k").toArray),
+      (5L, (0 until 20).map(k => s"m$k").toArray)).toDF("id", "toks")
+    val kept = SSJoin.dropContained(ts, 0.9).as[Long].collect().toSet
+    // 1 and 2 drop (contained in a larger doc); 6 drops (equal set, 5 < 6)
+    assert(kept === Set(3L, 4L, 5L))
+  }
+
+  test("dropContained == brute-force drop rule on random corpora") {
+    for (seed <- Seq(1, 2, 3); t <- Seq(0.8, 0.9)) {
+      val rnd = new scala.util.Random(seed)
+      val ts = (0 until 30).map { i =>
+        val len = 5 + rnd.nextInt(25)
+        (i.toLong, (0 until len).map(k => s"t${(k * (1 + i % 4)) % 40}").distinct.toArray)
+      }.toDF("id", "toks")
+      val pairs = bruteContain(ts, t)
+      val lens = ts.select(col("id"), size(array_distinct(col("toks"))).cast("long").as("len"))
+        .as[(Long, Long)].collect().toMap
+      val expectDrop = pairs.collect {
+        case (a, b, _, la) if lens(b) > la || (lens(b) == la && b < a) => a
+      }
+      val expectKept = lens.keySet -- expectDrop
+      val kept = SSJoin.dropContained(ts, t).as[Long].collect().toSet
+      assert(kept === expectKept, s"seed=$seed t=$t")
+    }
+  }
+
   test("containmentPairs == brute force across seeds and thresholds") {
     for (seed <- Seq(4, 5)) {
       val rnd = new scala.util.Random(seed)
