@@ -210,7 +210,7 @@ object Ann {
     * contributes at most cap candidates per probe instead of a quadratic
     * blow-up. Uncapped rows are dropped from the *corpus* side only, so
     * every vector still issues queries. */
-  private def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
+  private[dedup] def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
     if (cap <= 0) buckets
     else {
       val w = org.apache.spark.sql.expressions.Window

@@ -111,6 +111,47 @@ object IncrementalDedup {
     * still verified against cap candidates in EVERY band it shares, so
     * recall degrades gracefully while candidate volume stays
     * ≤ cap × bands × |batch|. Default 0 = exact (oracle semantics). */
+  /** Incremental SEMANTIC dedup: drop batch docs whose embedding has
+    * cosine ≥ threshold to ANY existing-corpus embedding — the
+    * embedding-space member of the incremental family (exact =
+    * [[newDocs]], near-dup = [[newDocsFuzzy]]). Same asymmetric shape:
+    * the corpus side is sign-LSH-bucketed once (radius-0 index, capped
+    * per bucket), the batch side multi-probes within `probeRadius` bits,
+    * candidates are exactly cosine-verified — a batch doc dies only on a
+    * REAL ≥-threshold hit, so precision is exact and recall follows the
+    * (threshold, nbits, probeRadius) binomial-tail argument of
+    * [[Ann.cosineDedupLsh]] (byte-identical embeddings share a bucket
+    * with probability 1 — re-embedded exact copies are always caught).
+    * Returns the kept batch rows (all batch columns). */
+  def newDocsSemantic(
+      corpusVecs: DataFrame,
+      batchVecs: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nbits: Int = 8,
+      seed: Long = 42L,
+      probeRadius: Int = 2,
+      bucketCap: Int = 4096): DataFrame = {
+    val spark = batchVecs.sparkSession
+    import spark.implicits._
+    val corpus = corpusVecs.select(col("id").cast("long").as("id"), col("vec"))
+    val batch = batchVecs.select(col("id").cast("long").as("id"), col("vec"))
+    val index = Ann.capBuckets(Ann.signBuckets(corpus, dim, nbits, seed), bucketCap)
+      .join(corpus, "id")
+      .select(col("bucket"), col("id").as("cid"), col("vec").as("cvec"))
+    val probes = Ann.signBuckets(batch, dim, nbits, seed)
+      .select(col("id"), col("bucket")).as[(Long, Long)]
+      .flatMap { case (id, b) =>
+        Ann.probeSet(b, nbits, probeRadius).iterator.map(p => (id, p))
+      }
+      .toDF("bid", "bucket")
+      .join(batch.select(col("id").as("bid"), col("vec").as("bvec")), "bid")
+    val hit = probes.join(index, Seq("bucket"))
+      .where(Ann.cosine(col("bvec"), col("cvec")) >= lit(threshold))
+      .select(col("bid").as("id")).distinct()
+    batchVecs.join(hit, Seq("id"), "left_anti")
+  }
+
   def newDocsFuzzy(
       existing: DataFrame,
       batch: DataFrame,

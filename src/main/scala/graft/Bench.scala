@@ -65,6 +65,7 @@ object Bench {
     "q_pii_redact",
     "q_incremental",
     "q_incremental_fuzzy",
+    "q_incremental_sem",
     "q_cross_pairs",
     "q_domain_cap",
     "q_top_words",

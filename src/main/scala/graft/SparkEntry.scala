@@ -289,6 +289,25 @@ object SparkEntry {
         .select(col("qid").as("vec_id"), col("rank").cast("long").as("rnk"),
           col("neighbor_id"))
     }),
+    // Incremental SEMANTIC dedup (IncrementalDedup.newDocsSemantic): the
+    // batch clones every even-id corpus embedding as either an exact COPY
+    // (dropped: cosine 1; a byte-identical embedding shares its sign-LSH
+    // bucket with probability 1, so engine recall is deterministic) or its
+    // NEGATION (kept: cosine −1 to its source, ≤ this corpus's ~0.5 max
+    // to everything else). DuckDB recomputes the drop rule brute-force
+    // with list_cosine_similarity — bucket logic, probing and the verify
+    // gate are all on trial.
+    "q_incremental_sem" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      val batch = e.where(col("id") % 2 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          when(col("id") % 4 === 0, col("vec"))
+            .otherwise(transform(col("vec"), x => -x)).as("vec"))
+      IncrementalDedup.newDocsSemantic(e, batch, 0.95, dim = 64)
+        .select(col("id").as("vec_id"))
+    }),
+
     // brute-force cosine dedup baseline at a non-vacuous threshold (0.4 —
     // this corpus's max pairwise cosine ≈ 0.5; 0.95 matches nothing).
     // O(n²) by design, bench-excluded; scale path below.
@@ -988,6 +1007,17 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
         |  FROM scored)
         |SELECT vec_id, rnk, neighbor_id FROM ranked WHERE rnk <= 3""".stripMargin,
+    "q_incremental_sem" ->
+      """WITH corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |batch AS (
+        |  SELECT id + 1000000 AS id,
+        |    CASE WHEN id % 4 = 0 THEN vec
+        |         ELSE list_transform(vec, x -> -x) END AS vec
+        |  FROM corpus WHERE id % 2 = 0)
+        |SELECT b.id AS vec_id FROM batch b WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c
+        |  WHERE list_cosine_similarity(b.vec, c.vec) >= 0.95)""".stripMargin,
+
     "q_embed_dedup" ->
       """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM e a JOIN e b

@@ -222,6 +222,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept.columns.contains("shard"))
   }
 
+  test("newDocsSemantic: near-dup embeddings dropped, orthogonal kept, payload intact") {
+    val rnd = new scala.util.Random(5)
+    val dim = 32
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    }
+    val corpusDf = corpus.toDF("id", "vec")
+    // batch: ids 1000+i — every 3rd a tiny perturbation of corpus vector i
+    // (cosine ~0.999), the rest fresh random (cosine << 0.95 w.h.p.)
+    val batch = (0 until 40).map { i =>
+      val vec =
+        if (i % 3 == 0) unit(corpus(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+        else unit(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      (1000L + i, vec, s"payload$i")
+    }
+    val batchDf = batch.toDF("id", "vec", "meta")
+    val kept = IncrementalDedup.newDocsSemantic(
+      corpusDf, batchDf, 0.95, dim, nbits = 8, probeRadius = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // exact-verify precision: no fresh vector can be dropped spuriously —
+    // verify brute-force truth and compare exactly
+    val truthDropped = batch.filter { case (_, bv, _) =>
+      corpus.exists { case (_, cv) =>
+        bv.zip(cv).map { case (a, b) => a.toDouble * b }.sum >= 0.95
+      }
+    }.map(_._1).toSet
+    assert(truthDropped.nonEmpty, "test must plant real near-dups")
+    assert(kept.keySet === batch.map(_._1).toSet -- truthDropped,
+      "kept set must equal brute-force truth (recall at this regime + exact precision)")
+    assert(kept.values.forall(_.startsWith("payload")), "payload columns survive")
+  }
+
   test("bloom prefilter is load-bearing: rejects most new keys before any join") {
     val existing = corpus(1L to 1000L, i => s"page $i")
     val bloom = IncrementalDedup.buildBloom(existing, "text", fpp = 0.01)
