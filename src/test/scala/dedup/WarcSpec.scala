@@ -64,6 +64,36 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(Warc.httpBody("no headers at all".getBytes)) === "no headers at all")
   }
 
+  test("property: random archives round-trip (plain and gzipped), binary bodies intact") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 25) {
+      val nRecs = 1 + rnd.nextInt(8)
+      val recs = (0 until nRecs).map { k =>
+        val tpe = Seq("response", "request", "metadata")(rnd.nextInt(3))
+        val uri = s"http://h${rnd.nextInt(100)}.example/p${rnd.nextInt(1000)}"
+        // binary body: arbitrary bytes INCLUDING CRLFs and fake WARC/ lines
+        val body = new Array[Byte](rnd.nextInt(500))
+        rnd.nextBytes(body)
+        val block =
+          if (rnd.nextBoolean()) httpResponse("") ++ body // with http headers
+          else body                                       // bare content
+        (tpe, uri, block, record(tpe, uri, "2024-06-01T00:00:00Z", block))
+      }
+      val archiveBytes = recs.map(_._4).reduce(_ ++ _)
+      val in: java.io.InputStream =
+        if (trial % 2 == 0) new java.io.ByteArrayInputStream(archiveBytes)
+        else new java.util.zip.GZIPInputStream( // pages() wraps after magic sniff
+          new java.io.ByteArrayInputStream(gzipMembers(recs.map(_._4))))
+      val parsed = Warc.records(in).toSeq
+      val expect = recs.filter(_._1 == "response")
+      assert(parsed.length === expect.length, s"trial $trial")
+      parsed.zip(expect).foreach { case (got, (_, uri, block, _)) =>
+        assert(got.url === uri, s"trial $trial")
+        assert(got.html.toSeq === Warc.httpBody(block).toSeq, s"trial $trial")
+      }
+    }
+  }
+
   test("pages: plain and multi-member-gzip archives -> Page table; pipeline composes") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("warc")
