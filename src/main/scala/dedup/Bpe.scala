@@ -143,7 +143,10 @@ object Bpe {
     val rank = rankMap(merges)
     val fn = udf { (s: String) =>
       if (s == null) Array.empty[String]
-      else s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // Locale.ROOT: Spark's lower() (used in training) is
+      // locale-independent; a tr-TR default locale would otherwise emit
+      // symbols ('ı') the merge table never saw
+      else s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         .flatMap(w => encodeWord(w, rank))
     }
     fn(text)

@@ -27,6 +27,37 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
+  /** Decode the entity starting at `s(i) == '&'` → (decoded string or
+    * null, chars consumed). ONE shared implementation for text()/links()/
+    * mainContent() so the three extractors can never disagree; numeric
+    * references above U+FFFF decode via Character.toChars (surrogate
+    * pairs), invalid code points pass through undecoded. */
+  private def entityAt(s: String, i: Int, n: Int): (String, Int) = {
+    var k = i + 1
+    val lim = math.min(n, i + 10)
+    while (k < lim && s.charAt(k) != ';') k += 1
+    if (k >= lim) return (null, 1)
+    val ent = s.substring(i + 1, k)
+    def cp(v: Int): String =
+      if (Character.isValidCodePoint(v)) new String(Character.toChars(v)) else null
+    val dec: String = ent.toLowerCase match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+        try cp(Integer.parseInt(ent.substring(2), 16))
+        catch { case _: Exception => null }
+      case _ if ent.startsWith("#") =>
+        try cp(Integer.parseInt(ent.substring(1)))
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    if (dec == null) (null, 1) else (dec, k + 1 - i)
+  }
+
   def text(html: String): String = {
     if (html == null) return ""
     val n = html.length
@@ -91,35 +122,9 @@ object HtmlExtract {
           appendChar(' ') // tags are word boundaries: <p>a</p><p>b</p> -> "a b"
         }
       } else if (c == '&') {
-        // entity: bounded lookahead to ';' (max 10 chars, per HTML's
-        // longest common references); unknown entities pass through
-        val semi = {
-          var k = i + 1
-          val lim = math.min(n, i + 10)
-          while (k < lim && html.charAt(k) != ';') k += 1
-          if (k < lim) k else -1
-        }
-        if (semi < 0) { appendChar(c); i += 1 }
-        else {
-          val ent = html.substring(i + 1, semi)
-          val dec: String = ent.toLowerCase match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            case "apos" => "'"
-            case "nbsp" => " "
-            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(ent.substring(2), 16).toChar)
-              catch { case _: Exception => null }
-            case _ if ent.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(ent.substring(1)).toChar)
-              catch { case _: Exception => null }
-            case _ => null
-          }
-          if (dec == null) { appendChar(c); i += 1 }
-          else { dec.foreach(appendChar); i = semi + 1 }
-        }
+        val (dec, adv) = entityAt(html, i, n)
+        if (dec == null) { appendChar(c); i += 1 }
+        else { dec.foreach(appendChar); i += adv }
       } else {
         appendChar(c)
         i += 1
@@ -133,6 +138,8 @@ object HtmlExtract {
 
   /** Decode the same entity set [[text]] handles, for attribute values
     * (URLs in href routinely carry &amp;). Unknown entities pass through. */
+  /** Decode the [[entityAt]] entity set in an attribute value (URLs in
+    * href routinely carry &amp;). Unknown entities pass through. */
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val n = s.length
@@ -141,31 +148,9 @@ object HtmlExtract {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '&') {
-        var k = i + 1
-        val lim = math.min(n, i + 10)
-        while (k < lim && s.charAt(k) != ';') k += 1
-        val semi = if (k < lim) k else -1
-        var decoded: String = null
-        if (semi > 0) {
-          val ent = s.substring(i + 1, semi)
-          decoded = ent.toLowerCase match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            case "apos" => "'"
-            case "nbsp" => " "
-            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(ent.substring(2), 16).toChar)
-              catch { case _: Exception => null }
-            case _ if ent.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(ent.substring(1)).toChar)
-              catch { case _: Exception => null }
-            case _ => null
-          }
-        }
-        if (decoded == null) { sb.append(c); i += 1 }
-        else { sb.append(decoded); i = semi + 1 }
+        val (dec, adv) = entityAt(s, i, n)
+        if (dec == null) { sb.append(c); i += 1 }
+        else { sb.append(dec); i += adv }
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -371,33 +356,9 @@ object HtmlExtract {
           } else appendChar(' ')
         }
       } else if (c == '&') {
-        val semi = {
-          var k = i + 1
-          val lim = math.min(n, i + 10)
-          while (k < lim && html.charAt(k) != ';') k += 1
-          if (k < lim) k else -1
-        }
-        if (semi < 0) { appendChar(c); i += 1 }
-        else {
-          val ent = html.substring(i + 1, semi)
-          val dec: String = ent.toLowerCase match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            case "apos" => "'"
-            case "nbsp" => " "
-            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(ent.substring(2), 16).toChar)
-              catch { case _: Exception => null }
-            case _ if ent.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(ent.substring(1)).toChar)
-              catch { case _: Exception => null }
-            case _ => null
-          }
-          if (dec == null) { appendChar(c); i += 1 }
-          else { dec.foreach(appendChar); i = semi + 1 }
-        }
+        val (dec, adv) = entityAt(html, i, n)
+        if (dec == null) { appendChar(c); i += 1 }
+        else { dec.foreach(appendChar); i += adv }
       } else {
         appendChar(c)
         i += 1

@@ -379,8 +379,12 @@ object Multimodal {
         val (size, szLen) = readSize(i + idLen)
         if (szLen == 0) return
         val ps = i + idLen + szLen
+        // bounds check in LONG arithmetic before any truncation: a
+        // malformed 64-bit size must not wrap negative via toInt (which
+        // would stall the walk on one offset forever)
+        if (size < -1L || (size != -1L && size > (until - ps).toLong)) return
         val pe = if (size == -1L) until else ps + size.toInt
-        if (size < -1L || pe > until) return // corrupt/truncated
+        if (pe <= i) return // zero forward progress: corrupt stream
         f(id, ps, pe)
         i = pe
       }

@@ -144,6 +144,8 @@ object Pipeline {
     require(!a.existingFuzzy || a.existing.nonEmpty,
       "--existing-fuzzy requires --existing <pages parquet>")
     require(a.sampleTarget <= 1.0, "--sample-target must be in (0, 1]")
+    require(!a.mainContent || a.extractHtml,
+      "--main-content modifies the --extract-html fill; pass --extract-html too")
     require(a.exportFormat.isEmpty ||
       Set("jsonl", "jsonl.gz", "orc", "csv").contains(a.exportFormat),
       s"--export-format must be jsonl|jsonl.gz|orc|csv, got ${a.exportFormat}")

@@ -60,23 +60,73 @@ object Warc {
 
   /** The entity body of an HTTP response block: everything after the
     * first CRLFCRLF (or LFLF) header terminator; the whole block if no
-    * terminator is found (some archives store bare content). */
+    * terminator is found (some archives store bare content). Honors the
+    * HTTP headers the split already scanned past: `Transfer-Encoding:
+    * chunked` bodies are de-chunked and `Content-Encoding: gzip` bodies
+    * decompressed (both occur in real Common Crawl / Heritrix archives —
+    * storing them raw would put compressed/chunk-framed bytes in the html
+    * column). Decoding is best-effort: a malformed encoding falls back to
+    * the raw bytes, never throws. */
   private[dedup] def httpBody(block: Array[Byte]): Array[Byte] = {
+    var split = -1
     var i = 0
-    while (i + 3 < block.length) {
+    while (split < 0 && i + 3 < block.length) {
       if (block(i) == '\r' && block(i + 1) == '\n' &&
-          block(i + 2) == '\r' && block(i + 3) == '\n')
-        return java.util.Arrays.copyOfRange(block, i + 4, block.length)
+          block(i + 2) == '\r' && block(i + 3) == '\n') split = i + 4
       i += 1
     }
-    i = 0
-    while (i + 1 < block.length) {
-      if (block(i) == '\n' && block(i + 1) == '\n')
-        return java.util.Arrays.copyOfRange(block, i + 2, block.length)
-      i += 1
+    if (split < 0) {
+      i = 0
+      while (split < 0 && i + 1 < block.length) {
+        if (block(i) == '\n' && block(i + 1) == '\n') split = i + 2
+        i += 1
+      }
     }
-    block
+    if (split < 0) return block
+    val headers = new String(block, 0, split,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    var body = java.util.Arrays.copyOfRange(block, split, block.length)
+    if (headers.contains("transfer-encoding") && headers.contains("chunked"))
+      body = dechunk(body).getOrElse(body)
+    if (headers.contains("content-encoding") && headers.contains("gzip"))
+      body = gunzip(body).getOrElse(body)
+    body
   }
+
+  /** HTTP/1.1 chunked-transfer decoding: hex size line, chunk, CRLF,
+    * repeat until the 0-size chunk. None on any malformation. */
+  private[dedup] def dechunk(body: Array[Byte]): Option[Array[Byte]] = try {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    var done = false
+    while (!done) {
+      var j = i // hex size up to ';' (chunk extension) or CR
+      while (j < body.length && body(j) != '\r' && body(j) != '\n' && body(j) != ';') j += 1
+      val size = Integer.parseInt(
+        new String(body, i, j - i, java.nio.charset.StandardCharsets.US_ASCII).trim, 16)
+      while (j < body.length && body(j) != '\n') j += 1 // end of size line
+      j += 1
+      if (size == 0) done = true
+      else {
+        if (j + size > body.length) return None
+        out.write(body, j, size)
+        j += size
+        while (j < body.length && (body(j) == '\r' || body(j) == '\n')) j += 1
+      }
+      i = j
+    }
+    Some(out.toByteArray)
+  } catch { case _: Exception => None }
+
+  private[dedup] def gunzip(body: Array[Byte]): Option[Array[Byte]] = try {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(body), 1 << 14)
+    val out = new java.io.ByteArrayOutputStream(body.length * 4)
+    val buf = new Array[Byte](1 << 14)
+    var r = in.read(buf)
+    while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+    Some(out.toByteArray)
+  } catch { case _: Exception => None }
 
   private def parseTs(s: String): java.sql.Timestamp =
     try java.sql.Timestamp.from(java.time.Instant.parse(s))
@@ -118,11 +168,18 @@ object Warc {
             }
             h = readLine(in)
           }
-          if (h == null || len < 0) { done = true; return }
-          val block = readFully(in, len)
-          // trailing CRLF CRLF separator (tolerated if absent at EOF)
-          if (tpe != null && tpe.equalsIgnoreCase("response") && uri != null)
-            nextRec = Rec(uri, parseTs(date), httpBody(block))
+          if (h == null) { done = true; return }
+          if (len < 0) {
+            // missing/garbled Content-Length: we cannot skip this block
+            // exactly, but the outer version-line seek resyncs on the next
+            // "WARC/" line — drop THIS record only, not the archive tail
+            // (the documented malformed-records-are-skipped contract)
+          } else {
+            val block = readFully(in, len)
+            // trailing CRLF CRLF separator (tolerated if absent at EOF)
+            if (tpe != null && tpe.equalsIgnoreCase("response") && uri != null)
+              nextRec = Rec(uri, parseTs(date), httpBody(block))
+          }
         } catch {
           case _: EOFException => done = true // truncated tail: keep what we have
         }

@@ -246,6 +246,12 @@ class EndToEndSpec extends AnyFunSuite {
     val ranks = spark.read.parquet(s"$dir/out/host_ranks")
     assert(ranks.count() === 2L)
     assert(ranks.columns.toSeq === Seq("host", "rank"))
+    // --main-content without --extract-html would be a silent no-op; parse
+    // must reject it loudly instead
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.parse(Array("--synth", "10", "--output", dir, "--main-content"))
+    }
+    assert(err.getMessage.contains("--extract-html"))
   }
 
   test("--existing / --dedup-lines / --redact-pii: incremental prefilter, " +

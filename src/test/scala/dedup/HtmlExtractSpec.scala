@@ -53,6 +53,19 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(out(3L) === "")
   }
 
+  test("supplementary-plane numeric entities decode as surrogate pairs everywhere") {
+    // U+1F600 = &#128512; / &#x1F600; — one shared entityAt serves all three
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(HtmlExtract.text("a &#128512; b") === s"a $emoji b")
+    assert(HtmlExtract.text("&#x1F600;") === emoji)
+    assert(HtmlExtract.links(s"""<a href="https://x.example/?e=&#128512;">l</a>""") ===
+      Seq(s"https://x.example/?e=$emoji"))
+    val prose = "Long enough body prose for the main-content length gate here"
+    assert(HtmlExtract.mainContent(s"<p>$prose &#128512;</p>") === s"$prose $emoji")
+    // invalid code point passes through undecoded, never throws
+    assert(HtmlExtract.text("&#1114112;") === "&#1114112;")
+  }
+
   test("mainContent: length gate, link-density gate, kept blocks joined by \\n") {
     val prose = "This paragraph carries enough ordinary prose to clear the " +
       "forty character minimum with ease."

@@ -273,6 +273,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.webmMeta(golden.take(20)) === None)
     assert(Multimodal.webmMeta("EBML? not really".getBytes) === None)
     assert(Multimodal.webmMeta(null) === None)
+    // adversarial: a 5-byte vint size whose value wraps negative through
+    // toInt (2^32 - 9) must terminate (None), not stall the element walk
+    val evil: Array[Byte] =
+      Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte, 0x80.toByte) ++
+      Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, // Segment id
+        0x08, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xF7.toByte) ++ // 5-byte size = 2^32-9
+      new Array[Byte](16)
+    assert(Multimodal.webmMeta(evil) === None)
   }
 
   test("sniffMagic: mp4 (ftyp at offset 4) and webm (EBML magic) recognized") {

@@ -58,6 +58,38 @@ class WarcSpec extends AnyFunSuite {
       "random junk\nnot a warc\n".getBytes)).toSeq === Nil)
   }
 
+  test("records: a garbled Content-Length drops ONE record, not the archive tail") {
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://bad.example/\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 12a\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val wire = record("response", "http://a.example/1", "2024-03-05T10:20:30Z",
+      httpResponse("<p>one</p>")) ++ bad ++
+      record("response", "http://c.example/2", "2024-03-05T12:00:00Z",
+        httpResponse("<p>two</p>"))
+    val recs = Warc.records(new java.io.ByteArrayInputStream(wire)).toSeq
+    assert(recs.map(_.url) === Seq("http://a.example/1", "http://c.example/2"))
+  }
+
+  test("httpBody: chunked transfer decoded, gzip content decoded, best-effort fallback") {
+    val body = "<html><body>compressed page body</body></html>"
+    // chunked: two chunks + terminator
+    val chunked = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      f"${10}%x\r\n" + body.take(10) + "\r\n" +
+      f"${body.length - 10}%x\r\n" + body.drop(10) + "\r\n0\r\n\r\n").getBytes("ISO-8859-1")
+    assert(new String(Warc.httpBody(chunked), "UTF-8") === body)
+    // gzip content-encoding
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(body.getBytes("UTF-8")); gz.close()
+    val gzipped = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n".getBytes("ISO-8859-1") ++
+      bos.toByteArray
+    assert(new String(Warc.httpBody(gzipped), "UTF-8") === body)
+    // malformed gzip: raw bytes fall through, never a throw
+    val broken = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip".getBytes("ISO-8859-1")
+    assert(new String(Warc.httpBody(broken), "UTF-8") === "not gzip")
+  }
+
   test("httpBody: CRLF and bare-LF header terminators; headerless blocks pass through") {
     assert(new String(Warc.httpBody("HTTP/1.1 200 OK\r\nA: b\r\n\r\nBODY".getBytes)) === "BODY")
     assert(new String(Warc.httpBody("HTTP/1.1 200 OK\nA: b\n\nBODY".getBytes)) === "BODY")
