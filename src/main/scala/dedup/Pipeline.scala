@@ -78,6 +78,7 @@ object Pipeline {
       pruneFpp: Double = 0.01,
       byLang: Boolean = false,
       exportFormat: String = "",
+      explainPair: Option[(Long, Long)] = None,
       collisionCheck: Boolean = true,
       chunkRows: Long = 200000L,
       cfg: DedupConfig = DedupConfig(idCol = "id", textCol = "text"))
@@ -134,6 +135,9 @@ object Pipeline {
         case "--prune-fpp" => a = a.copy(pruneFpp = argv(i + 1).toDouble); i += 2
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--export-format" => a = a.copy(exportFormat = argv(i + 1)); i += 2
+        case "--explain-pair" =>
+          val Array(x, y) = argv(i + 1).split(",", 2)
+          a = a.copy(explainPair = Some((x.trim.toLong, y.trim.toLong))); i += 2
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
@@ -528,14 +532,25 @@ object Pipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val (kept, assignments) = run(spark, args)
-    val total = assignments.count()
-    val keptN = kept.count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"docs=$total kept=$keptN removed=${total - keptN} " +
-      f"(${100.0 * (total - keptN) / math.max(1, total)}%.2f%%) wall=${sec}%.1fs " +
-      f"throughput=${total / math.max(sec, 1e-9)}%.0f docs/sec")
+    // `--explain-pair a,b`: dedup forensics instead of a pipeline run —
+    // print the engine-true pair report (Audit) over the input docs and exit
+    if (args.explainPair.isDefined) {
+      val (x, y) = args.explainPair.get
+      val docs = loadPages(spark, args).select(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("url")).as("id"),
+        org.apache.spark.sql.functions.col("text"))
+      println(Audit.render(Audit.explainPair(docs, x, y, args.cfg)))
+    } else {
+      val t0 = System.nanoTime()
+      val (kept, assignments) = run(spark, args)
+      val total = assignments.count()
+      val keptN = kept.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"docs=$total kept=$keptN removed=${total - keptN} " +
+        f"(${100.0 * (total - keptN) / math.max(1, total)}%.2f%%) wall=${sec}%.1fs " +
+        f"throughput=${total / math.max(sec, 1e-9)}%.0f docs/sec")
+    }
     spark.stop()
   }
 }

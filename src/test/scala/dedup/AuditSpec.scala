@@ -46,6 +46,12 @@ class AuditSpec extends AnyFunSuite {
       SimHash.simhash64(sa, cfg.seed) ^ SimHash.simhash64(sb, cfg.seed)))
   }
 
+  test("--explain-pair CLI flag parses (whitespace-tolerant)") {
+    val a = Pipeline.parse(Array(
+      "--synth", "10", "--output", "/tmp/x", "--explain-pair", "5, 9"))
+    assert(a.explainPair === Some((5L, 9L)))
+  }
+
   test("missing or below-min-length docs fail loudly, naming the eligible ids") {
     val d = docs(1L -> "plenty of words in this one to pass the gate",
                  2L -> "too short")
