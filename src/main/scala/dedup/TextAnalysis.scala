@@ -447,6 +447,51 @@ object TextAnalysis {
         col("familiarity"), col("ppl"), col("bucket"))
   }
 
+  // ------------------------------------------------------ script profile
+  /** Per-doc Unicode-script histogram over LETTER code points — the
+    * mixed-script signal webtext curation uses (Latin text stuffed with
+    * Cyrillic homoglyphs is a spam marker; script mix also routes docs to
+    * script-appropriate tokenizers). Counts five buckets: latin,
+    * cyrillic, cjk (Han+Hiragana+Katakana+Hangul), arabic, other-letter;
+    * non-letters (digits, punctuation, space) are not counted. Code-point
+    * iteration, so supplementary-plane letters count once. Zero-shuffle
+    * typed projection like the other per-doc scanners. */
+  def scriptCounts(text: String): (Long, Long, Long, Long, Long) = {
+    if (text == null) return (0L, 0L, 0L, 0L, 0L)
+    var latin = 0L; var cyr = 0L; var cjk = 0L; var ar = 0L; var other = 0L
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        import Character.UnicodeScript
+        UnicodeScript.of(cp) match {
+          case UnicodeScript.LATIN => latin += 1
+          case UnicodeScript.CYRILLIC => cyr += 1
+          case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
+               UnicodeScript.KATAKANA | UnicodeScript.HANGUL => cjk += 1
+          case UnicodeScript.ARABIC => ar += 1
+          case _ => other += 1
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    (latin, cyr, cjk, ar, other)
+  }
+
+  /** (id, n_latin, n_cyrillic, n_cjk, n_arabic, n_other_letter) table. */
+  def scriptStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (l, c, j, a, o) = scriptCounts(t)
+        (id, l, c, j, a, o)
+      })
+      .toDF("id", "n_latin", "n_cyrillic", "n_cjk", "n_arabic", "n_other_letter")
+  }
+
   // -------------------------------------------------------------- langid
   /** Tiny per-language stopword lists (public common words). A real
     * pipeline plugs a fastText-style model here; the Spark plumbing —

@@ -54,6 +54,7 @@ object Bench {
     "q_repetition",
     "q_norm_dedup",
     "q_quality_filter",
+    "q_script_stats",
     "q_url_host",
     "q_url_dedup",
     "q_link_graph",

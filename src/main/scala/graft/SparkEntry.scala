@@ -547,6 +547,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // Unicode-script histogram (TextAnalysis.scriptStats): the base corpus
+    // is pure ASCII (oracle counts latin with a plain [A-Za-z] regex), and
+    // Cyrillic/Han/Arabic/Greek snippets of KNOWN letter counts are planted
+    // by doc_id arithmetic — a script-classification or code-point-
+    // iteration bug flips exact integer counts.
+    "q_script_stats" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" Привет")).otherwise(lit("")), // 6 cyrillic
+        when(col("doc_id") % 4 === 0,
+          lit(" 中文猫")).otherwise(lit("")), // 3 han
+        when(col("doc_id") % 5 === 0,
+          lit(" مرحبا")).otherwise(lit("")), // 5 arabic
+        when(col("doc_id") % 7 === 0,
+          lit(" Ψυχή")).otherwise(lit(""))) // 4 greek -> other
+      TextAnalysis.scriptStats(
+          documents(s, dir).select(col("doc_id"), planted.as("t2")), "doc_id", "t2")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Gopher-style quality gate (TextAnalysis.qualityFilter): every rule
     // is integer-exact cross-multiplication, so DuckDB replicates the
     // booleans bit-for-bit from the raw text.
@@ -1279,6 +1299,16 @@ object SparkEntry {
         |JOIN (SELECT doc_id % 80 AS g, min(doc_id) AS component
         |      FROM documents GROUP BY 1) m
         |ON d.doc_id % 80 = m.g""".stripMargin,
+
+    "q_script_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |       AS BIGINT) AS n_latin,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 0 END AS BIGINT) AS n_cyrillic,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 0 END AS BIGINT) AS n_cjk,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END AS BIGINT) AS n_arabic,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 4 ELSE 0 END AS BIGINT) AS n_other_letter
+        |FROM documents""".stripMargin,
 
     "q_quality_filter" ->
       """WITH f AS (

@@ -240,4 +240,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._2 === "tail")
     assert(out(4L)._1 === "__null__")
   }
+  test("scriptCounts: per-script letter buckets, supplementary plane, non-letters skipped") {
+    // "abc \u041F\u0440\u0438 \u4E2D\u6587 \u0645 \u03A8 123 !?"
+    val mixed = "abc \u041F\u0440\u0438 \u4E2D\u6587 \u0645 \u03A8 123 !?"
+    assert(TextAnalysis.scriptCounts(mixed) === ((3L, 3L, 2L, 1L, 1L)))
+    // hiragana/katakana/hangul land in the cjk bucket
+    assert(TextAnalysis.scriptCounts("\u3042\u30AB\uD55C") === ((0L, 0L, 3L, 0L, 0L)))
+    // supplementary-plane letters count ONCE: U+1D400 MATHEMATICAL BOLD A
+    // (script COMMON -> other), U+10330 GOTHIC LETTER AHSA (script GOTHIC)
+    val supp = new String(Character.toChars(0x1D400)) + new String(Character.toChars(0x10330))
+    assert(TextAnalysis.scriptCounts(supp) === ((0L, 0L, 0L, 0L, 2L)))
+    assert(TextAnalysis.scriptCounts("123 !?.,") === ((0L, 0L, 0L, 0L, 0L)))
+    assert(TextAnalysis.scriptCounts(null) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(TextAnalysis.scriptCounts("") === ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("scriptStats: distributed table matches scalar scriptCounts") {
+    import spark.implicits._
+    val rows = Seq((1L, "hello \u041C\u0438\u0440"), (2L, "\u4E2D\u6587 only"), (3L, null.asInstanceOf[String]))
+    val out = TextAnalysis.scriptStats(rows.toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((5L, 3L, 0L)))
+    assert(out(2L) === ((4L, 0L, 2L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+  }
 }
