@@ -38,7 +38,16 @@ object Audit {
     val spark = docs.sparkSession
     import spark.implicits._
     val two = docs.where(col(cfg.idCol).isin(a, b))
-    val sets = Lsh.shingleSets(two, cfg).collect().map(d => d.id -> d.shingles).toMap
+    val rows = Lsh.shingleSets(two, cfg).collect()
+    // an id carried by several distinct contents (re-crawled url / hash
+    // collision) would make the report nondeterministic — the same hazard
+    // the pipeline's collision audit fails fast on; do the same here
+    rows.groupBy(_.id).foreach { case (id, rs) =>
+      require(rs.map(_.shingles.toSeq).distinct.length == 1,
+        s"doc id $id carries ${rs.length} rows with distinct content " +
+          "(re-crawled url or id collision) — resolve recrawls or re-key first")
+    }
+    val sets = rows.map(d => d.id -> d.shingles).toMap
     require(sets.contains(a) && sets.contains(b),
       s"both docs must exist and pass the min-length filter; " +
         s"eligible ids found: ${sets.keySet.toSeq.sorted.mkString(",")}")

@@ -136,13 +136,16 @@ object Pipeline {
         case "--by-lang" => a = a.copy(byLang = true); i += 1
         case "--export-format" => a = a.copy(exportFormat = argv(i + 1)); i += 2
         case "--explain-pair" =>
-          val Array(x, y) = argv(i + 1).split(",", 2)
-          a = a.copy(explainPair = Some((x.trim.toLong, y.trim.toLong))); i += 2
+          val parts = argv(i + 1).split(",").map(_.trim)
+          require(parts.length == 2 && parts.forall(_.matches("-?\\d+")),
+            s"--explain-pair expects two numeric doc ids as 'a,b', got '${argv(i + 1)}'")
+          a = a.copy(explainPair = Some((parts(0).toLong, parts(1).toLong))); i += 2
         case "--no-collision-check" => a = a.copy(collisionCheck = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
-    require(a.output.nonEmpty, "--output is required")
+    require(a.output.nonEmpty || a.explainPair.isDefined,
+      "--output is required") // forensics-only runs write nothing
     require(a.input.nonEmpty || a.inputWarc.nonEmpty || a.synth > 0,
       "--input, --input-warc or --synth is required")
     require(!a.existingFuzzy || a.existing.nonEmpty,
@@ -184,8 +187,12 @@ object Pipeline {
     }
   }
 
-  /** Runs the checkpointed pipeline; returns (kept, assignments). */
-  def run(spark: SparkSession, args: Args): (DataFrame, DataFrame) = {
+  /** The full pre-ids SOURCE-PREP chain (extract-html/main-content, nfc,
+    * recrawl resolve, infer-lang, quality gate, blocklist, line dedup,
+    * incremental modes) — factored out of [[run]] so `--explain-pair`
+    * forensics are computed over EXACTLY the corpus text the pipeline
+    * dedups, not the raw input. */
+  def preparedPages(spark: SparkSession, args: Args): DataFrame = {
     val pagesIn = loadPages(spark, args)
     // `--extract-html`: fill MISSING text from the html payload (source
     // prep for raw-crawl corpora). Rows that already carry text keep it
@@ -279,6 +286,12 @@ object Pipeline {
             fCfg, pruneFpp = args.pruneFpp).drop("__fid")
         }
       }
+    pages
+  }
+
+  /** Runs the checkpointed pipeline; returns (kept, assignments). */
+  def run(spark: SparkSession, args: Args): (DataFrame, DataFrame) = {
+    val pages = preparedPages(spark, args)
     // `--link-rank N`: side artifact — host-level integer PageRank over the
     // crawl's own link graph (url + html columns), N iterations, written
     // under the output root for downstream quality weighting. Small
@@ -533,13 +546,14 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // `--explain-pair a,b`: dedup forensics instead of a pipeline run —
-    // print the engine-true pair report (Audit) over the input docs and exit
+    // the report is computed over preparedPages (the SAME source-prep
+    // chain the dedup run applies: extract-html/nfc/recrawl-resolve/…),
+    // so it describes the text the pipeline actually deduped, with the
+    // ids keyed exactly as the ids stage keys them.
     if (args.explainPair.isDefined) {
       val (x, y) = args.explainPair.get
-      val docs = loadPages(spark, args).select(
-        org.apache.spark.sql.functions.xxhash64(
-          org.apache.spark.sql.functions.col("url")).as("id"),
-        org.apache.spark.sql.functions.col("text"))
+      val docs = preparedPages(spark, args)
+        .select(xxhash64(col("url")).as("id"), col("text"))
       println(Audit.render(Audit.explainPair(docs, x, y, args.cfg)))
     } else {
       val t0 = System.nanoTime()

@@ -46,10 +46,16 @@ class AuditSpec extends AnyFunSuite {
       SimHash.simhash64(sa, cfg.seed) ^ SimHash.simhash64(sb, cfg.seed)))
   }
 
-  test("--explain-pair CLI flag parses (whitespace-tolerant)") {
-    val a = Pipeline.parse(Array(
-      "--synth", "10", "--output", "/tmp/x", "--explain-pair", "5, 9"))
+  test("--explain-pair CLI flag parses (whitespace-tolerant, no --output needed)") {
+    val a = Pipeline.parse(Array("--synth", "10", "--explain-pair", "5, 9"))
     assert(a.explainPair === Some((5L, 9L)))
+    // malformed forms fail with the format hint, not a MatchError
+    for (bad <- Seq("5", "1,2,3", "a,b")) {
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.parse(Array("--synth", "10", "--explain-pair", bad))
+      }
+      assert(e.getMessage.contains("a,b"), s"input '$bad': ${e.getMessage}")
+    }
   }
 
   test("missing or below-min-length docs fail loudly, naming the eligible ids") {
