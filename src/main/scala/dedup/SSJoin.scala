@@ -1,6 +1,7 @@
 package dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join via global-frequency token ordering +
@@ -35,14 +36,22 @@ import org.apache.spark.sql.functions._
   * (token), verify joins (id). No cartesian anywhere; candidate volume is
   * Σ_prefix-token df², concentrated on rare tokens. The inherent cost
   * floor is the TRUE output: a cluster of m mutual near-dups yields m²/2
-  * pairs no matter the algorithm — run exact dedup first (identical docs
-  * collapse to one representative) so m counts distinct variants only.
-  * Residual hot prefix tokens are handled by AQE skew-join splitting, and
-  * `dfCap` optionally drops tokens above a df ceiling from JOIN KEYS only
-  * (they stay in the sets for verification): with t and max doc length L,
-  * a token with df > cap can only be a prefix token of docs where it ranks
-  * among the rarest — capping trades bounded recall for a hard candidate
-  * bound and is OFF by default (exactness is this operator's contract).
+  * pairs no matter the algorithm — so since round 4, `pairs`,
+  * `containmentPairs` and `dropContained` COLLAPSE byte-identical token
+  * sets to one representative first (the exact-dedup-first composition
+  * this paragraph always prescribed), run the join over distinct variants
+  * only, and expand group members back algebraically (identical sets have
+  * identical similarity to everything, so the expansion is exact, not a
+  * heuristic). Residual hot prefix tokens are handled by AQE skew-join
+  * splitting, and `dfCap` optionally drops tokens above a df ceiling from
+  * JOIN KEYS only (they stay in the sets for verification): with t and max
+  * doc length L, a token with df > cap can only be a prefix token of docs
+  * where it ranks among the rarest — capping trades bounded recall for a
+  * hard candidate bound and is OFF by default (exactness is this
+  * operator's contract). With the round-4 collapse, df counts DISTINCT
+  * VARIANTS (reps), not raw docs — the stable definition under exact-dup
+  * inflation — and identical-set pairs are immune to the cap entirely
+  * (they come from the collapse, not the token join).
   */
 object SSJoin {
 
@@ -74,7 +83,8 @@ object SSJoin {
 
   /** Candidate (id_a < id_b) pairs after prefix + length filtering — a
     * provable SUPERSET of the true ≥-threshold pairs (prefix-filter
-    * theorem), exposed for tests and candidate-volume audits. */
+    * theorem), exposed for tests and candidate-volume audits. Operates on
+    * the raw (uncollapsed) sets. */
   def candidates(tokSets: DataFrame, threshold: Double, dfCap: Long = 0L): DataFrame =
     candidatesFromOrdered(orderedTokenSets(tokSets), threshold, dfCap)
 
@@ -103,20 +113,47 @@ object SSJoin {
       .distinct()
   }
 
-  /** Every pair with jaccard ≥ threshold, as (id_a < id_b, inter, uni) —
-    * exact counts, bit-identical to brute force (SSJoinSpec pins this;
-    * the q_ngram_jaccard_pairs driver row runs this plan against DuckDB's
-    * brute-force recomputation). The ordered-token exchange is one
-    * canonicalized subtree consumed three times (prefix, verify-a,
-    * verify-b) — Spark's ReuseExchange computes it once per stage run. */
-  def pairs(tokSets: DataFrame, threshold: Double): DataFrame = {
+  // ------------------------------------------------------------------------
+  // Exact-duplicate pre-collapse (the dedup-first composition).
+  // ------------------------------------------------------------------------
+
+  /** `reps`: (id, toks) — one row per DISTINCT token set, id = min member
+    * id, toks sorted-distinct. `members`: (id, gid, gcnt, glen) — every
+    * input doc with its group representative, group size and set size. */
+  private[dedup] case class Collapsed(reps: DataFrame, members: DataFrame)
+
+  /** Group docs by their exact (sorted-distinct) token set — ONE shuffle of
+    * the sets (window over the array key, no join-back), grouping on the
+    * array value itself so the collapse is exact for any token type (no
+    * serialization/hash ambiguity). At 100 TB this is the same shuffle
+    * exact dedup already pays, and it turns m byte-identical docs into 1
+    * join participant. */
+  private[dedup] def collapseExact(tokSets: DataFrame): Collapsed = {
+    val w = Window.partitionBy("ktoks")
+    val m = tokSets
+      .select(col("id").cast("long").as("id"),
+        array_sort(array_distinct(col("toks"))).as("ktoks"))
+      .withColumn("gid", min(col("id")).over(w))
+      .withColumn("gcnt", count(lit(1)).over(w))
+      .withColumn("glen", size(col("ktoks")).cast("long"))
+    Collapsed(
+      reps = m.where(col("id") === col("gid"))
+        .select(col("id"), col("ktoks").as("toks")),
+      members = m.select(col("id"), col("gid"), col("gcnt"), col("glen")))
+  }
+
+  /** Jaccard pairs over already-distinct sets (rep ids): (id_a < id_b,
+    * inter, uni). The ordered-token exchange is one canonicalized subtree
+    * consumed three times (prefix, verify-a, verify-b) — Spark's
+    * ReuseExchange computes it once per stage run. Candidate side
+    * (16 B/row) is the hash-build side, sets stream past (same build-side
+    * argument as VerifyPairs.verifyJaccard). */
+  private def pairsCore(repSets: DataFrame, threshold: Double): DataFrame = {
     val num = math.round(threshold * 1000000L)
-    val ordered = orderedTokenSets(tokSets)
+    val ordered = orderedTokenSets(repSets)
     val cand = candidatesFromOrdered(ordered, threshold, dfCap = 0L)
     val s1 = ordered.select(col("id").as("id_a"), col("toks").as("ta"))
     val s2 = ordered.select(col("id").as("id_b"), col("toks").as("tb"))
-    // candidate side (16 B/row) is the hash-build side, sets stream past
-    // (same build-side argument as VerifyPairs.verifyJaccard)
     cand.hint("shuffle_hash").join(s1, "id_a")
       .hint("shuffle_hash").join(s2, "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
@@ -124,6 +161,70 @@ object SSJoin {
         (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
       .where(col("inter") * 1000000L >= lit(num) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  /** Every pair with jaccard ≥ threshold, as (id_a < id_b, inter, uni) —
+    * exact counts, bit-identical to brute force (SSJoinSpec pins this;
+    * the q_ngram_jaccard_pairs driver row runs this plan against DuckDB's
+    * brute-force recomputation). Since round 4 the join itself runs over
+    * DISTINCT sets only; members of an identical-set group are expanded
+    * back exactly (cross-group pairs inherit the rep pair's (inter, uni);
+    * within-group pairs have jaccard 1 with inter = uni = |set|, and a
+    * non-empty set qualifies at any threshold ≤ 1). */
+  def pairs(tokSets: DataFrame, threshold: Double): DataFrame = {
+    val num = math.round(threshold * 1000000L)
+    val c = collapseExact(tokSets)
+    val rp = pairsCore(c.reps, threshold)
+    val ma = c.members.select(col("gid").as("id_a"), col("id").as("ma"))
+    val mb = c.members.select(col("gid").as("id_b"), col("id").as("mb"))
+    // rep ids satisfy gid_a < gid_b but member ids need re-normalizing;
+    // (inter, uni) are symmetric so the swap is free
+    val cross = rp.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("inter"), col("uni"))
+    val within = c.members
+      .where(col("gcnt") > 1 && col("glen") > 0 && lit(num) <= 1000000L)
+    val wpairs = within.select(col("gid"), col("id").as("ma"), col("glen"))
+      .join(within.select(col("gid"), col("id").as("mb")), "gid")
+      .where(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("glen").as("inter"), col("glen").as("uni"))
+    cross.unionByName(wpairs)
+  }
+
+  /** Containment pairs over already-distinct sets (rep ids), WITH both
+    * lengths: (id_a, id_b, inter, len_a, len_b). len_b rides along for
+    * free (the verify join already holds tb) so `dropContained` never
+    * re-runs the ordering stage for the b side. */
+  private def containmentPairsCore(
+      repSets: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    val num = math.round(threshold * 1000000L)
+    val ordered = orderedTokenSets(repSets)
+    val pre0 = prefixed(ordered, threshold)
+    val idx0 = ordered.select(col("id").as("id_b"), explode(col("toks")).as("tok"))
+    val (pre, idx) =
+      if (dfCap <= 0L) (pre0, idx0)
+      else {
+        val ok = ordered.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).select("tok")
+        (pre0.join(ok, Seq("tok")), idx0.join(ok, Seq("tok")))
+      }
+    val cand = pre.select(col("id").as("id_a"), col("tok"))
+      .join(idx, Seq("tok"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val s1 = ordered.select(col("id").as("id_a"), col("toks").as("ta"))
+    val s2 = ordered.select(col("id").as("id_b"), col("toks").as("tb"))
+    cand.hint("shuffle_hash").join(s1, "id_a")
+      .hint("shuffle_hash").join(s2, "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("len_a", size(col("ta")).cast("long"))
+      .withColumn("len_b", size(col("tb")).cast("long"))
+      .where(col("inter") * 1000000L >= lit(num) * col("len_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("len_a"), col("len_b"))
   }
 
   /** Exact CONTAINMENT-similarity join: every ordered pair (a, b) with
@@ -146,34 +247,31 @@ object SSJoin {
     * almost nothing rarer); `dfCap` bounds the worst case by dropping
     * tokens with df > cap from the JOIN only — recall then degrades only
     * for probe docs whose prefix is entirely corpus-hot, the honest
-    * trade at 10¹² docs. Output (id_a, id_b, inter, len_a). */
+    * trade at 10¹² docs. Exact-dup groups are collapsed before the join
+    * and expanded exactly after it (identical sets ⇒ identical
+    * containment both ways). Output (id_a, id_b, inter, len_a). */
   def containmentPairs(
       tokSets: DataFrame, threshold: Double, dfCap: Long = 0L): DataFrame = {
     val num = math.round(threshold * 1000000L)
-    val ordered = orderedTokenSets(tokSets)
-    val pre0 = prefixed(ordered, threshold)
-    val idx0 = ordered.select(col("id").as("id_b"), explode(col("toks")).as("tok"))
-    val (pre, idx) =
-      if (dfCap <= 0L) (pre0, idx0)
-      else {
-        val ok = ordered.select(explode(col("toks")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-          .where(col("df") <= dfCap).select("tok")
-        (pre0.join(ok, Seq("tok")), idx0.join(ok, Seq("tok")))
-      }
-    val cand = pre.select(col("id").as("id_a"), col("tok"))
-      .join(idx, Seq("tok"))
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val s1 = ordered.select(col("id").as("id_a"), col("toks").as("ta"))
-    val s2 = ordered.select(col("id").as("id_b"), col("toks").as("tb"))
-    cand.hint("shuffle_hash").join(s1, "id_a")
-      .hint("shuffle_hash").join(s2, "id_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("len_a", size(col("ta")).cast("long"))
-      .where(col("inter") * 1000000L >= lit(num) * col("len_a"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("len_a"))
+    val c = collapseExact(tokSets)
+    val rp = containmentPairsCore(c.reps, threshold, dfCap)
+    val ma = c.members.select(col("gid").as("id_a"), col("id").as("ma"))
+    val mb = c.members.select(col("gid").as("id_b"), col("id").as("mb"))
+    // containment is directional and constant across identical-set members,
+    // so the expansion keeps the (a in b) orientation verbatim
+    val cross = rp.join(ma, "id_a").join(mb, "id_b")
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("inter"), col("len_a"))
+    // within a group every ordered pair is containment 1.0 (identical
+    // non-empty sets), inter = len_a = |set|
+    val within = c.members
+      .where(col("gcnt") > 1 && col("glen") > 0 && lit(num) <= 1000000L)
+    val wpairs = within.select(col("gid"), col("id").as("ma"), col("glen"))
+      .join(within.select(col("gid"), col("id").as("mb")), "gid")
+      .where(col("ma") =!= col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("glen").as("inter"), col("glen").as("len_a"))
+    cross.unionByName(wpairs)
   }
 
   /** CONTAINMENT dedup (subset/quote removal): drop every doc that is
@@ -183,15 +281,71 @@ object SSJoin {
     * doc" rule is deliberate — containment is not transitive at a
     * threshold, so dropping against surviving containers only would be
     * order-dependent; this form is deterministic and matches the common
-    * subset-removal semantics. Returns the kept ids. */
+    * subset-removal semantics. Returns the kept ids.
+    *
+    * Round 4: computed entirely at the collapsed-group level — the drop
+    * rule decomposes exactly over identical-set groups (every non-min
+    * member of a group drops against its own min; a whole group drops if
+    * any strictly-larger container pair exists; for equal-size cross-group
+    * pairs a member drops iff the smallest qualifying foreign member id —
+    * which IS that group's gid — is below its own id), so the expensive
+    * join runs once over distinct variants and the b-side length comes
+    * from the pairs themselves (no second ordering pass). */
   def dropContained(tokSets: DataFrame, threshold: Double, dfCap: Long = 0L): DataFrame = {
-    val pairs = containmentPairs(tokSets, threshold, dfCap)
-    val lens = orderedTokenSets(tokSets).select(col("id").as("id_b"), col("len").as("len_b"))
-    val drops = pairs.join(lens, "id_b")
-      .where(col("len_b") > col("len_a") ||
-        (col("len_b") === col("len_a") && col("id_b") < col("id_a")))
-      .select(col("id_a").as("id")).distinct()
+    val num = math.round(threshold * 1000000L)
+    val c = collapseExact(tokSets)
+    val rp = containmentPairsCore(c.reps, threshold, dfCap)
+    dropContainedFromPairs(tokSets, c, rp, num)
+  }
+
+  /** Drop rule over precomputed rep-level pairs — lets a pipeline stage
+    * that already materialized `containmentPairsCore` output (via
+    * [[containmentAnalysis]]) derive the kept set without replaying the
+    * join. */
+  private def dropContainedFromPairs(
+      tokSets: DataFrame, c: Collapsed, repPairs: DataFrame, num: Long): DataFrame = {
+    // any strictly-larger container ⇒ the whole group of a drops
+    val dropAll = repPairs.where(col("len_b") > col("len_a"))
+      .select(col("id_a").as("gid")).distinct()
+    val d1 = c.members.join(dropAll, "gid").select(col("id"))
+    // equal-size cross-group: member a drops iff min foreign member id
+    // (= gid_b) over qualifying groups < id_a
+    val eqMin = repPairs.where(col("len_b") === col("len_a"))
+      .groupBy("id_a").agg(min(col("id_b")).as("minb"))
+      .withColumnRenamed("id_a", "gid")
+    val d2 = c.members.join(eqMin, "gid")
+      .where(col("minb") < col("id")).select(col("id"))
+    // within-group: identical non-empty sets ⇒ everything but the min drops
+    val d3 = c.members
+      .where(col("gcnt") > 1 && col("glen") > 0 && lit(num) <= 1000000L &&
+        col("id") =!= col("gid"))
+      .select(col("id"))
+    val drops = d1.unionByName(d2).unionByName(d3).distinct()
     tokSets.select(col("id")).join(drops, Seq("id"), "left_anti")
+  }
+
+  /** One-pass containment stage for the pipeline: returns (pairs, kept)
+    * sharing a single collapse + prefix-join subtree — the composition the
+    * scale doc prescribes (exact-dedup first, one join, both outputs). */
+  def containmentAnalysis(
+      tokSets: DataFrame, threshold: Double, dfCap: Long = 0L): (DataFrame, DataFrame) = {
+    val num = math.round(threshold * 1000000L)
+    val c = collapseExact(tokSets)
+    val rp = containmentPairsCore(c.reps, threshold, dfCap)
+      .localCheckpoint(eager = false)
+    val ma = c.members.select(col("gid").as("id_a"), col("id").as("ma"))
+    val mb = c.members.select(col("gid").as("id_b"), col("id").as("mb"))
+    val cross = rp.join(ma, "id_a").join(mb, "id_b")
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("inter"), col("len_a"))
+    val within = c.members
+      .where(col("gcnt") > 1 && col("glen") > 0 && lit(num) <= 1000000L)
+    val wpairs = within.select(col("gid"), col("id").as("ma"), col("glen"))
+      .join(within.select(col("gid"), col("id").as("mb")), "gid")
+      .where(col("ma") =!= col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("glen").as("inter"), col("glen").as("len_a"))
+    (cross.unionByName(wpairs), dropContainedFromPairs(tokSets, c, rp, num))
   }
 
   /** Exact fuzzy-dedup assignments: the flagship's shingle sets through the

@@ -77,10 +77,31 @@ object Bench {
     "q_shards",
     "q_decontaminate")
 
+  /** (busy, steal) jiffies from /proc/stat — same reader as ScalingBench:
+    * hypervisor steal and bandwidth noise swing sf0.1 totals up to ±1.8×
+    * on this host (VERDICT r3 "what's wrong" #3), so every bench line is
+    * self-attributing: cross-round comparisons should trust low-steal runs
+    * and discount the rest. */
+  private def procStat: (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val l = try src.getLines().next() finally src.close()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (f(0) + f(1) + f(2) + f(5) + f(6), f(7))
+    } catch { case _: Throwable => (0L, 0L) }
+
+  private def stealPct(b0: (Long, Long), b1: (Long, Long)): Double = {
+    val d = (b1._1 - b0._1) + (b1._2 - b0._2)
+    if (d > 0) 100.0 * (b1._2 - b0._2) / d else 0.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // local-iteration aid: run only the named queries (driver never sets it)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,31 +120,39 @@ object Bench {
     // measured 2-7× inflation at this toy scale (a production job runs
     // each plan for hours; steady state is the honest number). Same
     // protocol as ScalingBench's untimed warmup slice.
-    headline.filter(qmap.contains).foreach { name =>
+    val names = headline.filter(qmap.contains)
+      .filter(n => only.isEmpty || only(n))
+    names.foreach { name =>
       try qmap(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = headline.filter(qmap.contains).map { name =>
+    val runStat0 = procStat
+    val results = names.map { name =>
       val fn = qmap(name)
+      val s0 = procStat
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, (System.nanoTime() - t0) / 1e9, ok, stealPct(s0, procStat))
     }
+    val runSteal = stealPct(runStat0, procStat)
     val good = results.filter(_._3)
     val bad = results.filterNot(_._3)
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
+    }.mkString("{", ",", "}")
+    val qsteal = results.map { case (k, _, _, st) =>
+      "\"" + k + "\":" + f"$st%.1f"
     }.mkString("{", ",", "}")
     val errs = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    val fuzzySec = good.collectFirst { case ("q_fuzzy_assign", s, _) => s }.getOrElse(Double.NaN)
+    val fuzzySec = good.collectFirst { case ("q_fuzzy_assign", s, _, _) => s }.getOrElse(Double.NaN)
     val docsPerSec = if (fuzzySec > 0) nDocs / fuzzySec else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","docs":$nDocs,"fuzzy_docs_per_sec":${f"$docsPerSec%.1f"}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","docs":$nDocs,"fuzzy_docs_per_sec":${f"$docsPerSec%.1f"},"steal_pct":${f"$runSteal%.1f"},"query_steal_pct":$qsteal}"""
     println(line)
     // sbt prefixes stdout with "[info] " which breaks line-oriented JSON
     // parsers tailing the build output; stderr passes through unprefixed
