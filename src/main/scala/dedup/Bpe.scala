@@ -36,12 +36,22 @@ object Bpe {
   type Dict = Array[(String, Long)]
 
   /** Distributed word-frequency dictionary, capped at the top `vocabK`
-    * words (count desc, word asc). Lowercased whitespace tokens. */
-  def wordCounts(docs: DataFrame, textCol: String, vocabK: Int): Dict =
+    * words (count desc, word asc). Lowercased whitespace tokens.
+    * Lowercasing uses the SAME JVM closure (`toLowerCase(Locale.ROOT)`)
+    * the encoder applies — Catalyst's `lower()` is locale-independent
+    * only on the ASCII fast path; UTF8String's non-ASCII fallback goes
+    * through the JVM DEFAULT locale, so on e.g. a tr-TR JVM a word mixing
+    * 'I' with non-ASCII chars would train and encode as different symbol
+    * sequences and its merges would never apply (ADVICE r3). */
+  def wordCounts(docs: DataFrame, textCol: String, vocabK: Int): Dict = {
+    val lowerRoot = udf { (s: String) =>
+      if (s == null) null else s.toLowerCase(java.util.Locale.ROOT)
+    }
     TextAnalysis.topWords(
-        docs.select(lower(col(textCol)).as("__bpe_text")), "__bpe_text", vocabK)
+        docs.select(lowerRoot(col(textCol)).as("__bpe_text")), "__bpe_text", vocabK)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
+  }
 
   private def toSymbols(word: String): Array[String] = {
     val cps = word.codePoints().toArray

@@ -34,9 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object Embedding {
 
+  /** The batched-forward contract every encoder shares: one call per
+    * fixed-size batch, one vector per row (the embedding.py:194 loop
+    * shape). Implementations are broadcast once per executor. */
+  sealed trait Encoder extends Serializable {
+    def dim: Int
+    def encodeBatch(texts: Array[String]): Array[Array[Float]]
+  }
+
   /** The broadcast "weights": per-lane projection seeds. A real swap-in
     * would carry serialized model weights here instead. */
-  final case class FakeEncoder(dim: Int, seed: Long) extends Serializable {
+  final case class FakeEncoder(dim: Int, seed: Long) extends Encoder {
     /** Encode a batch of texts into one flat dim·n float buffer (the
       * batch-major layout a GPU encoder returns), then split per row. */
     def encodeBatch(texts: Array[String]): Array[Array[Float]] = {
@@ -94,7 +102,7 @@ object Embedding {
   private def encodeWith(
       docs: DataFrame,
       cfg: DedupConfig,
-      encoder: FakeEncoder,
+      encoder: Encoder,
       batchSize: Int,
       idf: Array[Float] = null): DataFrame = {
     val spark = docs.sparkSession
@@ -109,14 +117,143 @@ object Embedding {
         val w = bcIdf.value
         it.grouped(batchSize).flatMap { batch =>
           val texts = batch.iterator.map(_._2).toArray
-          val vecs =
-            if (w == null) enc.encodeBatch(texts)
-            else Embedding.tfidfBatch(texts, enc.dim, enc.seed, w)
+          val vecs = enc match {
+            case f: FakeEncoder if w != null =>
+              Embedding.tfidfBatch(texts, f.dim, f.seed, w)
+            case e => e.encodeBatch(texts)
+          }
           batch.iterator.zipWithIndex.map { case ((id, _), i) => (id, vecs(i)) }
         }
       }(Encoders.product[(Long, Array[Float])])
       .toDF("id", "vec")
   }
+
+  // -------------------------------------------------- weights-from-file
+  /** REAL neural-style encoder over EXPORTED weights — no stand-in math
+    * anywhere once a weights directory exists: tokenize (the engine's
+    * `(?U)\W` lowercasing tokenizer — export vocab lowercased), look each
+    * token up in the word-embedding matrix, MEAN-POOL the hits, apply the
+    * optional linear head `W·x + b`, L2-normalize. That is the classic
+    * mean-of-word-vectors sentence encoder (fastText/word2vec export, or
+    * the input-embedding + projection layers of a distilled transformer);
+    * with real exported weights dropped into the parquet layout below it
+    * produces real model embeddings with ZERO code change — the gap the
+    * sandbox forces is only that no real weights ship here (no torch/onnx,
+    * no model zoo; reference runs sentence-transformers at
+    * `semantic dedup single gpu/embedding.py:194`).
+    *
+    * Texts with no vocab hit embed as the zero vector (the head is NOT
+    * applied — a bias would cluster every empty doc at one fake point);
+    * downstream cosine stages already treat zero vectors as
+    * similar-to-nothing (Ann null-sim filter). */
+  final case class WeightEncoder(
+      vocab: java.util.HashMap[String, Array[Float]],
+      dimIn: Int,
+      head: Array[Array[Float]], // head(r) = row r of W, length dimIn
+      bias: Array[Float]) // length head.length
+      extends Encoder {
+    def dim: Int = if (head == null) dimIn else head.length
+    def encodeBatch(texts: Array[String]): Array[Array[Float]] = {
+      val out = new Array[Array[Float]](texts.length)
+      var r = 0
+      while (r < texts.length) {
+        val t = texts(r)
+        val pooled = new Array[Float](dimIn)
+        var hits = 0
+        if (t != null) {
+          val toks = TextNorm.tokenize(t)
+          var i = 0
+          while (i < toks.length) {
+            val w = vocab.get(toks(i))
+            if (w != null) {
+              var d = 0
+              while (d < dimIn) { pooled(d) += w(d); d += 1 }
+              hits += 1
+            }
+            i += 1
+          }
+        }
+        val v =
+          if (hits == 0) new Array[Float](dim)
+          else {
+            val inv = 1f / hits
+            var d = 0
+            while (d < dimIn) { pooled(d) *= inv; d += 1 }
+            if (head == null) pooled
+            else {
+              val h = new Array[Float](head.length)
+              var o = 0
+              while (o < head.length) {
+                val row = head(o)
+                var s = if (bias == null) 0.0 else bias(o).toDouble
+                var d2 = 0
+                while (d2 < dimIn) { s += row(d2).toDouble * pooled(d2); d2 += 1 }
+                h(o) = s.toFloat
+                o += 1
+              }
+              h
+            }
+          }
+        var s = 0.0
+        var d = 0
+        while (d < v.length) { s += v(d).toDouble * v(d); d += 1 }
+        if (s > 0) {
+          val inv = (1.0 / math.sqrt(s)).toFloat
+          d = 0
+          while (d < v.length) { v(d) *= inv; d += 1 }
+        }
+        out(r) = v
+        r += 1
+      }
+      out
+    }
+  }
+
+  /** Load an exported weights directory:
+    *   - `<path>/vocab`  parquet (token: string, vec: array<float>) —
+    *     the word-embedding matrix, one row per vocab token (lowercase);
+    *   - `<path>/head`   parquet (row: int, w: array<float>, b: float),
+    *     OPTIONAL — a linear projection applied after mean-pooling.
+    * The vocab collects to the driver and broadcasts (1M × 300-dim floats
+    * ≈ 1.2 GB — the same once-per-executor weights residency a GPU
+    * encoder needs; shard the corpus, not the vocab, beyond that). */
+  def loadWeightEncoder(
+      spark: org.apache.spark.sql.SparkSession, path: String): WeightEncoder = {
+    val vocabRows = spark.read.parquet(s"$path/vocab")
+      .select(col("token"), col("vec"))
+      .collect()
+    require(vocabRows.nonEmpty, s"empty weights vocab at $path/vocab")
+    val dimIn = vocabRows.head.getAs[scala.collection.Seq[Float]]("vec").length
+    val vocab = new java.util.HashMap[String, Array[Float]](vocabRows.length * 2)
+    vocabRows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("vec").toArray
+      require(v.length == dimIn, "ragged vocab vectors")
+      vocab.put(r.getString(0), v)
+    }
+    val headPath = new org.apache.hadoop.fs.Path(s"$path/head")
+    val fs = headPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(headPath)) WeightEncoder(vocab, dimIn, null, null)
+    else {
+      val rows = spark.read.parquet(s"$path/head")
+        .select(col("row").cast("int"), col("w"), col("b").cast("float"))
+        .collect()
+        .sortBy(_.getInt(0))
+      require(rows.nonEmpty, s"empty head at $path/head")
+      val head = rows.map(_.getAs[scala.collection.Seq[Float]]("w").toArray)
+      require(head.forall(_.length == dimIn), "head width must equal vocab dim")
+      val bias = rows.map(_.getFloat(2))
+      WeightEncoder(vocab, dimIn, head, bias)
+    }
+  }
+
+  /** docs → (id, vec) through exported weights: the `--embed-weights`
+    * pipeline path. Same batched-broadcast plumbing as every encoder. */
+  def weightsEmbed(
+      docs: DataFrame,
+      cfg: DedupConfig,
+      encoder: WeightEncoder,
+      batchSize: Int = 256): DataFrame =
+    encodeWith(docs, cfg, encoder, batchSize)
 
   // ------------------------------------------------------------- TF-IDF
   /** Feature-hashed lane of a token: xxh64 folded into [0, dim). */

@@ -136,8 +136,6 @@ object HtmlExtract {
     sb.substring(0, end)
   }
 
-  /** Decode the same entity set [[text]] handles, for attribute values
-    * (URLs in href routinely carry &amp;). Unknown entities pass through. */
   /** Decode the [[entityAt]] entity set in an attribute value (URLs in
     * href routinely carry &amp;). Unknown entities pass through. */
   private def decodeEntities(s: String): String = {

@@ -111,6 +111,18 @@ object IncrementalDedup {
     * still verified against cap candidates in EVERY band it shares, so
     * recall degrades gracefully while candidate volume stays
     * ≤ cap × bands × |batch|. Default 0 = exact (oracle semantics). */
+  def newDocsFuzzy(
+      existing: DataFrame,
+      batch: DataFrame,
+      cfg: DedupConfig,
+      index: Option[FuzzyIndex] = None,
+      bucketCap: Int = 0,
+      pruneFpp: Double = 0.0): DataFrame = {
+    val dupIds = crossPairs(existing, batch, cfg, index, bucketCap, pruneFpp)
+      .select(col("bid")).distinct()
+    batch.join(dupIds, batch(cfg.idCol).cast("long") === dupIds("bid"), "left_anti")
+  }
+
   /** Incremental SEMANTIC dedup: drop batch docs whose embedding has
     * cosine ≥ threshold to ANY existing-corpus embedding — the
     * embedding-space member of the incremental family (exact =
@@ -120,8 +132,17 @@ object IncrementalDedup {
     * candidates are exactly cosine-verified — a batch doc dies only on a
     * REAL ≥-threshold hit, so precision is exact and recall follows the
     * (threshold, nbits, probeRadius) binomial-tail argument of
-    * [[Ann.cosineDedupLsh]] (byte-identical embeddings share a bucket
-    * with probability 1 — re-embedded exact copies are always caught).
+    * [[Ann.cosineDedupLsh]].
+    *
+    * Byte-identical embeddings are caught with probability 1 by a
+    * SEPARATE exact-match prefilter (vector-equality semi-join), NOT by
+    * the LSH path: this index is asymmetric (only the corpus side is
+    * bucketed), so a corpus vector evicted by `bucketCap` — guaranteed
+    * once bucket occupancy exceeds the cap, e.g. any ≳1M-vector corpus at
+    * nbits=8's 256 buckets — would otherwise be unreachable from the
+    * batch side entirely and its exact duplicates silently kept. The
+    * prefilter is cap-immune; LSH recall claims apply to NEAR-duplicates
+    * and degrade gracefully with eviction.
     * Returns the kept batch rows (all batch columns). */
   def newDocsSemantic(
       corpusVecs: DataFrame,
@@ -146,22 +167,18 @@ object IncrementalDedup {
       }
       .toDF("bid", "bucket")
       .join(batch.select(col("id").as("bid"), col("vec").as("bvec")), "bid")
-    val hit = probes.join(index, Seq("bucket"))
+    val lshHit = probes.join(index, Seq("bucket"))
       .where(Ann.cosine(col("bvec"), col("cvec")) >= lit(threshold))
-      .select(col("bid").as("id")).distinct()
+      .select(col("bid").as("id"))
+    // exact-duplicate prefilter, immune to bucket capping: equi-join on
+    // the vector value itself (array equality — no hash, no collisions).
+    // cosine(v, v) = 1 ≥ any threshold ≤ 1, so an exact hit is always a
+    // true hit; a null vec never equals anything and stays new.
+    val exactHit = batch
+      .join(corpus.select(col("vec")), Seq("vec"), "left_semi")
+      .select(col("id"))
+    val hit = lshHit.unionByName(exactHit).distinct()
     batchVecs.join(hit, Seq("id"), "left_anti")
-  }
-
-  def newDocsFuzzy(
-      existing: DataFrame,
-      batch: DataFrame,
-      cfg: DedupConfig,
-      index: Option[FuzzyIndex] = None,
-      bucketCap: Int = 0,
-      pruneFpp: Double = 0.0): DataFrame = {
-    val dupIds = crossPairs(existing, batch, cfg, index, bucketCap, pruneFpp)
-      .select(col("bid")).distinct()
-    batch.join(dupIds, batch(cfg.idCol).cast("long") === dupIds("bid"), "left_anti")
   }
 
   /** Verified near-duplicate PAIRS across two corpora — the analysis form

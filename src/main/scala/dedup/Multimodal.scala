@@ -443,10 +443,170 @@ object Multimodal {
     buf.toArray
   }
 
-  /** STUB decode + feature-extract: a deterministic 16-dim byte-histogram
-    * "embedding" standing in for a real image/audio feature extractor (no
-    * media libs in this container). Batch shape, schema and partitioning
-    * are the real contract; only the math inside is fake. */
+  // ------------------------------------------------------ real decoders
+  /** REAL uncompressed-BMP pixel decode — BI_RGB 24-bit (the plain byte
+    * layout, no codec needed; spec: 14-byte file header with the pixel
+    * offset at byte 10, BITMAPINFOHEADER with width/height at 18/22,
+    * bit count at 28, compression at 30). Returns (w, h, rgb) with rgb
+    * row-major TOP-DOWN (bottom-up storage — positive height — is
+    * flipped; BGR byte order converted to RGB; 4-byte row padding
+    * stripped). None for compressed/paletted/truncated bytes. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 54 || sniffMagic(bytes) != "bmp") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    def le32(i: Int) = (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val bits = le16(28)
+    val compression = le32(30)
+    if (bits != 24 || compression != 0 || w <= 0 || h == 0) return None
+    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    if (off < 54 || off.toLong + rowBytes.toLong * h > bytes.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (topDown) row else h - 1 - row
+      var x = 0
+      var src = off + srcRow * rowBytes
+      var dst = row * w * 3
+      while (x < w) {
+        out(dst) = bytes(src + 2) // B G R -> R G B
+        out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src)
+        src += 3; dst += 3; x += 1
+      }
+      row += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** REAL WAV PCM sample decode — integer PCM (format 1), 8-bit unsigned
+    * or 16/24/32-bit signed little-endian, interleaved channels, each
+    * sample normalized to [-1, 1]. Plain byte layout, no codec. Returns
+    * (sampleRate, channels, samples). None for non-PCM (float, ADPCM,
+    * μ-law…), odd bit widths, or truncated chunks. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 44 || sniffMagic(bytes) != "riff") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    def le32(i: Int) = ((u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)).toLong & 0xFFFFFFFFL
+    def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(8) != "WAVE") return None
+    var i = 12
+    var fmt = 0; var rate = 0; var ch = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= bytes.length) {
+      val id = tag(i); val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmt = le16(i + 8); ch = le16(i + 10); rate = le32(i + 12).toInt
+        bits = le16(i + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = i + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmt != 1 || rate <= 0 || ch <= 0 || dataOff < 0) return None
+    if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    val out = new Array[Float](n)
+    var s = 0
+    while (s < n) {
+      val p = dataOff + s * bytesPer
+      out(s) = bits match {
+        case 8 => (u8(p) - 128) / 128f // 8-bit WAV is unsigned
+        case 16 => ((u8(p + 1) << 8) | u8(p)).toShort / 32768f
+        case 24 =>
+          (((u8(p + 2) << 16) | (u8(p + 1) << 8) | u8(p)) << 8 >> 8) / 8388608f
+        case _ =>
+          ((u8(p + 3) << 24) | (u8(p + 2) << 16) | (u8(p + 1) << 8) | u8(p)) / 2147483648f
+      }
+      s += 1
+    }
+    Some((rate, ch, out))
+  }
+
+  /** 16-dim image features from REAL decoded pixels: 12-bin luminance
+    * histogram (Rec.601 luma, normalized), mean R/G/B in [0,1], and
+    * aspect ratio w/h. Deterministic, codec-free. */
+  private[dedup] def imageFeatures(w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](16)
+    val nPix = w * h
+    if (nPix == 0) return f
+    var i = 0
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    while (i < nPix) {
+      val r = rgb(i * 3) & 0xFF
+      val g = rgb(i * 3 + 1) & 0xFF
+      val b = rgb(i * 3 + 2) & 0xFF
+      sr += r; sg += g; sb += b
+      val luma = (299 * r + 587 * g + 114 * b) / 1000 // Rec.601, integer
+      f(math.min(11, luma * 12 / 256)) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < 12) { f(j) /= nPix; j += 1 }
+    f(12) = (sr / nPix / 255.0).toFloat
+    f(13) = (sg / nPix / 255.0).toFloat
+    f(14) = (sb / nPix / 255.0).toFloat
+    f(15) = w.toFloat / h
+    f
+  }
+
+  /** 16-dim audio features from REAL decoded PCM: 12-bin |amplitude|
+    * histogram (normalized), RMS, zero-crossing rate, mean, peak. */
+  private[dedup] def audioFeatures(samples: Array[Float]): Array[Float] = {
+    val f = new Array[Float](16)
+    val n = samples.length
+    if (n == 0) return f
+    var i = 0
+    var sum = 0.0; var sq = 0.0; var peak = 0f; var zc = 0
+    while (i < n) {
+      val s = samples(i)
+      val a = math.abs(s)
+      f(math.min(11, (a * 12).toInt)) += 1f
+      sum += s; sq += s.toDouble * s
+      if (a > peak) peak = a
+      if (i > 0 && (samples(i - 1) >= 0) != (s >= 0)) zc += 1
+      i += 1
+    }
+    var j = 0
+    while (j < 12) { f(j) /= n; j += 1 }
+    f(12) = math.sqrt(sq / n).toFloat
+    f(13) = zc.toFloat / n
+    f(14) = (sum / n).toFloat
+    f(15) = peak
+    f
+  }
+
+  /** Decode + feature-extract with REAL decoders where the format is a
+    * plain byte layout (uncompressed 24-bit BMP pixels, WAV integer PCM
+    * samples — no codec exists or is needed); everything else falls back
+    * to [[decodeStub]]. The 16-float output contract is uniform, so the
+    * Spark-side plumbing (schema, batching, partitioning) is identical
+    * whichever path a blob takes. */
+  def decodeFeatures(bytes: Array[Byte]): Array[Float] =
+    decodeBmp(bytes) match {
+      case Some((w, h, rgb)) => imageFeatures(w, h, rgb)
+      case None =>
+        decodeWavPcm(bytes) match {
+          case Some((_, _, samples)) => audioFeatures(samples)
+          case None => decodeStub(bytes)
+        }
+    }
+
+  /** STUB decode + feature-extract for the formats that genuinely need a
+    * codec (JPEG/PNG/GIF entropy coding, MP3/FLAC/MP4/WebM streams — no
+    * media libs in this container): a deterministic 16-dim byte-histogram
+    * "embedding". Batch shape, schema and partitioning are the real
+    * contract; only the math inside is fake, and since round 4 it is the
+    * FALLBACK of [[decodeFeatures]], not the whole story — BMP pixels and
+    * WAV PCM samples decode for real. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     if (bytes == null || bytes.isEmpty) return hist
@@ -469,8 +629,9 @@ object Multimodal {
       .map(off => java.util.Arrays.copyOfRange(bytes, off, off + chunk))
   }
 
-  /** Per-row binary metadata + stub features, as one typed mapPartitions
-    * pass (one decode per blob; no per-column recompute). */
+  /** Per-row binary metadata + features ([[decodeFeatures]]: real decode
+    * for BMP/WAV-PCM, stub elsewhere), as one typed mapPartitions pass
+    * (one decode per blob; no per-column recompute). */
   def describeBinary(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -479,7 +640,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bin) =>
           val n = if (bin == null) 0L else bin.length.toLong
-          (id, n, sniffMagic(bin), decodeStub(bin))
+          (id, n, sniffMagic(bin), decodeFeatures(bin))
         }
       }
       .toDF("id", "n_bytes", "magic", "features")

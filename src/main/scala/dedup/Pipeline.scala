@@ -35,12 +35,13 @@ import org.apache.spark.sql.functions._
   *     [--seed 42] [--salt 16] [--bands-per-pass 0] [--no-verify]
   *     [--simhash] [--suffix]
   *     [--semantic] [--sem-k 100] [--sem-eps 0.05] [--sem-dim 64]
+  *     [--embed-weights <weights dir>]
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
   *     [--resolve-recrawls] [--blocklist w1,w2 --block-max-permille 0]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
   *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
-  *     [--exact-join]
+  *     [--exact-join] [--contain T] [--contain-df-cap N]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
   *                   reading --input)
   */
@@ -54,6 +55,7 @@ object Pipeline {
       simhash: Boolean = false,
       suffix: Boolean = false,
       semantic: Boolean = false,
+      embedWeights: String = "",
       semK: Int = 100,
       semEps: Double = 0.05,
       semDim: Int = 64,
@@ -75,6 +77,8 @@ object Pipeline {
       existing: String = "",
       existingFuzzy: Boolean = false,
       exactJoin: Boolean = false,
+      containT: Double = 0.0,
+      containDfCap: Long = 100000L,
       pruneFpp: Double = 0.01,
       byLang: Boolean = false,
       exportFormat: String = "",
@@ -104,6 +108,11 @@ object Pipeline {
         case "--simhash" => a = a.copy(simhash = true); i += 1
         case "--suffix" => a = a.copy(suffix = true); i += 1
         case "--semantic" => a = a.copy(semantic = true); i += 1
+        // exported-weights encoder for --semantic: <path>/vocab parquet
+        // (token, vec) word-embedding matrix + optional <path>/head linear
+        // layer — real model embeddings with zero code change once real
+        // exported weights are dropped in (Embedding.loadWeightEncoder)
+        case "--embed-weights" => a = a.copy(embedWeights = argv(i + 1)); i += 2
         case "--sem-k" => a = a.copy(semK = argv(i + 1).toInt); i += 2
         case "--sem-eps" => a = a.copy(semEps = argv(i + 1).toDouble); i += 2
         case "--sem-dim" => a = a.copy(semDim = argv(i + 1).toInt); i += 2
@@ -129,6 +138,17 @@ object Pipeline {
         // similarity join instead of MinHash-LSH banding (recall 1.0;
         // costlier on dup-heavy corpora — run after exact dedup)
         case "--exact-join" => a = a.copy(exactJoin = true); i += 1
+        // containment dedup stage (subset/quote removal): drop docs whose
+        // shingle set is ≥ T contained in a larger doc's. Exact-dedup-first
+        // composition is built in (SSJoin collapses identical sets before
+        // the prefix join); --contain-df-cap bounds the hot-token candidate
+        // blowup at crawl scale by excluding tokens with document frequency
+        // > N from JOIN KEYS only (sets verify in full). Default 100000:
+        // recall loss needs a probe doc whose ENTIRE prefix is hotter than
+        // the cap — pathological boilerplate, the honest trade at 10¹²
+        // docs; 0 = exact (no cap).
+        case "--contain" => a = a.copy(containT = argv(i + 1).toDouble); i += 2
+        case "--contain-df-cap" => a = a.copy(containDfCap = argv(i + 1).toLong); i += 2
         // Bloom semi-join reduction of the corpus band index in
         // --existing-fuzzy (BloomPrune; exactness-preserving, default on;
         // 0 disables — e.g. when the batch rivals the corpus in size)
@@ -151,6 +171,9 @@ object Pipeline {
     require(!a.existingFuzzy || a.existing.nonEmpty,
       "--existing-fuzzy requires --existing <pages parquet>")
     require(a.sampleTarget <= 1.0, "--sample-target must be in (0, 1]")
+    require(a.containT <= 1.0, "--contain threshold must be in (0, 1]")
+    require(a.embedWeights.isEmpty || a.semantic,
+      "--embed-weights selects the --semantic encoder; pass --semantic too")
     require(!a.mainContent || a.extractHtml,
       "--main-content modifies the --extract-html fill; pass --extract-html too")
     require(a.exportFormat.isEmpty ||
@@ -347,9 +370,11 @@ object Pipeline {
       (if (args.existing.nonEmpty) "+in" else "") +
       (if (args.existingFuzzy) "+inf" else "") +
       (if (args.exactJoin) "+xj" else "") +
+      (if (args.containT > 0) s"+ct${args.containT}c${args.containDfCap}" else "") +
       // "tf" marks the r3 encoder switch (fake → hashed TF-IDF): old
       // checkpoint dirs recompute instead of resuming stale vectors
-      (if (args.semantic) s"+setf${args.semK}e${args.semEps}d${args.semDim}" else ""),
+      (if (args.semantic) s"+setf${args.semK}e${args.semEps}d${args.semDim}" else "") +
+      (if (args.embedWeights.nonEmpty) s"+we${Hashes.xxh64Str(args.embedWeights)}" else ""),
       sourceFp)
 
     // ids stage: stable xxhash64(url) ids; downstream engine stages carry
@@ -444,7 +469,10 @@ object Pipeline {
       if (!args.semantic) None
       else {
         val embeddings = store.stage("embeddings") {
-          Embedding.tfidfEmbed(docs, cfg, args.semDim)
+          if (args.embedWeights.nonEmpty)
+            Embedding.weightsEmbed(docs, cfg,
+              Embedding.loadWeightEncoder(spark, args.embedWeights))
+          else Embedding.tfidfEmbed(docs, cfg, args.semDim)
         }
         Some(store.stage("sem_pruned") {
           val n = store.manifest("embeddings").map(_("rows").asInstanceOf[Long])
@@ -453,6 +481,23 @@ object Pipeline {
           SemDedup.semDedupKMeans(embeddings, k, args.semEps, cfg.seed).pruned
         })
       }
+
+    // `--contain T`: containment dedup over the SAME checkpointed shingle
+    // sets (the asymmetric quote-inside-page predicate MinHash banding is
+    // structurally blind to). SSJoin.dropContained collapses identical
+    // sets before the prefix join (the exact-dedup-first composition its
+    // scale doc prescribes) and dfCap bounds candidate volume on hot
+    // tokens; docs below min_length have EMPTY shingle sets and are never
+    // containment-dropped. The stage stores DROPPED ids (usually the small
+    // set), which fold into the final kept filter like semantic removals.
+    val containRemoved =
+      if (args.containT <= 0) None
+      else Some(store.stage("contain_drops") {
+        val toks = shingles.select(col("id"), col("shingles").as("toks"))
+        docs.select(col("id")).join(
+          SSJoin.dropContained(toks, args.containT, args.containDfCap),
+          Seq("id"), "left_anti")
+      })
 
     // kept: anti-join removal against the FULL page table — every payload
     // column carries through; reference chunked sink layout (S6).
@@ -465,10 +510,14 @@ object Pipeline {
     // redaction cannot perturb signatures.
     val kept = store.stage("kept", chunkRows = Some(args.chunkRows)) {
       val removal = assignments.where(col("id") =!= col("component")).select(col("id"))
-      val allRemoval = semRemoved match {
+      val semRemoval = semRemoved match {
         case Some(p) => removal.unionByName(
           p.where(col("removed")).select(col("id"))).distinct()
         case None => removal
+      }
+      val allRemoval = containRemoved match {
+        case Some(d) => semRemoval.unionByName(d.select(col("id"))).distinct()
+        case None => semRemoval
       }
       val keptPages = pages.withColumn("id", xxhash64(col("url")))
         .join(allRemoval, Seq("id"), "left_anti")

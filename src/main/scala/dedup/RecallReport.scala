@@ -48,7 +48,10 @@ object RecallReport {
     *     an engine bug (lost bucket, bad salting, over-eager verify). */
   def perLangRecall(spark: SparkSession, n: Long, cfg: DedupConfig): Seq[LangStats] = {
     import spark.implicits._
-    val pages = Synth.pages(spark, n)
+    // the 12-language / 12-script table (round 4; was 4 Latin-alphabet
+    // langs) — cluster-keyed languages keep every dup class monolingual,
+    // real non-Latin scripts exercise the tokenizer/shingler per script
+    val pages = Synth.multiScriptPages(spark, n)
       .select(col("url"), col("text"), col("lang"))
       .cache()
     val langs = pages.select("lang").distinct().as[String].collect().sorted

@@ -130,4 +130,56 @@ object Synth {
         lang = Seq("en", "en", "en", "en", "de", "fr", "hi", "en")(d.url.hashCode & 0x7))
     }
   }
+
+  /** Language → script alphabet for the multi-script corpus: 12 languages
+    * across 12 DISTINCT Unicode scripts (Latin, Cyrillic, Greek,
+    * Devanagari, Arabic, Hebrew, Han, Hiragana, Hangul, Thai, Tamil,
+    * Bengali) — every character a LETTER in its script, so the `(?U)\W`
+    * tokenizer sees the same token boundaries in every language and the
+    * planted dup geometry survives transliteration intact. */
+  private[dedup] val ScriptAlphabets: IndexedSeq[(String, String)] = IndexedSeq(
+    "en" -> "abcdefghijklmnopqrstuvwxyz",
+    "ru" -> "абвгдежзийклмнопрстуфхцчшщ",
+    "el" -> "αβγδεζηθικλμνξοπρστυφχψω",
+    "hi" -> "कखगघङचछजझञटठडढणतथदधनपफबभम",
+    "ar" -> "ابتثجحخدذرزسشصضطظعغفقكلمن",
+    "he" -> "אבגדהוזחטיכלמנסעפצקרשת",
+    "zh" -> "的一是不了人我在有他这中大来上国个到说们为子和你地出",
+    "ja" -> "あいうえおかきくけこさしすせそたちつてとなにぬねのはひ",
+    "ko" -> "가나다라마바사아자차카타파하거너더러머버서어저처커터",
+    "th" -> "กขคงจฉชซญดตถทนบปผฝพฟมยรลวสหอ",
+    "ta" -> "அஆஇஈஉஊஎஏஐஒஓகஙசஞடணதநபமயரலவழ",
+    "bn" -> "অআইঈউঊএঐওঔকখগঘঙচছজঝঞটঠডঢণ")
+
+  /** The reference's multilingual-benchmark counterpart corpus (Indic
+    * Languages Benchmark/Readme.md spans 23 languages): the SAME planted
+    * dup geometry as [[pages]], transliterated per language into a real
+    * non-Latin script. Language is keyed by the planted CLUSTER (not the
+    * url hash) so every exact/near/substring dup class is monolingual —
+    * a near-dup of a Hindi page is Hindi, and per-language truth stays
+    * dense. Transliteration is a per-character map of the a-z vocabulary
+    * (two Latin letters may alias in a shorter alphabet — that only
+    * shrinks the vocab, identically for every member of a cluster, so
+    * within-language Jaccard is preserved). */
+  def multiScriptPages(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Page] = {
+    import spark.implicits._
+    corpus(spark, n, seed).map { d =>
+      val li = java.lang.Math.floorMod(mix(d.cluster), ScriptAlphabets.length.toLong).toInt
+      val (lang, alpha) = ScriptAlphabets(li)
+      val sb = new StringBuilder(d.text.length)
+      var i = 0
+      while (i < d.text.length) {
+        val c = d.text.charAt(i)
+        sb.append(if (c >= 'a' && c <= 'z') alpha((c - 'a') % alpha.length) else c)
+        i += 1
+      }
+      val text = sb.toString
+      Page(
+        url = d.url,
+        warc_ts = new java.sql.Timestamp(1600000000000L + d.url.hashCode.toLong.abs % 100000000L),
+        html = ("<html>" + text).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        text = text,
+        lang = lang)
+    }
+  }
 }

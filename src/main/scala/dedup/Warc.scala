@@ -84,11 +84,25 @@ object Warc {
     }
     if (split < 0) return block
     val headers = new String(block, 0, split,
-      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // parse actual name:value header lines — substring-matching the whole
+    // block wrongly gunzipped a verbatim .gz payload whose headers merely
+    // MENTIONED gzip elsewhere (Content-Type: application/x-gzip with
+    // Content-Encoding: identity): the decode succeeds, so the best-effort
+    // fallback can't save it (ADVICE r3). First line is the status line;
+    // header names are case-insensitive, values may be parameter lists.
+    def headerValues(name: String): Iterator[String] =
+      headers.split("\r?\n").iterator.drop(1).flatMap { l =>
+        val c = l.indexOf(':')
+        if (c > 0 && l.substring(0, c).trim.equalsIgnoreCase(name))
+          Some(l.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT))
+        else None
+      }
     var body = java.util.Arrays.copyOfRange(block, split, block.length)
-    if (headers.contains("transfer-encoding") && headers.contains("chunked"))
+    if (headerValues("transfer-encoding").exists(_.contains("chunked")))
       body = dechunk(body).getOrElse(body)
-    if (headers.contains("content-encoding") && headers.contains("gzip"))
+    if (headerValues("content-encoding").exists(v =>
+        v.contains("gzip") || v.contains("x-gzip")))
       body = gunzip(body).getOrElse(body)
     body
   }

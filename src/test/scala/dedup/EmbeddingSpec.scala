@@ -83,6 +83,78 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(a(900001L).forall(_ == 0f) && a(900002L).forall(_ == 0f))
   }
 
+  test("weightsEmbed: golden forward equals a hand-computed " +
+      "mean-pool → linear head → L2 matmul") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("weights").toString
+    // vocab: 2-dim one-hot word vectors; head: W=[[2,0],[0,2]], b=[1,-1]
+    Seq(("hello", Array(1f, 0f)), ("world", Array(0f, 1f)))
+      .toDF("token", "vec").write.parquet(s"$dir/vocab")
+    Seq((0, Array(2f, 0f), 1f), (1, Array(0f, 2f), -1f))
+      .toDF("row", "w", "b").write.parquet(s"$dir/head")
+    val enc = Embedding.loadWeightEncoder(spark, dir)
+    assert(enc.dim === 2)
+    val docs = Seq(
+      (1L, "hello world"), // mean [.5,.5] → W·x+b [2,0]   → [1,0]
+      (2L, "hello"),       // mean [1,0]  → [3,-1] → /√10
+      (3L, "oov only"),    // no hits → zero vector, head NOT applied
+      (4L, null.asInstanceOf[String]),
+      (5L, "HELLO, Hello; world!") // tokenizer lowercases + splits punct:
+      ).toDF("id", "text") //   mean [2/3,1/3] → [7/3,-1/3] → /‖·‖
+    val v = Embedding.weightsEmbed(docs, cfg, enc, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def close(a: Array[Float], b: Array[Double]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(v(1L), Array(1.0, 0.0)))
+    val n2 = math.sqrt(10.0)
+    assert(close(v(2L), Array(3.0 / n2, -1.0 / n2)))
+    assert(v(3L).forall(_ == 0f) && v(4L).forall(_ == 0f))
+    val (h5x, h5y) = (7.0 / 3.0, -1.0 / 3.0)
+    val n5 = math.sqrt(h5x * h5x + h5y * h5y)
+    assert(close(v(5L), Array(h5x / n5, h5y / n5)))
+    // head-less layout: pure mean-pool + L2
+    val dir2 = java.nio.file.Files.createTempDirectory("weights2").toString
+    Seq(("hello", Array(3f, 4f))).toDF("token", "vec").write.parquet(s"$dir2/vocab")
+    val enc2 = Embedding.loadWeightEncoder(spark, dir2)
+    val v2 = Embedding.weightsEmbed(Seq((9L, "hello hello")).toDF("id", "text"), cfg, enc2)
+      .collect().map(r => r.getSeq[Float](1).toArray).head
+    assert(close(v2, Array(0.6, 0.8)))
+  }
+
+  test("pipeline --semantic --embed-weights: weights encoder drives the " +
+      "embeddings stage; config hash isolates it from the tfidf checkpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wepipe").toString
+    // token vectors rich enough that synth texts embed non-trivially:
+    // 16-dim deterministic pseudo-random unit rows for the top synth words
+    val rnd = new scala.util.Random(3)
+    val toks = (0 until 400).map(i => s"w$i") ++ Seq("the", "and", "of", "a")
+    toks.map { t => (t, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("token", "vec").write.parquet(s"$dir/weights/vocab")
+    val argv = Array("--synth", "300", "--output", s"$dir/out",
+      "--semantic", "--embed-weights", s"$dir/weights",
+      "--sem-k", "8", "--num-perm", "64", "--salt", "4")
+    val (kept, _) = Pipeline.run(spark, Pipeline.parse(argv))
+    assert(kept.count() > 0)
+    val emb = spark.read.parquet(s"$dir/out/embeddings/data")
+    assert(emb.select("vec").head().getSeq[Float](0).length === 16,
+      "embeddings stage must carry the weights encoder's dim, not --sem-dim")
+    // exact-dup synth texts must still embed identically (pure function)
+    val withText = Pipeline.parse(argv)
+    val texts = Synth.pages(spark, 300, withText.cfg.seed).toDF()
+      .select(xxhash64(col("url")).as("id"), col("text"))
+    val joined = emb.join(texts, "id")
+      .select(col("text"), col("vec").cast("string").as("v"))
+      .distinct().groupBy("text").count().where(col("count") > 1).count()
+    assert(joined === 0L, "same text must embed to the same vector")
+    // --embed-weights without --semantic is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.parse(Array("--synth", "10", "--output", dir,
+        "--embed-weights", s"$dir/weights"))
+    }
+    assert(err.getMessage.contains("--semantic"))
+  }
+
   test("pipeline --semantic: embed/prune stages commit; pruned ids leave kept") {
     val out = java.nio.file.Files.createTempDirectory("sempipe").toString
     val args = Pipeline.Args(synth = 400, output = out,

@@ -170,7 +170,8 @@ class EndToEndSpec extends AnyFunSuite {
     // exact-Jaccard truth on the multi-lang synthetic page table
     val stats = RecallReport.perLangRecall(spark, 1600L, cfg)
     info("\n" + RecallReport.markdown(stats, cfg, 1600L))
-    assert(stats.size >= 3, "corpus must span multiple languages")
+    assert(stats.size >= 10,
+      "corpus must span >=10 languages/scripts (multiScriptPages plants 12)")
     assert(stats.map(_.truthPairs).sum > 100, "truth must be non-vacuous")
     // gate = recall vs the reference at identical config (north rule);
     // raw brute-force-truth recall is reported but only gated in
@@ -252,6 +253,45 @@ class EndToEndSpec extends AnyFunSuite {
       Pipeline.parse(Array("--synth", "10", "--output", dir, "--main-content"))
     }
     assert(err.getMessage.contains("--extract-html"))
+  }
+
+  test("--contain: quote-inside-page dropped by the containment stage, " +
+      "invisible to MinHash; exact dups collapse upstream; resume identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def page(url: String, text: String) = Page(url, ts, null, text, "en")
+    val quote = (0 until 30).map(k => s"quote$k").mkString(" ")
+    val filler = (0 until 300).map(k => s"page$k").mkString(" ")
+    val other = (0 until 80).map(k => s"other$k").mkString(" ")
+    Seq(
+      page("http://wire/story", quote), // verbatim inside the big page
+      page("http://big/page", s"$quote $filler"),
+      page("http://big/page-copy", s"$quote $filler"), // exact dup of the page
+      page("http://un/related", other))
+      .toDS().toDF().write.mode("overwrite").parquet(s"$dir/in.parquet")
+    val argv = Array(
+      "--input", s"$dir/in.parquet", "--output", s"$dir/out",
+      "--contain", "0.9", "--num-perm", "64", "--salt", "4")
+    val (kept, assigns) = Pipeline.run(spark, Pipeline.parse(argv))
+    val keptUrls = kept.select("url").as[String].collect().toSet
+    assert(assigns.count() === 4L)
+    // MinHash cannot see the quote (jaccard ≈ 0.09 << 0.7) — only the
+    // containment stage drops it; the byte-identical page copy falls to
+    // the main dedup; exactly one big page + the unrelated doc survive
+    assert(!keptUrls.contains("http://wire/story"), "quote must be contained-dropped")
+    assert(keptUrls.contains("http://un/related"))
+    assert(keptUrls.count(_.startsWith("http://big/")) === 1)
+    // the stage checkpointed and the rerun resumes to identical output
+    assert(new java.io.File(s"$dir/out/contain_drops/_MANIFEST.json").exists())
+    val (kept2, _) = Pipeline.run(spark, Pipeline.parse(argv))
+    assert(kept2.select("url").as[String].collect().toSet === keptUrls)
+    // without --contain the quote survives (proves the stage does the work)
+    val (keptNo, _) = Pipeline.run(spark, Pipeline.parse(
+      Array("--input", s"$dir/in.parquet", "--output", s"$dir/out_nc",
+        "--num-perm", "64", "--salt", "4")))
+    assert(keptNo.select("url").as[String].collect().toSet
+      .contains("http://wire/story"))
   }
 
   test("--existing / --dedup-lines / --redact-pii: incremental prefilter, " +

@@ -258,6 +258,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept.values.forall(_.startsWith("payload")), "payload columns survive")
   }
 
+  test("newDocsSemantic: exact duplicates of bucket-EVICTED corpus vectors " +
+      "are still dropped (cap-immune prefilter)") {
+    // the corpus index is asymmetric: a corpus vector evicted by bucketCap
+    // is unreachable from the batch side via LSH entirely (ADVICE r3).
+    // nbits=2 → 4 buckets, cap=1 → ≥46 of 50 corpus vectors evicted;
+    // probeRadius=0 keeps the LSH path maximally blind. Every batch doc is
+    // a byte-identical copy of some corpus vector, so ALL must drop — the
+    // vector-equality prefilter, not the LSH join, has to catch them.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val kept = IncrementalDedup.newDocsSemantic(
+      corpus.toDF("id", "vec"),
+      corpus.map { case (i, v) => (1000L + i, v.clone()) }.toDF("id", "vec"),
+      0.95, dim, nbits = 2, probeRadius = 0, bucketCap = 1)
+    assert(kept.count() === 0L,
+      "every batch doc is an exact copy; eviction must not leak any through")
+  }
+
   test("bloom prefilter is load-bearing: rejects most new keys before any join") {
     val existing = corpus(1L to 1000L, i => s"page $i")
     val bloom = IncrementalDedup.buildBloom(existing, "text", fpp = 0.01)

@@ -321,4 +321,94 @@ class MultimodalSpec extends AnyFunSuite {
     val schema = Multimodal.describeBinary(df, "id", "bin").schema
     assert(schema.fieldNames.toSeq === Seq("id", "n_bytes", "magic", "features"))
   }
+
+  /** Full 24-bit BI_RGB BMP: 54-byte headers + padded pixel rows. `rows`
+    * are logical TOP-DOWN RGB triples; stored bottom-up unless topDown. */
+  private def bmpImage(w: Int, h: Int, rows: Seq[Seq[(Int, Int, Int)]],
+      topDown: Boolean = false): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val px = new Array[Byte](stride * h)
+    for (r <- 0 until h; c <- 0 until w) {
+      val (red, g, b) = rows(r)(c)
+      val sr = if (topDown) r else h - 1 - r // storage row
+      val o = sr * stride + c * 3
+      px(o) = b.toByte; px(o + 1) = g.toByte; px(o + 2) = red.toByte
+    }
+    "BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(px.length) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ px
+  }
+
+  test("decodeBmp: golden pixels — bottom-up flipped, BGR→RGB, padding " +
+      "stripped; top-down variant identical; compressed/paletted rejected") {
+    val rows = Seq(
+      Seq((255, 0, 0), (0, 255, 0)), // logical top row: red, green
+      Seq((0, 0, 255), (255, 255, 255))) // bottom: blue, white
+    val expected = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte).toSeq
+    val Some((w1, h1, rgb1)) = Multimodal.decodeBmp(bmpImage(2, 2, rows))
+    assert((w1, h1) === ((2, 2)) && rgb1.toSeq === expected)
+    val Some((_, _, rgb2)) = Multimodal.decodeBmp(bmpImage(2, 2, rows, topDown = true))
+    assert(rgb2.toSeq === expected, "top-down storage must decode identically")
+    // odd width exercises row padding: 3*3=9 bytes/row padded to 12
+    val r3 = Seq.fill(2)(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)))
+    val Some((_, _, rgb3)) = Multimodal.decodeBmp(bmpImage(3, 2, r3))
+    assert(rgb3.toSeq === Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+      .map(_.toByte))
+    // compressed (BI_RLE8 at offset 30) and truncated pixels reject cleanly
+    val comp = bmpImage(2, 2, rows)
+    comp(30) = 1
+    assert(Multimodal.decodeBmp(comp) === None)
+    assert(Multimodal.decodeBmp(bmpImage(2, 2, rows).take(60)) === None)
+    assert(Multimodal.decodeBmp(bmpBytes(8, 8)) === None, "header-only blob")
+    assert(Multimodal.decodeBmp(null) === None)
+  }
+
+  test("decodeWavPcm: golden samples at 8/16/24-bit; float/truncated rejected") {
+    def wavWith(bits: Int, data: Array[Byte], fmt: Int = 1): Array[Byte] = {
+      val rate = 8000; val ch = 1
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(fmt) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    // 16-bit signed LE: 0, +0.5, -0.5, -1.0
+    val d16 = le16(0) ++ le16(16384) ++ le16(-16384 & 0xFFFF) ++ le16(-32768 & 0xFFFF)
+    val Some((rate, ch, s16)) = Multimodal.decodeWavPcm(wavWith(16, d16))
+    assert(rate === 8000 && ch === 1)
+    assert(s16.toSeq === Seq(0f, 0.5f, -0.5f, -1f))
+    // 8-bit UNSIGNED: 128→0, 255→~+1, 0→-1
+    val Some((_, _, s8)) = Multimodal.decodeWavPcm(
+      wavWith(8, Array(128.toByte, 255.toByte, 0.toByte)))
+    assert(s8.toSeq === Seq(0f, 127f / 128f, -1f))
+    // 24-bit signed LE: 0x400000 = +0.5
+    val Some((_, _, s24)) = Multimodal.decodeWavPcm(
+      wavWith(24, Array[Byte](0, 0, 0x40)))
+    assert(s24.toSeq === Seq(0.5f))
+    // IEEE-float wav (fmt 3) needs no decode here: rejected, not garbled
+    assert(Multimodal.decodeWavPcm(wavWith(16, d16, fmt = 3)) === None)
+    assert(Multimodal.decodeWavPcm(d16) === None)
+  }
+
+  test("decodeFeatures: real paths for BMP/WAV, stub only for codec formats") {
+    val rows = Seq(
+      Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (255, 255, 255)))
+    val fImg = Multimodal.decodeFeatures(bmpImage(2, 2, rows))
+    // mean R = mean G = mean B = (255+255)/4/255 = 0.5; aspect 2/2 = 1
+    assert(math.abs(fImg(12) - 0.5f) < 1e-6 && math.abs(fImg(13) - 0.5f) < 1e-6 &&
+      math.abs(fImg(14) - 0.5f) < 1e-6 && fImg(15) === 1f)
+    assert(math.abs(fImg.take(12).sum - 1f) < 1e-5, "luma histogram normalized")
+    val d16 = le16(16384) ++ le16(-16384 & 0xFFFF)
+    val wav = "RIFF".getBytes ++ le32(36 + 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++ "data".getBytes ++ le32(4) ++ d16
+    val fWav = Multimodal.decodeFeatures(wav)
+    assert(math.abs(fWav(12) - 0.5f) < 1e-6, "rms of ±0.5 samples")
+    assert(fWav(15) === 0.5f, "peak")
+    // a PNG still takes the stub path (entropy-coded: codec required)
+    val png = pngBytes(4, 4)
+    assert(Multimodal.decodeFeatures(png).toSeq === Multimodal.decodeStub(png).toSeq)
+  }
 }

@@ -203,6 +203,52 @@ class SSJoinSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet.subsetOf(base))
   }
 
+  test("hot-token dfCap: candidate volume bounded, recall loss exactly the " +
+      "all-hot-prefix docs, identical sets immune to the cap") {
+    // (a) candidate-volume bound: 60 docs of 10 shared hot tokens + 1
+    // unique token each — every PREFIX contains hot tokens, so uncapped
+    // candidate volume is all-pairs; a cap below the hot df cuts it to 0
+    val hotTs = (0 until 60).map { i =>
+      (i.toLong, ((0 until 10).map(k => s"h$k") :+ s"u$i").toArray)
+    }.toDF("id", "toks")
+    val uncapped = SSJoin.candidates(hotTs, 0.7).count()
+    val capped = SSJoin.candidates(hotTs, 0.7, dfCap = 10L).count()
+    assert(uncapped === 60L * 59L / 2L, "all-hot prefixes generate all-pairs")
+    assert(capped === 0L, "cap below hot df leaves only the unique tokens as keys")
+    // (b) containment recall loss is EXACTLY the documented failure mode:
+    // probe docs whose entire prefix is hotter than the cap — nothing else
+    val hot = (0 until 4).map(k => s"h$k")
+    val ts = (
+      // rare-prefix true pairs: quote q_i (8 rare tokens) inside page p_i
+      (0 until 10).flatMap { i =>
+        val c = (0 until 8).map(k => s"c${i}_$k")
+        Seq((100L + i, c.toArray),
+          (200L + i, (c ++ (0 until 40).map(k => s"f${i}_$k")).toArray))
+      } ++ Seq(
+        // all-hot probe a1 ⊂ a2: a1's prefix is entirely hot tokens
+        (1L, hot.toArray),
+        (2L, (hot :+ "h_extra").toArray),
+        // identical all-hot twins: found via collapse, not the token join
+        (3L, (hot :+ "h5").toArray),
+        (4L, (hot :+ "h5").toArray))
+      ).toDF("id", "toks")
+    def cp(cap: Long) = SSJoin.containmentPairs(ts, 0.9, cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val base = cp(0L)
+    // df is counted over collapsed reps: h0..h3 appear in 3 reps (a1, a2,
+    // the twins' single rep) > cap 2; rare tokens are at df ≤ 2
+    val withCap = cp(2L)
+    assert(base.contains((1L, 2L)) && base.contains((3L, 4L)) && base.contains((4L, 3L)))
+    (0 until 10).foreach(i => assert(base.contains((100L + i, 200L + i))))
+    // every lost pair has probe a1 — the one doc whose whole prefix is
+    // hotter than the cap (it is 0.9-contained in a2 and in both twins)
+    val lost = base -- withCap
+    assert(lost === Set((1L, 2L), (1L, 3L), (1L, 4L)),
+      s"cap must lose exactly the all-hot-prefix probe's pairs, lost=$lost")
+    assert(withCap.contains((3L, 4L)) && withCap.contains((4L, 3L)),
+      "identical sets survive any cap (collapse finds them, not the join)")
+  }
+
   test("randomized corpora: pairs == brute force across seeds and thresholds") {
     // seeded-random token sets: mixed sizes, shared pools, singletons —
     // the adversarial surface for the prefix/length filters

@@ -88,6 +88,18 @@ class WarcSpec extends AnyFunSuite {
     // malformed gzip: raw bytes fall through, never a throw
     val broken = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip".getBytes("ISO-8859-1")
     assert(new String(Warc.httpBody(broken), "UTF-8") === "not gzip")
+    // a .gz ARTIFACT served verbatim: Content-Type mentions gzip but the
+    // Content-Encoding is identity — the payload must pass through as-is
+    // (substring matching over the header block used to gunzip it; the
+    // decode succeeds so the fallback can't catch it — ADVICE r3)
+    val artifact = ("HTTP/1.1 200 OK\r\nContent-Type: application/x-gzip\r\n" +
+      "Content-Encoding: identity\r\n\r\n").getBytes("ISO-8859-1") ++ bos.toByteArray
+    assert(Warc.httpBody(artifact).toSeq === bos.toByteArray.toSeq,
+      "verbatim .gz artifact must not be decompressed")
+    // header parsing is case-insensitive and value-scoped
+    val upper = ("HTTP/1.1 200 OK\r\nCONTENT-ENCODING: GZIP\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ bos.toByteArray
+    assert(new String(Warc.httpBody(upper), "UTF-8") === body)
   }
 
   test("httpBody: CRLF and bare-LF header terminators; headerless blocks pass through") {
