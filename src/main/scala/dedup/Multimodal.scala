@@ -134,7 +134,11 @@ object Multimodal {
       } else if (id == "data") {
         dataLen = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // chunks are word-aligned; size is UNSIGNED 32-bit — advance in Long
+      // and clamp, or a corrupt size ≥ 2³¹ wraps the cursor to a zero or
+      // negative step (infinite loop / negative index) inside a task
+      val next = i + 8L + size + (size & 1L)
+      i = if (next > bytes.length) bytes.length else next.toInt
     }
     if (rate <= 0 || ch <= 0 || dataLen < 0) None
     else Some((rate, ch, bits, if (byteRate > 0) dataLen * 1000L / byteRate else 0L))
@@ -508,7 +512,9 @@ object Multimodal {
         dataOff = i + 8
         dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      // unsigned-size-safe advance — same wrap hazard as wavMeta's walk
+      val next = i + 8L + size + (size & 1L)
+      i = if (next > bytes.length) bytes.length else next.toInt
     }
     if (fmt != 1 || rate <= 0 || ch <= 0 || dataOff < 0) return None
     if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None

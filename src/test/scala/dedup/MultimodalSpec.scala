@@ -99,6 +99,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavMeta(null) === None)
   }
 
+  test("wav chunk walk survives corrupt unsigned chunk sizes (no hang)") {
+    // sizes ≥ 2³¹ wrap to negative Ints: 0xFFFFFFF8 made the old cursor
+    // step 8 + (-8) + 0 = 0 (infinite loop); 0x80000000 stepped backwards
+    def corrupt(size: Long): Array[Byte] =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "junk".getBytes ++ le32(size.toInt) ++ new Array[Byte](40)
+    for (s <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L)) {
+      assert(Multimodal.wavMeta(corrupt(s)) === None)
+      assert(Multimodal.decodeWavPcm(corrupt(s)) === None)
+    }
+  }
+
   test("mediaMeta: typed metadata table, null-safe for mixed content") {
     import spark.implicits._
     val rows = Seq(
