@@ -75,4 +75,32 @@ object FuzzyDedup {
       .select(col("id").as(cfg.idCol))
     docs.join(removal, Seq(cfg.idCol), "left_anti")
   }
+
+  /** QUALITY-WEIGHTED representative selection: given cluster assignments
+    * (id, component) and a numeric quality score per doc, the kept id per
+    * cluster is the argmax of (quality, then MIN id as the deterministic
+    * tie-break) — "keep the best copy", the production alternative to the
+    * reference's arbitrary min-id rule (a near-dup cluster's members
+    * differ in truncation, boilerplate and extraction quality; min-id
+    * throws that information away).
+    *
+    * Input `scored`: (id, quality) — quality any numeric column (token
+    * count, Gopher/char-LM score, PageRank of the host…). Returns one row
+    * per component: (component, keep_id, quality, group_n).
+    *
+    * Scale shape: a single partial-aggregating groupBy on component —
+    * max_by/count combine map-side, so the 10M-member boilerplate cluster
+    * costs one reduce key, never a window over its rows and never a
+    * collect. (min_by over (-quality, id) = highest quality, then lowest
+    * id; quality is cast to double for the negation so any numeric input
+    * column works.) */
+  def bestRepresentatives(assign: DataFrame, scored: DataFrame): DataFrame = {
+    val joined = assign.select(col("id"), col("component"))
+      .join(scored.select(col("id"), col("quality").cast("double").as("q")), "id")
+    joined.groupBy("component")
+      .agg(
+        min_by(col("id"), struct((-col("q")).as("nq"), col("id"))).as("keep_id"),
+        max(col("q")).as("quality"),
+        count(lit(1)).as("group_n"))
+  }
 }

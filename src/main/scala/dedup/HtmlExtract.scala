@@ -160,10 +160,25 @@ object HtmlExtract {
     * attribute values, entity-decoded (&amp; inside URLs), skips script/
     * style/comment content (a commented-out anchor is not a link).
     * Malformed markup never throws. */
-  def links(html: String): Seq[String] = {
+  def links(html: String): Seq[String] = anchors(html).map(_._1)
+
+  /** `<a href=…>` targets WITH their anchor text, in document order —
+    * (href, text). Anchor text is the [[text]]-extraction of the content
+    * between the opening tag and its first real `</a>` (comments and
+    * script/style bodies are not close-tag positions), so nested markup
+    * is stripped, entities decode, and whitespace collapses exactly as in
+    * page text; an unclosed anchor runs to end of input. The href scan is
+    * byte-identical to [[links]] (which delegates here): the cursor only
+    * ever advances past the OPEN tag, so overlapping/nested anchors are
+    * each still reported.
+    *
+    * Anchor text is the classic aggregated description signal for a
+    * target page (how the web refers to it) — [[LinkGraph.anchorTexts]]
+    * aggregates these per destination host. */
+  def anchors(html: String): Seq[(String, String)] = {
     if (html == null) return Seq.empty
     val n = html.length
-    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var i = 0
     def startsWithIgnoreCase(at: Int, s: String): Boolean = {
       if (at + s.length > n) return false
@@ -226,7 +241,31 @@ object HtmlExtract {
             } else j += 1
           }
           val v = if (href == null) null else decodeEntities(href.trim)
-          if (v != null && v.nonEmpty) out += v
+          if (v != null && v.nonEmpty) {
+            // lookahead for the matching close tag: first "</a" at a tag
+            // boundary (next char '>' or whitespace — not </abbr>) that is
+            // not inside a comment or script/style body; pure lookahead,
+            // the main cursor still advances only past the open tag
+            val contentStart = math.min(j + 1, n)
+            var k = contentStart
+            var closeAt = -1
+            while (closeAt < 0 && k < n) {
+              val ck = html.charAt(k)
+              if (ck == '<') {
+                if (startsWithIgnoreCase(k, "<!--")) {
+                  val e = html.indexOf("-->", k + 4)
+                  k = if (e < 0) n else e + 3
+                } else if (startsWithIgnoreCase(k, "<script")) k = skipPast(k + 7, "</script")
+                else if (startsWithIgnoreCase(k, "<style")) k = skipPast(k + 6, "</style")
+                else if (startsWithIgnoreCase(k, "</a") &&
+                         (k + 3 >= n || html.charAt(k + 3) == '>' ||
+                          Character.isWhitespace(html.charAt(k + 3)))) closeAt = k
+                else k += 1
+              } else k += 1
+            }
+            val inner = html.substring(contentStart, if (closeAt < 0) n else closeAt)
+            out += ((v, text(inner)))
+          }
           i = math.min(j + 1, n)
         } else {
           var j = i + 1

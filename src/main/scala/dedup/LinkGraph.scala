@@ -60,6 +60,60 @@ object LinkGraph {
       .toDF("url", "link")
   }
 
+  /** Per-link anchor text rows (url, link, anchor) — absolute http(s)
+    * links only, same filter as [[outlinks]]; `anchor` is the
+    * [[HtmlExtract.anchors]] text (may be "" for image/icon links). One
+    * typed flatMap, no shuffle — aggregation is the caller's choice
+    * ([[anchorTexts]] gives the standard per-destination-host rollup). */
+  def outlinkAnchors(pages: DataFrame, urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col(urlCol).cast("string").as("url"), col(htmlCol).as("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        if (html == null) Iterator.empty
+        else {
+          val doc = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+          HtmlExtract.anchors(doc).iterator.filter { case (l, _) =>
+            val lo = l.toLowerCase
+            lo.startsWith("http://") || lo.startsWith("https://")
+          }.map { case (l, a) => (url, l, a) }
+        }
+      }
+      .toDF("url", "link", "anchor")
+  }
+
+  /** Aggregated anchor-text signal per DESTINATION host — how the rest of
+    * the web describes a site. The training-data use: anchor strings are
+    * query-like page descriptions (title/query supervision pairs), and
+    * anchor diversity is a page-quality prior alongside [[pageRankInt]].
+    *
+    * Output: (host, n_links, n_anchors, top_anchor) where n_links counts
+    * inbound cross-host link rows with non-empty anchor text, n_anchors
+    * counts distinct anchor strings, and top_anchor is the most frequent
+    * anchor (ties broken lexicographically — deterministic). Scale shape:
+    * one partial-agg groupBy on (dst_host, anchor) — never a per-host
+    * collect; the hot-giant-site key is absorbed map-side, and top-1
+    * selection is a max_by over the (host, anchor) counts, not a window
+    * over raw links. */
+  def anchorTexts(pages: DataFrame, urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val raw = outlinkAnchors(pages, urlCol, htmlCol)
+      .select(UrlOps.host(col("url")).as("src_host"),
+        UrlOps.host(col("link")).as("dst_host"),
+        col("anchor"))
+      .where(col("src_host") =!= "" && col("dst_host") =!= "" &&
+             col("src_host") =!= col("dst_host") && col("anchor") =!= "")
+    val perAnchor = raw.groupBy(col("dst_host").as("host"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    perAnchor.groupBy("host")
+      .agg(sum(col("cnt")).as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        // max of (cnt, reversed-anchor-rank) = most frequent, ties -> the
+        // lexicographically SMALLEST anchor: max_by on (cnt asc, anchor
+        // desc) inverted via min_by over struct(-cnt, anchor)
+        min_by(col("anchor"), struct((-col("cnt")).as("nc"), col("anchor"))).as("top_anchor"))
+  }
+
   /** Distinct (src_host, dst_host) edges of the host graph; self-loops
     * (intra-host navigation) dropped — they add rank mass nowhere. */
   def hostEdges(pages: DataFrame, urlCol: String = "url", htmlCol: String = "html"): DataFrame = {

@@ -57,6 +57,8 @@ object Bench {
     "q_script_stats",
     "q_url_host",
     "q_url_dedup",
+    "q_best_rep", // quality-weighted cluster representative (flagship + argmax)
+    "q_anchor_text", // anchor-text rollup per destination host
     "q_link_graph",
     "q_pagerank",
     "q_html_text",

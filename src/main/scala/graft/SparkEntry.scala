@@ -202,6 +202,20 @@ object SparkEntry {
     // --------------------------------------------------- flagship MinHash-LSH
     "q_fuzzy_assign" -> ((s, dir) =>
       FuzzyDedup.assignments(documents(s, dir), docCfg)),
+    // Quality-weighted representative per fuzzy cluster: keep the member
+    // with the most tokens (tie -> min id) instead of the arbitrary min-id
+    // rule — one partial-agg groupBy (max_by), no window over members.
+    // DuckDB replays cluster assignment via the recursive-CC CTE and the
+    // argmax via row_number.
+    "q_best_rep" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val assign = FuzzyDedup.assignments(d, docCfg)
+      val scored = d.select(col("doc_id").as("id"),
+        nTokens(col("text")).as("quality"))
+      FuzzyDedup.bestRepresentatives(assign, scored)
+        .select(col("component"), col("keep_id"),
+          col("quality").cast("long").as("quality"), col("group_n"))
+    }),
     "q_fuzzy_kept" -> ((s, dir) => {
       FuzzyDedup.kept(documents(s, dir), docCfg)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -505,6 +519,36 @@ object SparkEntry {
         .select(url.as("url"), encode(html, "UTF-8").as("html"))
       LinkGraph.pageRankInt(LinkGraph.hostEdges(pages), iterations = 2)
         .select(col("host"), col("rank").as("rank_fp"))
+    }),
+
+    // Anchor-text aggregation per destination host (HtmlExtract.anchors +
+    // LinkGraph.anchorTexts): the planted HTML exercises entity decode
+    // inside anchor text (&amp;), nested-tag stripping (<b>), an
+    // empty-anchor image link (dropped), a same-host link (dropped) and a
+    // commented-out anchor (dropped); DuckDB derives the surviving
+    // (host, anchor) multiset from doc_id arithmetic alone, independent of
+    // the scanner.
+    "q_anchor_text" -> ((s, dir) => {
+      val url = concat(lit("https://s"), (col("doc_id") % 9).cast("string"),
+        lit(".example.com/page/"), col("doc_id").cast("string"))
+      val dst1 = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org"))
+      val dst2 = concat(lit("https://h"), ((col("doc_id") + 3) % 5).cast("string"),
+        lit(".example.net"))
+      val html = concat(
+        lit("<html><body><a href=\""), dst1,
+        lit("/x?a=1\">ref "), (col("doc_id") % 4).cast("string"),
+        lit(" &amp; more</a> <a href='"), dst2,
+        lit("/q'> <b>bold</b> site "), (col("doc_id") % 3).cast("string"),
+        lit(" </a><a href=\""), dst1,
+        lit("/i\"><img src=\"x.png\"/></a>"),
+        lit("<a href=\"https://s"), (col("doc_id") % 9).cast("string"),
+        lit(".example.com/self\">self nav</a>"),
+        lit("<!-- <a href=\"https://nope.example/\">no</a> --></body></html>"))
+      val pages = documents(s, dir)
+        .select(url.as("url"), encode(html, "UTF-8").as("html"))
+      LinkGraph.anchorTexts(pages)
+        .select(col("host"), col("n_links"), col("n_anchors"), col("top_anchor"))
     }),
 
     // Unicode NFC normalization (TextNorm.nfc): combining-sequence and
@@ -963,6 +1007,16 @@ object SparkEntry {
       (fuzzyCcSql +
         """SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
+    "q_best_rep" ->
+      (fuzzyCcSql +
+        """SELECT component, id AS keep_id, q AS quality, group_n FROM (
+          |  SELECT t.*, count(*) OVER (PARTITION BY component) AS group_n,
+          |    row_number() OVER (PARTITION BY component ORDER BY q DESC, id ASC) AS rn
+          |  FROM (SELECT d.doc_id AS id,
+          |          coalesce(c.component, d.doc_id) AS component,
+          |          len(string_split(d.text, ' '))::BIGINT AS q
+          |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) t)
+          |WHERE rn = 1""".stripMargin),
     "q_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 5),
@@ -1290,6 +1344,25 @@ object SparkEntry {
         |  FROM v LEFT JOIN s2 USING (host)
         |)
         |SELECT host, r::BIGINT AS rank_fp FROM r2""".stripMargin,
+
+    "q_anchor_text" ->
+      """WITH l AS (
+        |  SELECT 'h' || (doc_id % 7) || '.example.org' AS host,
+        |         'ref ' || (doc_id % 4) || ' & more' AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || ((doc_id + 3) % 5) || '.example.net',
+        |         'bold site ' || (doc_id % 3)
+        |  FROM documents
+        |), pa AS (SELECT host, anchor, count(*) AS cnt FROM l GROUP BY 1, 2),
+        |agg AS (SELECT host, sum(cnt)::BIGINT AS n_links,
+        |               count(*)::BIGINT AS n_anchors FROM pa GROUP BY 1),
+        |top AS (SELECT host, anchor AS top_anchor FROM (
+        |  SELECT host, anchor,
+        |    row_number() OVER (PARTITION BY host ORDER BY cnt DESC, anchor ASC) AS rn
+        |  FROM pa) WHERE rn = 1)
+        |SELECT agg.host, n_links, n_anchors, top_anchor
+        |FROM agg JOIN top USING (host)""".stripMargin,
 
     "q_nfc_norm" ->
       """WITH aug AS (

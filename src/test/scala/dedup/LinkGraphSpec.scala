@@ -33,6 +33,68 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(HtmlExtract.links(null) === Seq.empty)
   }
 
+  test("anchors: (href, text) pairs — entities, nested tags, edge cases") {
+    // entity decode + whitespace collapse inside anchor text
+    assert(HtmlExtract.anchors("""<a href="https://a.com/">hi &amp;  bye</a>""") ===
+      Seq(("https://a.com/", "hi & bye")))
+    // nested markup stripped; tag is a word boundary
+    assert(HtmlExtract.anchors("""<a href='https://b.com/'> <b>bold</b> site </a>""") ===
+      Seq(("https://b.com/", "bold site")))
+    // </abbr> is not a close tag for <a>; real close ends the text
+    assert(HtmlExtract.anchors("""<a href="https://c.com/">x <abbr>y</abbr> z</a>tail""") ===
+      Seq(("https://c.com/", "x y z")))
+    // a commented-out "</a>" inside the anchor does not end it
+    assert(HtmlExtract.anchors("""<a href="https://d.com/">pre <!-- </a> --> post</a>""") ===
+      Seq(("https://d.com/", "pre post")))
+    // unclosed anchor runs to end of input; empty anchor text allowed
+    assert(HtmlExtract.anchors("""<a href="https://e.com/">tail text""") ===
+      Seq(("https://e.com/", "tail text")))
+    assert(HtmlExtract.anchors("""<a href="https://f.com/"><img src="x"/></a>""") ===
+      Seq(("https://f.com/", "")))
+    // links() delegates: href sequence identical
+    val html = """<a href="https://a.com/">1</a><a href=https://b.com/ >2</a>"""
+    assert(HtmlExtract.links(html) === HtmlExtract.anchors(html).map(_._1))
+    assert(HtmlExtract.anchors(null) === Seq.empty)
+  }
+
+  test("anchorTexts: per-destination-host rollup with deterministic top anchor") {
+    import spark.implicits._
+    val pages = Seq(
+      // two links to d1 with the same anchor, one with another anchor
+      ("https://s1.com/a",
+        """<a href="https://d1.org/x">alpha</a><a href="https://d1.org/y">alpha</a>"""),
+      ("https://s2.com/b",
+        """<a href="https://d1.org/z">beta</a><a href="https://d2.net/q">gamma</a>"""),
+      // empty anchor and self-host link are dropped
+      ("https://s3.com/c",
+        """<a href="https://d2.net/i"><img src="p"/></a>
+          |<a href="https://s3.com/self">nav</a>
+          |<a href="https://d2.net/j">delta</a>""".stripMargin))
+      .toDF("url", "h")
+      .select(col("url"), encode(col("h"), "UTF-8").as("html"))
+    val out = LinkGraph.anchorTexts(pages)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out === Array(
+      ("d1.org", 3L, 2L, "alpha"),   // alpha x2 beats beta x1
+      ("d2.net", 2L, 2L, "delta"))) // gamma 1 = delta 1 -> lexicographic min
+  }
+
+  test("bestRepresentatives: quality argmax with min-id tie-break, map-side shape") {
+    import spark.implicits._
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("id", "component")
+    val scored = Seq((1L, 5), (2L, 9), (3L, 9), (7L, 2), (8L, 2), (9L, 4))
+      .toDF("id", "quality")
+    val out = FuzzyDedup.bestRepresentatives(assign, scored)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, 2L, 9.0, 3L), // quality 9 tie between 2 and 3 -> min id 2
+      (7L, 7L, 2.0, 2L),
+      (9L, 9L, 4.0, 1L)))
+  }
+
   test("hostEdges: distinct host pairs, relative/self/non-url dropped") {
     import spark.implicits._
     val pages = Seq(
