@@ -58,6 +58,9 @@ object Bench {
     "q_url_host",
     "q_url_dedup",
     "q_best_rep", // quality-weighted cluster representative (flagship + argmax)
+    "q_sim_histogram", // corpus similarity profile (SSJoin at t=0.5 — weaker-filter regime)
+    "q_dedup_summary", // per-lang exact+fuzzy removal accounting (metrics rows)
+    "q_cross_lang_dup", // multi-lang dup components (template-spam signal)
     "q_anchor_text", // anchor-text rollup per destination host
     "q_link_graph",
     "q_pagerank",

@@ -910,6 +910,82 @@ object SparkEntry {
       val idx = Decontaminate.benchmarkIndex(bench, "text", 5)
       Decontaminate.flag(d, "text", idx, 5)
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }),
+
+    // Corpus similarity profile: histogram of exact trigram-Jaccard over
+    // all ≥0.5 pairs, bucketed by integer decile (inter*10 DIV uni — both
+    // sides integer-exact, no float boundary ambiguity). This is the
+    // "how duplicated is my crawl, and how near are the near-dups" audit
+    // a corpus owner runs before picking a dedup threshold; the engine
+    // side is the same prefix-filtered SSJoin (recall 1.0), so the row
+    // also gates the prefix filter at a LOWER threshold than the 0.7 the
+    // other rows exercise (weaker filter, more candidates — a different
+    // regime of the same plan). Oracle recomputes brute-force.
+    "q_sim_histogram" -> ((s, dir) => {
+      val g = documents(s, dir)
+        .where(nTokens(col("text")) >= 5)
+        .select(col("doc_id").as("id"), triGramHashes(col("text")).as("toks"))
+      SSJoin.pairs(g, 0.5)
+        .withColumn("sim_decile", expr("inter * 10 DIV uni"))
+        .groupBy(col("sim_decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("sim_decile"), col("n_pairs"))
+    }),
+
+    // Pipeline metrics rows (north-rule: "metrics rows" as first-class
+    // output): per-language input/removed/kept accounting across the
+    // exact (md5) and fuzzy (flagship MinHash-LSH+verify+CC) stages in
+    // one pass — the per-stage lineage a 100-TB run logs to its
+    // checkpoint store, here as an oracle-gated query. A doc is an
+    // exact-dup iff it is not the min-id of its md5 group, a fuzzy-dup
+    // iff its component rep is a smaller id (the FuzzyDedup.kept rule).
+    "q_dedup_summary" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val a = FuzzyDedup.assignments(d, docCfg)
+      val ekWin = Window.partitionBy(col("h"))
+      d.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+        .withColumn("ek", min(col("doc_id")).over(ekWin))
+        .join(a, col("doc_id") === col("id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("ek"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("component") < col("doc_id"), 1L).otherwise(0L)).as("n_fuzzy_dup"),
+          sum(when(col("component") >= col("doc_id"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_exact_dup"),
+          col("n_fuzzy_dup"), col("n_kept"))
+    }),
+
+    // Cross-language duplicate components: flagship clusters whose members
+    // carry >1 distinct lang label — the template-spam / boilerplate /
+    // lang-id-misroute signal (identical pages served under different
+    // lang routes survive per-language dedup silently; this surfaces
+    // them). The fixture corpus plants dups within-lang only (checked:
+    // zero cross-lang md5 groups at every sf), so the query plants its
+    // own: byte-identical copies of every 7th matchable doc under a
+    // synthetic 'xx' lang route — copy and original provably share a
+    // component (jaccard 1), so multi-lang clusters exist by
+    // construction and the oracle (recursive CC over the same augmented
+    // corpus) is non-vacuous and falsifiable. Output: one row per
+    // multi-lang component with its size and lang spread.
+    "q_cross_lang_dup" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val off = 10000000L
+      val copies = d
+        .where(col("doc_id") % 7 === 0 && nTokens(col("text")) >= 5)
+        .select((col("doc_id") + off).as("doc_id"), col("text"),
+          lit("xx").as("lang"))
+      val d2 = d.unionByName(copies)
+      FuzzyDedup.assignments(d2, docCfg)
+        .join(d2.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("lang")).as("lang_min"),
+          max(col("lang")).as("lang_max"))
+        .where(col("n_langs") > 1)
+        .select(col("component"), col("n_docs"), col("n_langs"),
+          col("lang_min"), col("lang_max"))
     })
   )
 
@@ -1599,6 +1675,66 @@ object SparkEntry {
         |  FROM grams JOIN bgrams USING (g) GROUP BY grams.doc_id)
         |SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,
         |  (h.n IS NOT NULL) AS contaminated
-        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    // Brute-force ≥0.5 pairs, integer-decile histogram (// is DuckDB's
+    // integer floordiv, matching Spark's DIV on BIGINT).
+    "q_sim_histogram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks),
+        |pairs AS (SELECT
+        |  len(list_intersect(a.g, b.g))::BIGINT AS inter,
+        |  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS uni
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+        |SELECT (inter * 10) // uni AS sim_decile, count(*)::BIGINT AS n_pairs
+        |FROM pairs WHERE inter * 2 >= uni GROUP BY 1""".stripMargin,
+
+    "q_dedup_summary" ->
+      (fuzzyCcSql +
+        """, ex AS (SELECT doc_id, lang,
+          |    min(doc_id) OVER (PARTITION BY md5(text)) AS ek
+          |  FROM documents),
+          |fz AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS fc
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+          |SELECT e.lang, count(*)::BIGINT AS n_docs,
+          |  sum(CASE WHEN e.doc_id != e.ek THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+          |  sum(CASE WHEN f.fc < f.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_fuzzy_dup,
+          |  sum(CASE WHEN f.fc >= f.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_kept
+          |FROM ex e JOIN fz f ON e.doc_id = f.doc_id
+          |GROUP BY e.lang""".stripMargin),
+
+    // Recursive CC over the lang-route-augmented corpus (same planted
+    // construction as the engine side), then the multi-lang-component agg.
+    "q_cross_lang_dup" ->
+      """WITH RECURSIVE docs2 AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx' AS lang FROM documents
+        |  WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 5),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks),
+        |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb FROM grams a JOIN grams b
+        |  ON a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.g, b.g)) * 10 >=
+        |      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) * 7),
+        |sym AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        |reach AS (SELECT doc_id AS id, doc_id AS r FROM docs2
+        |  UNION
+        |  SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |asg AS (SELECT d.doc_id AS id, d.lang,
+        |    coalesce(c.component, d.doc_id) AS component
+        |  FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT component, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  min(lang) AS lang_min, max(lang) AS lang_max
+        |FROM asg GROUP BY component
+        |HAVING count(DISTINCT lang) > 1""".stripMargin
   )
 }

@@ -73,6 +73,50 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_exact_dedup_rep")(spark, sf01).count() === n)
   }
 
+  test("q_sim_histogram: deciles >= 7 sum to exactly the >=0.7 pair count") {
+    // integer-exact cross-gate: decile >= 7 <=> inter*10 >= uni*7 <=> the
+    // q_ngram_jaccard_pairs predicate, so the two independent plans must
+    // agree on the mass above 0.7
+    val hist = SparkEntry.queries("q_sim_histogram")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.nonEmpty, "expected planted near-dup pairs in the histogram")
+    assert(hist.keys.forall(d => d >= 5L && d <= 10L))
+    val above07 = hist.filter(_._1 >= 7L).values.sum
+    val pairs07 = SparkEntry.queries("q_ngram_jaccard_pairs")(spark, sf01).count()
+    assert(above07 === pairs07)
+  }
+
+  test("q_dedup_summary: per-lang accounting reconciles with the kept set") {
+    val rows = SparkEntry.queries("q_dedup_summary")(spark, sf01).collect()
+    val nDocs = spark.read.parquet(s"$sf01/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // texts are all distinct at sf0.01 (asserted above), so zero exact dups
+    assert(rows.map(_.getAs[Long]("n_exact_dup")).sum === 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_fuzzy_dup") + r.getAs[Long]("n_kept")
+        === r.getAs[Long]("n_docs"))
+    }
+    val keptTotal = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(keptTotal === SparkEntry.queries("q_fuzzy_kept")(spark, sf01).count())
+  }
+
+  test("q_cross_lang_dup: planted xx-route copies surface as multi-lang components") {
+    val rows = SparkEntry.queries("q_cross_lang_dup")(spark, sf01).collect()
+    assert(rows.nonEmpty, "planted copies must create multi-lang components")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_langs") >= 2L)
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_langs"))
+    }
+    // every component holding a planted copy (id >= offset) must be here:
+    // copies are byte-identical to their original, so each copy's component
+    // is multi-lang by construction
+    val d = spark.read.parquet(s"$sf01/documents.parquet")
+    val nCopies = d.where(col("doc_id") % 7 === 0 &&
+      (regexp_count(lower(col("text")), lit("(?U)\\W")) + 1) >= 5).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum >= 2L * rows.length)
+    assert(nCopies > 0L)
+  }
+
   test("q_ann_topk: 3 neighbors per query, no self-matches") {
     val df = SparkEntry.queries("q_ann_topk")(spark, sf01).cache()
     val perQuery = df.groupBy(col("vec_id")).count().select("count")
