@@ -149,7 +149,23 @@ object Synth {
     "ko" -> "가나다라마바사아자차카타파하거너더러머버서어저처커터",
     "th" -> "กขคงจฉชซญดตถทนบปผฝพฟมยรลวสหอ",
     "ta" -> "அஆஇஈஉஊஎஏஐஒஓகஙசஞடணதநபமயரலவழ",
-    "bn" -> "অআইঈউঊএঐওঔকখগঘঙচছজঝঞটঠডঢণ")
+    "bn" -> "অআইঈউঊএঐওঔকখগঘঙচছজঝঞটঠডঢণ",
+    // round 4: the remaining distinct-script languages of the reference's
+    // 23-language Indic benchmark sweep plus Myanmar/Georgian/Ethiopic/
+    // Armenian — 23 languages, 23 distinct Unicode scripts, all BMP
+    // letters (category Lo/Ll), so (?U)\W tokenization is exercised on
+    // every script family the tokenizer will meet in web text.
+    "te" -> "కఖగఘఙచఛజఝఞటఠడఢణతథదధనపఫబభమయరలవ",
+    "kn" -> "ಕಖಗಘಙಚಛಜಝಞಟಠಡಢಣತಥದಧನಪಫಬಭಮಯರಲವ",
+    "ml" -> "കഖഗഘങചഛജഝഞടഠഡഢണതഥദധനപഫബഭമയരലവ",
+    "gu" -> "કખગઘઙચછજઝઞટઠડઢણતથદધનપફબભમયરલવ",
+    "pa" -> "ਕਖਗਘਙਚਛਜਝਞਟਠਡਢਣਤਥਦਧਨਪਫਬਭਮਯਰਲਵ",
+    "or" -> "କଖଗଘଙଚଛଜଝଞଟଠଡଢଣତଥଦଧନପଫବଭମଯରଲଵ",
+    "si" -> "කඛගඝඞචඡජඣඤටඨඩඪණතථදධනපඵබභමයරලව",
+    "my" -> "ကခဂဃငစဆဇဈဉတထဒဓနပဖဗဘမယရလဝသဟအ",
+    "ka" -> "აბგდევზთიკლმნოპჟრსტუფქღყშჩცძწჭხ",
+    "am" -> "ሀለሐመሠረሰሸቀበተቸኀነኘአከኸወዐዘዠየደጀገጠጨጰጸፈ",
+    "hy" -> "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտ")
 
   /** The reference's multilingual-benchmark counterpart corpus (Indic
     * Languages Benchmark/Readme.md spans 23 languages): the SAME planted

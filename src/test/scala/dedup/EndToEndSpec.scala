@@ -171,7 +171,7 @@ class EndToEndSpec extends AnyFunSuite {
     val stats = RecallReport.perLangRecall(spark, 1600L, cfg)
     info("\n" + RecallReport.markdown(stats, cfg, 1600L))
     assert(stats.size >= 10,
-      "corpus must span >=10 languages/scripts (multiScriptPages plants 12)")
+      "corpus must span >=10 languages/scripts (multiScriptPages plants 23)")
     assert(stats.map(_.truthPairs).sum > 100, "truth must be non-vacuous")
     // gate = recall vs the reference at identical config (north rule);
     // raw brute-force-truth recall is reported but only gated in
