@@ -447,6 +447,78 @@ object TextAnalysis {
         col("familiarity"), col("ppl"), col("bucket"))
   }
 
+  /** CCNet head/middle/tail bucketing with EXACT per-language terciles —
+    * the deterministic twin of [[charLmBuckets]] (whose cuts come from
+    * `percentile_approx`, so its boundary docs are sketch-dependent and
+    * cannot be oracle-gated). Fluency score = familiarity / n_bigrams
+    * (mean corpus-frequency of the doc's bigrams — a single IEEE division
+    * of two exact integers, so the ORDER is replicable bit-for-bit in any
+    * engine; higher = more fluent = lower perplexity = "head" in CCNet
+    * §4.3's keep set). Bucket = ⌊rank·3/n⌋ per language, which is exactly
+    * SQL `ntile(3)` (earlier buckets take the remainder).
+    *
+    * Scale shape: NO per-language window — English is half a web corpus,
+    * and `row_number() over (partition by lang)` would collapse it to one
+    * task. Instead the global (lang, score desc, id) order is ranked with
+    * the same range-partition + broadcast-offset pass as [[Ids.orderedIds]]
+    * (O(partitions) rows to the driver), and per-language ranks fall out
+    * by subtracting each language's first global rank (an O(languages)
+    * broadcast join). Bigram-less docs (score 0) sort last → "tail". */
+  def fluencyBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      vocabK: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = charLmStats(docs, idCol, textCol, vocabK)
+      .join(docs.select(col(idCol).cast("long").as(idCol),
+        coalesce(col(langCol), lit("__null__")).as("__lang__")), idCol)
+      .withColumn("score",
+        when(col("n_bigrams") > 0,
+          col("familiarity").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+    val p = math.max(1, spark.sparkContext.defaultParallelism)
+    // localCheckpoint pins the sampled range boundaries (same rationale as
+    // Ids.orderedIds): the count pass and the emit pass must see the SAME
+    // partitioning or the broadcast offsets point at the wrong partitions.
+    val sorted = scored
+      .select(col(idCol).cast("long").as("id"), col("__lang__"), col("score"))
+      .repartitionByRange(p, col("__lang__").asc, col("score").desc, col("id").asc)
+      .sortWithinPartitions(col("__lang__").asc, col("score").desc, col("id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = new Array[Long](counts.map(_._1).maxOption.getOrElse(-1) + 2)
+    var acc = 0L
+    counts.foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = sorted.select(col("id"), col("__lang__"), col("score"), col("pid"))
+      .as[(Long, String, Double, Int)]
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { case (id, lang, score, pid) =>
+          val r = (id, lang, score, bc.value(pid) + i)
+          i += 1
+          r
+        }
+      }
+      .toDF("id", "__lang__", "score", "g")
+    val langAgg = ranked.groupBy(col("__lang__"))
+      .agg(min(col("g")).as("g0"), count(lit(1)).as("n"))
+    ranked.join(broadcast(langAgg), "__lang__")
+      .withColumn("lang_rank", col("g") - col("g0"))
+      .withColumn("bucket",
+        when(col("score") === 0.0, lit("tail"))
+          .when(col("lang_rank") * 3 < col("n"), lit("head"))
+          .when(col("lang_rank") * 3 < col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("id").as(idCol), col("__lang__").as(langCol),
+        col("lang_rank"), col("bucket"))
+  }
+
   // ------------------------------------------------------ script profile
   /** Per-doc Unicode-script histogram over LETTER code points — the
     * mixed-script signal webtext curation uses (Latin text stuffed with

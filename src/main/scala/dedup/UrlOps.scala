@@ -45,4 +45,28 @@ object UrlOps {
         "^(https://[^:]*):443$", "$1")
     when(auth === "", noFrag).otherwise(concat(authNoPort, rest))
   }
+
+  /** Per-host quality rollup — the signal domain-level curation keys on
+    * (RefinedWeb/C4 drop whole hosts whose page-level quality pass rate is
+    * low; crawler scheduling re-weights by it). One pass of the
+    * integer-exact Gopher gate ([[TextAnalysis.qualityFilter]]) then a
+    * single partial-aggregated groupBy on the host — cardinality is the
+    * number of HOSTS (≪ docs, ~10⁸ at crawl scale vs 10¹² pages), so the
+    * shuffle carries only map-side-combined per-host partials and the
+    * result is broadcast-join-sized for the subsequent blocklist join.
+    * `pass_per_mille` stays in integer division (`div`) — no float
+    * boundary anywhere, replicable bit-exactly in any SQL engine.
+    *
+    * Output: host, docs, pass_docs, tokens, pass_per_mille. */
+  def hostQuality(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      textCol: String,
+      q: TextAnalysis.QualityConfig = TextAnalysis.QualityConfig()): org.apache.spark.sql.DataFrame =
+    TextAnalysis.qualityFilter(df, textCol, q)
+      .groupBy(host(col(urlCol)).as("host"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("keep").cast("long")).as("pass_docs"),
+        sum(col("n_tokens")).as("tokens"))
+      .withColumn("pass_per_mille", expr("(pass_docs * 1000) div docs"))
 }

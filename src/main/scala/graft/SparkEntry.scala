@@ -434,6 +434,32 @@ object SparkEntry {
         .where(col("n_bigrams") > 0) // oracle's join drops bigram-less docs
         .select(col("doc_id"), col("n_bigrams"), col("familiarity"))
     }),
+
+    // CCNet §4.3 head/middle/tail corpus split, exact-tercile variant
+    // (TextAnalysis.fluencyBuckets): per-language rank of the integer-exact
+    // fluency ratio via range-partition + broadcast offsets (no per-lang
+    // window), bucket = floor(rank*3/n). DuckDB re-derives rank with a
+    // window function from the same raw strings — the hash gates the whole
+    // chain: bigram LM, ratio order, tie-breaks, and tercile arithmetic.
+    "q_ppl_buckets" -> ((s, dir) => {
+      TextAnalysis.fluencyBuckets(documents(s, dir), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("lang_rank"), col("bucket"))
+    }),
+
+    // Per-host quality rollup (UrlOps.hostQuality): Gopher gate then one
+    // host-keyed partial agg — the domain-level curation signal. URLs are
+    // synthesized from doc_id (the documents table has no url column, same
+    // convention as q_url_host); DuckDB recomputes every gate rule and the
+    // integer pass rate from raw text.
+    "q_domain_quality" -> ((s, dir) => {
+      val url = concat(lit("https://www.site"),
+        (col("doc_id") % 50).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      UrlOps.hostQuality(
+          documents(s, dir).withColumn("url", url), "url", "text")
+        .select(col("host"), col("docs"), col("pass_docs"),
+          col("tokens"), col("pass_per_mille"))
+    }),
     // ------------------------------------------- multimodal binary column
     // (documents has no binary column; utf-8-encoding text stands in for
     // the html payload — the typed binary plumbing is what's exercised)
@@ -1361,6 +1387,59 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_bigrams,
         |  CAST(sum(cnt.c) AS BIGINT) AS familiarity
         |FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      """WITH bg AS (
+        |  SELECT d.doc_id, substr(d.text, CAST(t.i AS INT), 2) AS b
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(generate_series(1, length(d.text)-1)) AS i) t
+        |  WHERE length(d.text) >= 2
+        |), cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+        |st AS (SELECT bg.doc_id, count(*) AS nb, sum(cnt.c) AS fam
+        |       FROM bg JOIN cnt USING (b) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(d.lang, '__null__') AS lang,
+        |    coalesce(CAST(st.fam AS DOUBLE) / st.nb, 0.0) AS score
+        |  FROM documents d LEFT JOIN st USING (doc_id)
+        |), ranked AS (
+        |  SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) - 1 AS lang_rank,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored)
+        |SELECT doc_id, lang, lang_rank::BIGINT AS lang_rank,
+        |  CASE WHEN score = 0 THEN 'tail'
+        |       WHEN (lang_rank * 3) // n = 0 THEN 'head'
+        |       WHEN (lang_rank * 3) // n = 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked""".stripMargin,
+
+    "q_domain_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END::BIGINT AS n_distinct,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> regexp_matches(x, '\p{L}'))) END::BIGINT AS n_alpha,
+        |    length(text)::BIGINT AS n_chars,
+        |    length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_nonspace,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits
+        |  FROM documents),
+        |k AS (
+        |  SELECT 'www.site' || (doc_id % 50) || '.example.com' AS host, n_tokens,
+        |    (n_tokens >= 50 AND n_tokens <= 100000
+        |     AND n_tokens > 0 AND n_nonspace >= n_tokens * 3 AND n_nonspace <= n_tokens * 10
+        |     AND n_alpha * 1000 >= n_tokens * 800
+        |     AND n_digits * 1000 <= n_chars * 200
+        |     AND n_distinct * 1000 >= n_tokens * 300) AS keep
+        |  FROM f)
+        |SELECT host, count(*)::BIGINT AS docs,
+        |  sum(keep::INT)::BIGINT AS pass_docs,
+        |  sum(n_tokens)::BIGINT AS tokens,
+        |  (sum(keep::INT)::BIGINT * 1000) // count(*) AS pass_per_mille
+        |FROM k GROUP BY host""".stripMargin,
 
     "q_html_text" ->
       """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted

@@ -240,6 +240,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._2 === "tail")
     assert(out(4L)._1 === "__null__")
   }
+  test("fluencyBuckets: exact terciles match ntile semantics; fluent=head, gibberish/bigram-less=tail") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over the lazy dog again and again "
+    // 6 'en' docs with strictly decreasing fluency + 1 bigram-less + 1 'de'
+    val docs = Seq(
+      (1L, natural * 6, "en"),
+      (2L, natural * 4 + "zq", "en"),
+      (3L, natural * 2 + "zq xv qj", "en"),
+      (4L, natural + "zq xv qj wk vx", "en"),
+      (5L, "zq xv qj wk vx jz kq", "en"),
+      (6L, "qq zz xx vv jj kk ww", "en"),
+      (7L, "x", "en"),                     // no bigrams → score 0 → tail
+      (8L, natural, "de")                  // own language, own terciles
+    ).toDF("id", "text", "lang")
+    val out = TextAnalysis.fluencyBuckets(docs, "id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out.size === 8, "every doc must come back exactly once")
+    // en has n=7: floor(rank*3/7) → ranks 0-2 head, 3-4 middle, 5-6 tail
+    assert(out(1L) === (("en", 0L, "head")))
+    assert(out(2L) === (("en", 1L, "head")))
+    assert(out(3L) === (("en", 2L, "head")))
+    assert(out(4L)._3 === "middle")
+    assert(out(5L)._3 === "middle")
+    assert(out(6L)._3 === "tail")
+    assert(out(7L)._3 === "tail", "bigram-less doc must land in tail")
+    assert(out(7L)._2 === 6L, "score-0 doc sorts last within its language")
+    // de is alone: rank 0 of n=1 → head (its own tercile space)
+    assert(out(8L) === (("de", 0L, "head")))
+  }
+
+  test("fluencyBuckets: exact terciles over a strict fluency gradient; charLmBuckets agrees at the extremes") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over the lazy dog again and again "
+    val gib = "zq xv qj wk vx jz kq xw "
+    // strictly decreasing fluency: doc i mixes (9-i) natural reps, i gibberish
+    val docs = (0L until 9L).map { i =>
+      (i, natural * (9 - i.toInt) + gib * i.toInt, "en")
+    }.toDF("id", "text", "lang")
+    val exact = TextAnalysis.fluencyBuckets(docs, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val expected = Map(0L -> "head", 1L -> "head", 2L -> "head",
+      3L -> "middle", 4L -> "middle", 5L -> "middle",
+      6L -> "tail", 7L -> "tail", 8L -> "tail")
+    assert(exact === expected, "floor(rank*3/n) terciles over the gradient")
+    // the approx (percentile_approx) variant may place BOUNDARY docs in the
+    // neighboring bucket — that sketch-dependence is exactly why only the
+    // exact variant is oracle-gated — but the unique extremes are safe:
+    // min ppl is always <= cut1, the unique max is always > cut2.
+    val approx = TextAnalysis.charLmBuckets(docs, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(approx(0L) === "head")
+    assert(approx(8L) === "tail")
+  }
+
   test("scriptCounts: per-script letter buckets, supplementary plane, non-letters skipped") {
     // "abc \u041F\u0440\u0438 \u4E2D\u6587 \u0645 \u03A8 123 !?"
     val mixed = "abc \u041F\u0440\u0438 \u4E2D\u6587 \u0645 \u03A8 123 !?"

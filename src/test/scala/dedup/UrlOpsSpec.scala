@@ -49,4 +49,24 @@ class UrlOpsSpec extends AnyFunSuite {
       .distinct().count()
     assert(n === 1L)
   }
+
+  test("hostQuality: per-host pass counts and integer pass rate; host variants collapse") {
+    import spark.implicits._
+    val good = ('a' to 'z').flatMap(c => Seq(s"${c}at", s"${c}og", s"${c}un"))
+      .take(60).mkString(" ") // 60 distinct alpha tokens: passes every rule
+    val bad = "only three words"  // fails ok_len
+    val docs = Seq(
+      (1L, "https://A.example.com/x", good),
+      (2L, "https://user@a.example.com:443/y", good), // same host as doc 1
+      (3L, "https://a.example.com/z", bad),
+      (4L, "https://b.example.com/x", bad)
+    ).toDF("id", "url", "text")
+    val out = UrlOps.hostQuality(docs, "url", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out.size === 2, "case/userinfo/port spellings must collapse to one host")
+    assert(out("a.example.com") === ((3L, 2L, 666L)), "2 of 3 pass -> 666 per mille")
+    assert(out("b.example.com") === ((1L, 0L, 0L)))
+  }
 }
