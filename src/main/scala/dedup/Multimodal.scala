@@ -626,6 +626,141 @@ object Multimodal {
     hist
   }
 
+  /** 24-bit BMP encoder (bottom-up, BI_RGB) — the inverse of
+    * [[decodeBmp]], used to materialize synthetic image columns whose
+    * pixels are exactly known (fixtures and oracle rows) and as the plain
+    * byte-layout export for decoded pixels. RGB row-major top-down in,
+    * spec-conformant file bytes out. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3, "rgb must be w*h*3")
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    def putLe32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+    out(26) = 1; out(28) = 24 // planes=1, 24bpp; compression 0 already
+    putLe32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var src = y * w * 3
+      var dst = 54 + (h - 1 - y) * stride // bottom-up storage
+      while (x < w) {
+        out(dst) = rgb(src + 2) // RGB -> BGR
+        out(dst + 1) = rgb(src + 1)
+        out(dst + 2) = rgb(src)
+        src += 3; dst += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // -------------------------------------------- perceptual image hashing
+  /** dHash: the standard difference-hash perceptual image fingerprint —
+    * 8×9 luminance grid, one bit per horizontal neighbor pair, 64 bits.
+    * Near-identical images (recompression, small edits, brightness-
+    * preserving noise) land within a small Hamming distance, so the
+    * SimHash pigeonhole-banding machinery gives image near-dup dedup for
+    * free ([[imageNearDupEdges]]).
+    *
+    * INTEGER-EXACT by construction (replicable in any SQL engine, no
+    * float anywhere):
+    *   - luma = (299·R + 587·G + 114·B) / 1000, integer floor (Rec.601
+    *     per-mille weights);
+    *   - cell(i,j), i∈[0,8), j∈[0,9) = floor-mean of lumas over pixel
+    *     block x ∈ [j·w/9, (j+1)·w/9), y ∈ [i·h/8, (i+1)·h/8) (integer
+    *     floor boundaries — blocks tile the image exactly);
+    *   - bit k = i·8+j set iff cell(i,j) > cell(i,j+1).
+    * Requires w ≥ 9 and h ≥ 8 (every block non-empty): returns None
+    * otherwise. */
+  def dHash(w: Int, h: Int, rgb: Array[Byte]): Option[Long] = {
+    if (w < 9 || h < 8 || rgb == null || rgb.length < w * h * 3) return None
+    val cells = new Array[Long](8 * 9)
+    var i = 0
+    while (i < 8) {
+      val y0 = i * h / 8
+      val y1 = (i + 1) * h / 8
+      var j = 0
+      while (j < 9) {
+        val x0 = j * w / 9
+        val x1 = (j + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = (y * w + x) * 3
+            sum += (299 * (rgb(p) & 0xFF) + 587 * (rgb(p + 1) & 0xFF) +
+              114 * (rgb(p + 2) & 0xFF)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cells(i * 9 + j) = sum / ((y1 - y0).toLong * (x1 - x0))
+        j += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (cells(i * 9 + j) > cells(i * 9 + j + 1)) hash |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Binary image column → (id, w, h, dhash) fingerprints, one typed
+    * mapPartitions pass (decode once per blob). Undecodable blobs and
+    * sub-9×8 images yield null dims/hash — kept, never a task failure
+    * (same null-safety contract as [[mediaMeta]]). Currently decodes BMP
+    * (the codec-free format); a production deployment widens the decode
+    * dispatch, the hash and everything downstream are format-agnostic. */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bin) =>
+          decodeBmp(bin) match {
+            case Some((w, h, rgb)) =>
+              (id, Some(w), Some(h), dHash(w, h, rgb))
+            case None => (id, None, None, None)
+          }
+        }
+      }
+      .toDF("id", "w", "h", "dhash")
+  }
+
+  /** Image near-dup edges: dHash fingerprints through the SAME pigeonhole
+    * block-banding + salted grouping + exact Hamming verify as SimHash
+    * text dedup ([[SimHash.verifiedEdges]] on a precomputed 64-bit
+    * column) — recall 1.0 for hamming ≤ blocks−1 by pigeonhole, bucketed
+    * and salted so it scales like every other banded stage. Feed the
+    * output to ConnectedComponents for cluster assignment. */
+  def imageNearDupEdges(hashes: DataFrame, cfg: DedupConfig): DataFrame = {
+    val blocks = math.max(2, cfg.hammingK + 1) match {
+      case b if 64 % b == 0 => b
+      case b => Seq(4, 8, 16, 32).find(_ >= b).getOrElse(64)
+    }
+    val fps = hashes.where(col("dhash").isNotNull)
+      .select(col("id").cast("long").as("id"), col("dhash").cast("long").as("fp"))
+      .localCheckpoint()
+    val cand = Lsh.groupEdges(SimHash.bandKeys(fps, blocks), cfg.saltBuckets,
+      cfg.allPairsCap, cfg.chainEdges)
+    VerifyPairs.verifyHamming(cand, fps, cfg.hammingK)
+  }
+
   /** STUB frame-sampler: every `stride`-th fixed-size chunk of a media
     * blob (stands in for video frame extraction; bounds output size the
     * way a real sampler bounds frames). */

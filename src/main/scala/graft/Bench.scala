@@ -62,6 +62,9 @@ object Bench {
     "q_dedup_summary", // per-lang exact+fuzzy removal accounting (metrics rows)
     "q_cross_lang_dup", // multi-lang dup components (template-spam signal)
     "q_anchor_text", // anchor-text rollup per destination host
+    "q_ppl_buckets", // CCNet-style corpus split by LM-score tercile
+    "q_domain_quality", // per-host quality rollup (curation signal)
+    "q_image_dhash", // perceptual image fingerprints (BMP decode + dHash)
     "q_link_graph",
     "q_pagerank",
     "q_html_text",

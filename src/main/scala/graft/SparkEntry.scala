@@ -446,6 +446,43 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("lang_rank"), col("bucket"))
     }),
 
+    // Perceptual image dedup (Multimodal.encodeBmp → decodeBmp → dHash):
+    // per-doc 18×16 BMPs are synthesized from doc_id gradients (doc_id%37
+    // plants exact-duplicate image groups), round-tripped through the REAL
+    // encoder/decoder, dHashed, and grouped by hash. DuckDB recomputes the
+    // 64-bit hash from the PIXEL ARITHMETIC alone (no BMP parsing), so the
+    // row gates the whole byte path: encode, decode (bottom-up flip,
+    // BGR→RGB, row padding), integer luma, block means, bit packing.
+    "q_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 37
+            val w = 18; val h = 16
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((d * 31 + x * 7 + y * 13) % 256).toByte
+                rgb(p + 1) = ((d * 17 + x * 11 + y * 5) % 256).toByte
+                rgb(p + 2) = ((d * 23 + x * 3 + y * 19) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Multimodal.encodeBmp(w, h, rgb))
+          }
+        }.toDF("doc_id", "img")
+      Multimodal.imageDHash(imgs, "doc_id", "img")
+        .withColumn("dhash_bits", lpad(bin(col("dhash")), 64, "0"))
+        .withColumn("component",
+          min(col("id")).over(Window.partitionBy(col("dhash"))))
+        .select(col("id").as("doc_id"), col("dhash_bits"), col("component"))
+    }),
+
     // Per-host quality rollup (UrlOps.hostQuality): Gopher gate then one
     // host-keyed partial agg — the domain-level curation signal. URLs are
     // synthesized from doc_id (the documents table has no url column, same
@@ -1412,6 +1449,32 @@ object SparkEntry {
         |       WHEN (lang_rank * 3) // n = 1 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM ranked""".stripMargin,
+
+    "q_image_dhash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x,
+        |    ((d.doc_id % 37)*31 + x.x*7 + y.y*13) % 256 AS r,
+        |    ((d.doc_id % 37)*17 + x.x*11 + y.y*5) % 256 AS g,
+        |    ((d.doc_id % 37)*23 + x.x*3 + y.y*19) % 256 AS b
+        |  FROM documents d, generate_series(0,17) x(x), generate_series(0,15) y(y)
+        |), lum AS (
+        |  SELECT doc_id, y//2 AS i, x//2 AS j,
+        |    (299*r + 587*g + 114*b) // 1000 AS luma
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, i, j, sum(luma) // 4 AS cell FROM lum GROUP BY 1,2,3
+        |), bits AS (
+        |  SELECT a.doc_id, (a.i*8 + a.j) AS k,
+        |    CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON a.doc_id=b.doc_id AND a.i=b.i AND b.j=a.j+1
+        |  WHERE a.j < 8
+        |), hashes AS (
+        |  SELECT doc_id, string_agg(bit::VARCHAR, '' ORDER BY k DESC) AS dhash_bits
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT doc_id, dhash_bits,
+        |  min(doc_id) OVER (PARTITION BY dhash_bits) AS component
+        |FROM hashes""".stripMargin,
 
     "q_domain_quality" ->
       """WITH f AS (

@@ -423,4 +423,82 @@ class MultimodalSpec extends AnyFunSuite {
     val png = pngBytes(4, 4)
     assert(Multimodal.decodeFeatures(png).toSeq === Multimodal.decodeStub(png).toSeq)
   }
+
+  test("encodeBmp/decodeBmp roundtrip: arbitrary pixels, odd width (row padding)") {
+    for ((w, h) <- Seq((9, 8), (18, 16), (11, 9))) { // 11: stride padding
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val Some((w2, h2, back)) = Multimodal.decodeBmp(Multimodal.encodeBmp(w, h, rgb))
+      assert((w2, h2) === ((w, h)))
+      assert(back.toSeq === rgb.toSeq, s"roundtrip at ${w}x$h")
+    }
+  }
+
+  test("dHash: hand-computed bits on a 9x8 image; brightness-shift invariant; size guard") {
+    // 9x8 grayscale, one pixel per cell: column j has luma 10*j — every
+    // horizontal pair decreases left-to-right? No: increases, so
+    // cell(j) > cell(j+1) is false everywhere -> hash 0
+    def gray(v: Int) = (v, v, v)
+    def img(f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rgb = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val (r, g, b) = f(x, y)
+        val p = (y * 9 + x) * 3
+        rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+      }
+      rgb
+    }
+    assert(Multimodal.dHash(9, 8, img((x, _) => gray(10 * x))) === Some(0L))
+    // decreasing ramp: every pair left > right -> all 64 bits set (-1L)
+    assert(Multimodal.dHash(9, 8, img((x, _) => gray(80 - 10 * x))) === Some(-1L))
+    // single bright cell at (i=0, j=0): exactly bit 0 set
+    assert(Multimodal.dHash(9, 8,
+      img((x, y) => gray(if (x == 0 && y == 0) 200 else 50))) === Some(1L))
+    // uniform brightness shift preserves the hash (the perceptual property)
+    val base = img((x, y) => gray(10 * x + (if (y < 4) 20 else 0)))
+    val brighter = img((x, y) => gray(10 * x + (if (y < 4) 20 else 0) + 30))
+    assert(Multimodal.dHash(9, 8, base) === Multimodal.dHash(9, 8, brighter))
+    // sub-grid images refuse (an empty block would divide by zero)
+    assert(Multimodal.dHash(8, 8, new Array[Byte](8 * 8 * 3)) === None)
+    assert(Multimodal.dHash(9, 7, new Array[Byte](9 * 7 * 3)) === None)
+  }
+
+  test("imageDHash + imageNearDupEdges: exact copies collide, a one-cell edit is hamming<=1 " +
+      "and found by banding; undecodable blobs yield null and are skipped") {
+    import spark.implicits._
+    def img(seed: Int, tweak: Boolean): Array[Byte] = {
+      val w = 18; val h = 16
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (seed * 31 + x * 13 + y * 7) % 200 +
+          (if (tweak && x < 2 && y < 2) 55 else 0)
+        val p = (y * w + x) * 3
+        rgb(p) = v.toByte; rgb(p + 1) = v.toByte; rgb(p + 2) = v.toByte
+      }
+      Multimodal.encodeBmp(w, h, rgb)
+    }
+    val rows = Seq(
+      (1L, img(3, tweak = false)),
+      (2L, img(3, tweak = false)),          // exact copy of 1
+      (3L, img(3, tweak = true)),           // near-dup of 1 (one corner cell)
+      (4L, img(9, tweak = false)),          // unrelated image
+      (5L, "not an image".getBytes)         // undecodable
+    ).toDF("id", "img")
+    val hashes = Multimodal.imageDHash(rows, "id", "img")
+    val m = hashes.collect().map(r =>
+      r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(m(1L).isDefined && m(1L) === m(2L), "exact copies must collide")
+    assert(m(5L).isEmpty, "undecodable blob -> null hash, row kept")
+    val ham13 = java.lang.Long.bitCount(m(1L).get ^ m(3L).get)
+    assert(ham13 >= 1 && ham13 <= 1, s"one-cell edit must flip exactly the one bit, got $ham13")
+    assert(java.lang.Long.bitCount(m(1L).get ^ m(4L).get) > 3, "unrelated image must be far")
+    // normalize (src,dst) orientation: star edges point member->rep
+    val edges = Multimodal.imageNearDupEdges(hashes, DedupConfig(hammingK = 1, saltBuckets = 2))
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(edges.contains((1L, 2L)), s"exact pair banded+verified, got $edges")
+    assert(edges.contains((1L, 3L)) || edges.contains((2L, 3L)),
+      s"near-dup pair must survive hamming<=1 verify, got $edges")
+    assert(!edges.exists(e => e._1 == 4L || e._2 == 4L), "unrelated image has no edges")
+  }
 }
