@@ -742,24 +742,130 @@ object Multimodal {
       .toDF("id", "w", "h", "dhash")
   }
 
-  /** Image near-dup edges: dHash fingerprints through the SAME pigeonhole
+  /** Near-dup edges over ANY precomputed 64-bit perceptual fingerprint
+    * column (image dHash, audio energy hash, …): the SAME pigeonhole
     * block-banding + salted grouping + exact Hamming verify as SimHash
-    * text dedup ([[SimHash.verifiedEdges]] on a precomputed 64-bit
-    * column) — recall 1.0 for hamming ≤ blocks−1 by pigeonhole, bucketed
-    * and salted so it scales like every other banded stage. Feed the
-    * output to ConnectedComponents for cluster assignment. */
-  def imageNearDupEdges(hashes: DataFrame, cfg: DedupConfig): DataFrame = {
+    * text dedup — recall 1.0 for hamming ≤ blocks−1 by pigeonhole,
+    * bucketed and salted so it scales like every other banded stage.
+    * Null fingerprints (undecodable blobs) are skipped. Feed the output
+    * to ConnectedComponents for cluster assignment. */
+  def fingerprintNearDupEdges(hashes: DataFrame, fpCol: String,
+      cfg: DedupConfig): DataFrame = {
     val blocks = math.max(2, cfg.hammingK + 1) match {
       case b if 64 % b == 0 => b
       case b => Seq(4, 8, 16, 32).find(_ >= b).getOrElse(64)
     }
-    val fps = hashes.where(col("dhash").isNotNull)
-      .select(col("id").cast("long").as("id"), col("dhash").cast("long").as("fp"))
+    val fps = hashes.where(col(fpCol).isNotNull)
+      .select(col("id").cast("long").as("id"), col(fpCol).cast("long").as("fp"))
       .localCheckpoint()
     val cand = Lsh.groupEdges(SimHash.bandKeys(fps, blocks), cfg.saltBuckets,
       cfg.allPairsCap, cfg.chainEdges)
     VerifyPairs.verifyHamming(cand, fps, cfg.hammingK)
   }
+
+  /** Image near-dup edges: [[imageDHash]] output through
+    * [[fingerprintNearDupEdges]]. */
+  def imageNearDupEdges(hashes: DataFrame, cfg: DedupConfig): DataFrame =
+    fingerprintNearDupEdges(hashes, "dhash", cfg)
+
+  /** Canonical 16-bit mono PCM WAV encoder — the inverse of
+    * [[decodeWavPcm]] for the one layout the sandbox can verify
+    * end-to-end, used to materialize synthetic audio columns whose
+    * samples are exactly known (fixtures and oracle rows). Samples are
+    * clamped to the signed-16-bit range. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && samples != null, "rate > 0, samples non-null")
+    val out = new Array[Byte](44 + samples.length * 2)
+    def putLe16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    def putLe32(i: Int, v: Int): Unit = {
+      putLe16(i, v); putLe16(i + 2, v >>> 16)
+    }
+    def tag(i: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, i)
+    tag(0, "RIFF"); putLe32(4, out.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1) // PCM
+    putLe16(22, 1) // mono
+    putLe32(24, sampleRate)
+    putLe32(28, sampleRate * 2) // byte rate
+    putLe16(32, 2) // block align
+    putLe16(34, 16) // bits per sample
+    tag(36, "data"); putLe32(40, samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(44 + i * 2, math.max(-32768, math.min(32767, samples(i))))
+      i += 1
+    }
+    out
+  }
+
+  /** Audio energy-difference hash: the dHash idea on the time axis — 65
+    * equal frames over the sample stream, one bit per adjacent-frame
+    * energy comparison, 64 bits. Recompressed or amplitude-rescaled
+    * copies keep most comparisons (scaling by c > 0 scales every frame
+    * mean by ~c), so near-identical audio lands within a small Hamming
+    * distance and [[fingerprintNearDupEdges]] gives audio near-dup dedup.
+    *
+    * INTEGER-EXACT by construction (SQL-replayable, no float anywhere):
+    *   - amplitude a(t) = |s(t)| of the 16-bit PCM sample (decoded floats
+    *     are s/32768 exactly, so |f|·32768 rounds back losslessly);
+    *   - sample t belongs to frame k = ⌊t·65/n⌋ (n ≥ 65 ⇒ every frame
+    *     non-empty because the frame index advances by ≤ 1 per sample);
+    *   - e(k) = floor-mean of a(t) over frame k;
+    *   - bit k = set iff e(k) > e(k+1).
+    * Returns None for n < 65 (an empty frame would divide by zero). */
+  def audioEnergyHash(samples: Array[Float]): Option[Long] = {
+    val n = if (samples == null) 0 else samples.length
+    if (n < 65) return None
+    val sum = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var t = 0
+    while (t < n) {
+      val k = (t.toLong * 65 / n).toInt
+      sum(k) += math.round(math.abs(samples(t)) * 32768f)
+      cnt(k) += 1
+      t += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (sum(k) / cnt(k) > sum(k + 1) / cnt(k + 1)) hash |= 1L << k
+      k += 1
+    }
+    Some(hash)
+  }
+
+  /** Binary audio column → (id, sample_rate, n_samples, afp) fingerprints,
+    * one typed mapPartitions pass (decode once per blob). Undecodable
+    * blobs and sub-65-sample clips yield null rate/count/hash — kept,
+    * never a task failure (same null-safety contract as [[mediaMeta]]).
+    * Decodes WAV PCM (the codec-free format); the hash and everything
+    * downstream are format-agnostic. */
+  def audioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bin) =>
+          decodeWavPcm(bin) match {
+            case Some((rate, _, samples)) =>
+              (id, Some(rate), Some(samples.length.toLong),
+                audioEnergyHash(samples))
+            case None => (id, None, None, None)
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "n_samples", "afp")
+  }
+
+  /** Audio near-dup edges: [[audioFingerprint]] output through
+    * [[fingerprintNearDupEdges]]. */
+  def audioNearDupEdges(hashes: DataFrame, cfg: DedupConfig): DataFrame =
+    fingerprintNearDupEdges(hashes, "afp", cfg)
 
   /** STUB frame-sampler: every `stride`-th fixed-size chunk of a media
     * blob (stands in for video frame extraction; bounds output size the

@@ -65,6 +65,7 @@ object Bench {
     "q_ppl_buckets", // CCNet-style corpus split by LM-score tercile
     "q_domain_quality", // per-host quality rollup (curation signal)
     "q_image_dhash", // perceptual image fingerprints (BMP decode + dHash)
+    "q_audio_fp", // perceptual audio fingerprints (WAV decode + energy hash)
     "q_link_graph",
     "q_pagerank",
     "q_html_text",

@@ -483,6 +483,37 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("dhash_bits"), col("component"))
     }),
 
+    // Perceptual audio dedup (Multimodal.encodeWavPcm16 → decodeWavPcm →
+    // audioEnergyHash): per-doc 200-sample 16-bit PCM WAVs are synthesized
+    // from doc_id waveforms (doc_id%29 plants exact-duplicate clip groups),
+    // round-tripped through the REAL encoder/decoder, energy-hashed, and
+    // grouped by fingerprint. DuckDB recomputes the 64-bit hash from the
+    // SAMPLE ARITHMETIC alone (no WAV parsing), so the row gates the whole
+    // byte path: encode, decode (little-endian 16-bit, RIFF chunk walk),
+    // |amplitude| recovery, frame assignment k=⌊t·65/n⌋, floor means,
+    // bit packing.
+    "q_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      val clips = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 29
+            // period depends on d: distinct waveforms get distinct energy
+            // profiles (a phase shift alone can collide in the hash)
+            val samples = Array.tabulate(200) { t =>
+              ((d * 37 + t * (7 + d)) % 197 - 98).toInt
+            }
+            (id, Multimodal.encodeWavPcm16(8000, samples))
+          }
+        }.toDF("doc_id", "wav")
+      Multimodal.audioFingerprint(clips, "doc_id", "wav")
+        .withColumn("fp_bits", lpad(bin(col("afp")), 64, "0"))
+        .withColumn("component",
+          min(col("id")).over(Window.partitionBy(col("afp"))))
+        .select(col("id").as("doc_id"), col("n_samples"), col("fp_bits"),
+          col("component"))
+    }),
+
     // Per-host quality rollup (UrlOps.hostQuality): Gopher gate then one
     // host-keyed partial agg — the domain-level curation signal. URLs are
     // synthesized from doc_id (the documents table has no url column, same
@@ -1474,6 +1505,26 @@ object SparkEntry {
         |)
         |SELECT doc_id, dhash_bits,
         |  min(doc_id) OVER (PARTITION BY dhash_bits) AS component
+        |FROM hashes""".stripMargin,
+
+    "q_audio_fp" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, t.t AS t,
+        |    abs(((d.doc_id % 29)*37 + t.t*(7 + d.doc_id % 29)) % 197 - 98) AS a
+        |  FROM documents d, generate_series(0,199) t(t)
+        |), fr AS (
+        |  SELECT doc_id, (t*65)//200 AS k, sum(a)//count(*) AS e
+        |  FROM smp GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.doc_id, a.k AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        |  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k < 64
+        |), hashes AS (
+        |  SELECT doc_id, string_agg(bit::VARCHAR, '' ORDER BY k DESC) AS fp_bits
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT doc_id, 200::BIGINT AS n_samples, fp_bits,
+        |  min(doc_id) OVER (PARTITION BY fp_bits) AS component
         |FROM hashes""".stripMargin,
 
     "q_domain_quality" ->

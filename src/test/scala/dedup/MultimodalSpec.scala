@@ -501,4 +501,73 @@ class MultimodalSpec extends AnyFunSuite {
       s"near-dup pair must survive hamming<=1 verify, got $edges")
     assert(!edges.exists(e => e._1 == 4L || e._2 == 4L), "unrelated image has no edges")
   }
+
+  test("encodeWavPcm16/decodeWavPcm roundtrip: exact 16-bit samples, clamping, rate") {
+    val samples = Array.tabulate(300)(t => (t * 131 % 65536) - 32768)
+    val Some((rate, ch, back)) =
+      Multimodal.decodeWavPcm(Multimodal.encodeWavPcm16(8000, samples))
+    assert(rate === 8000 && ch === 1)
+    assert(back.length === 300)
+    // decoded floats are s/32768 exactly; recover and compare bit-exact
+    assert(back.map(f => math.round(f * 32768f)).toSeq === samples.toSeq)
+    // out-of-range samples clamp, not wrap
+    val Some((_, _, cl)) =
+      Multimodal.decodeWavPcm(Multimodal.encodeWavPcm16(8000, Array(40000, -40000)))
+    assert(cl.map(f => math.round(f * 32768f)).toSeq === Seq(32767, -32768))
+  }
+
+  test("audioEnergyHash: hand-computed bits; scale invariance when means divide evenly; size guard") {
+    // 130 samples, frame k = t*65/130 = t/2 -> 2 samples per frame.
+    // Frame k has |amplitude| pair (v(k), v(k)) so e(k) = v(k) exactly.
+    def clip(v: Int => Int): Array[Float] =
+      Array.tabulate(130)(t => v(t / 2) / 32768f)
+    // increasing ramp: e(k) < e(k+1) everywhere -> hash 0
+    assert(Multimodal.audioEnergyHash(clip(k => 10 * k)) === Some(0L))
+    // decreasing ramp: all 64 bits set
+    assert(Multimodal.audioEnergyHash(clip(k => 1000 - 10 * k)) === Some(-1L))
+    // single loud frame 0: exactly bit 0
+    assert(Multimodal.audioEnergyHash(clip(k => if (k == 0) 500 else 100)) === Some(1L))
+    // doubling amplitude preserves every comparison (integer means exact here)
+    val base = clip(k => 100 + 7 * (k % 9))
+    val loud = clip(k => 2 * (100 + 7 * (k % 9)))
+    assert(Multimodal.audioEnergyHash(base) === Multimodal.audioEnergyHash(loud))
+    // < 65 samples refuses (empty frame would divide by zero)
+    assert(Multimodal.audioEnergyHash(new Array[Float](64)) === None)
+    assert(Multimodal.audioEnergyHash(null) === None)
+  }
+
+  test("audioFingerprint + audioNearDupEdges: exact copies collide, a one-frame edit is " +
+      "hamming<=1 and found by banding; undecodable blobs yield null") {
+    import spark.implicits._
+    def wav(seed: Int, tweak: Boolean): Array[Byte] = {
+      val samples = Array.tabulate(260) { t =>
+        val k = t * 65 / 260
+        (seed * 53 + k * 17) % 300 + (if (tweak && k == 0) 900 else 0)
+      }
+      Multimodal.encodeWavPcm16(16000, samples)
+    }
+    val rows = Seq(
+      (1L, wav(2, tweak = false)),
+      (2L, wav(2, tweak = false)),          // exact copy of 1
+      (3L, wav(2, tweak = true)),           // near-dup of 1 (one loud frame)
+      (4L, wav(7, tweak = false)),          // unrelated clip
+      (5L, "not audio".getBytes)            // undecodable
+    ).toDF("id", "wav")
+    val fps = Multimodal.audioFingerprint(rows, "id", "wav")
+    val m = fps.collect().map(r =>
+      r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(m(1L).isDefined && m(1L) === m(2L), "exact copies must collide")
+    assert(m(5L).isEmpty, "undecodable blob -> null fingerprint, row kept")
+    val ham13 = java.lang.Long.bitCount(m(1L).get ^ m(3L).get)
+    assert(ham13 === 1, s"one-frame edit must flip exactly one bit, got $ham13")
+    assert(java.lang.Long.bitCount(m(1L).get ^ m(4L).get) > 3, "unrelated clip must be far")
+    val edges = Multimodal.audioNearDupEdges(fps, DedupConfig(hammingK = 1, saltBuckets = 2))
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(edges.contains((1L, 2L)), s"exact pair banded+verified, got $edges")
+    assert(edges.contains((1L, 3L)) || edges.contains((2L, 3L)),
+      s"near-dup pair must survive hamming<=1 verify, got $edges")
+    assert(!edges.exists(e => e._1 == 4L || e._2 == 4L), "unrelated clip has no edges")
+  }
 }
