@@ -49,7 +49,15 @@ object Ann {
 
   def l2norm(a: Column): Column = sqrt(VectorExprs.dotF32(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** cosine(a, b), NULL when either vector is all-zero (the measure is
+    * undefined there — and under ANSI mode a plain division would throw
+    * DIVIDE_BY_ZERO on the first no-signal embedding in a corpus). NULL
+    * fails every `>= threshold` filter, so zero vectors are "similar to
+    * nothing" in all dedup/ANN paths. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom =!= 0d, dot(a, b) / denom)
+  }
 
   // ------------------------------------------------------ top-k aggregator
   /** Bounded top-k by (sim desc, id asc): state is at most k entries, so

@@ -162,15 +162,24 @@ object HtmlExtract {
     * Malformed markup never throws. */
   def links(html: String): Seq[String] = anchors(html).map(_._1)
 
+  /** Raw-markup cap on the content scanned for ONE anchor's text: bounds
+    * total anchor-text work to O(anchors · cap) even on adversarial pages
+    * (10⁵ unclosed anchors would otherwise each extract to end-of-input —
+    * a quadratic straggler from one bad page). 4 KB of markup is far past
+    * any real display text. */
+  private val AnchorTextCap = 4096
+
   /** `<a href=…>` targets WITH their anchor text, in document order —
     * (href, text). Anchor text is the [[text]]-extraction of the content
-    * between the opening tag and its first real `</a>` (comments and
-    * script/style bodies are not close-tag positions), so nested markup
-    * is stripped, entities decode, and whitespace collapses exactly as in
-    * page text; an unclosed anchor runs to end of input. The href scan is
-    * byte-identical to [[links]] (which delegates here): the cursor only
-    * ever advances past the OPEN tag, so overlapping/nested anchors are
-    * each still reported.
+    * between the opening tag and its first real `</a>` (comments,
+    * script/style bodies, and attribute values are not close-tag
+    * positions), so nested markup is stripped, entities decode, and
+    * whitespace collapses exactly as in page text; an unclosed anchor
+    * runs to end of input (raw content capped at [[AnchorTextCap]]).
+    * Overlapping/nested anchors are each still reported: an open tag
+    * registers a PENDING anchor and the single forward pass flushes every
+    * pending anchor at the next real close — O(page) scanning total, no
+    * per-anchor lookahead.
     *
     * Anchor text is the classic aggregated description signal for a
     * target page (how the web refers to it) — [[LinkGraph.anchorTexts]]
@@ -179,6 +188,18 @@ object HtmlExtract {
     if (html == null) return Seq.empty
     val n = html.length
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // (href, contentStart) of anchors whose close tag hasn't been reached
+    val pending = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    def flush(closeAt: Int): Unit = {
+      var p = 0
+      while (p < pending.length) {
+        val (href, cs) = pending(p)
+        val end = math.min(closeAt, math.min(n, cs + AnchorTextCap))
+        out += ((href, text(html.substring(cs, math.max(cs, end)))))
+        p += 1
+      }
+      pending.clear()
+    }
     var i = 0
     def startsWithIgnoreCase(at: Int, s: String): Boolean = {
       if (at + s.length > n) return false
@@ -241,31 +262,19 @@ object HtmlExtract {
             } else j += 1
           }
           val v = if (href == null) null else decodeEntities(href.trim)
-          if (v != null && v.nonEmpty) {
-            // lookahead for the matching close tag: first "</a" at a tag
-            // boundary (next char '>' or whitespace — not </abbr>) that is
-            // not inside a comment or script/style body; pure lookahead,
-            // the main cursor still advances only past the open tag
-            val contentStart = math.min(j + 1, n)
-            var k = contentStart
-            var closeAt = -1
-            while (closeAt < 0 && k < n) {
-              val ck = html.charAt(k)
-              if (ck == '<') {
-                if (startsWithIgnoreCase(k, "<!--")) {
-                  val e = html.indexOf("-->", k + 4)
-                  k = if (e < 0) n else e + 3
-                } else if (startsWithIgnoreCase(k, "<script")) k = skipPast(k + 7, "</script")
-                else if (startsWithIgnoreCase(k, "<style")) k = skipPast(k + 6, "</style")
-                else if (startsWithIgnoreCase(k, "</a") &&
-                         (k + 3 >= n || html.charAt(k + 3) == '>' ||
-                          Character.isWhitespace(html.charAt(k + 3)))) closeAt = k
-                else k += 1
-              } else k += 1
-            }
-            val inner = html.substring(contentStart, if (closeAt < 0) n else closeAt)
-            out += ((v, text(inner)))
-          }
+          // register a pending anchor; its text is emitted when the main
+          // pass reaches the next real close tag (or end of input)
+          if (v != null && v.nonEmpty) pending += ((v, math.min(j + 1, n)))
+          i = math.min(j + 1, n)
+        } else if (startsWithIgnoreCase(i, "</a") &&
+                   (i + 3 >= n || html.charAt(i + 3) == '>' ||
+                    Character.isWhitespace(html.charAt(i + 3)))) {
+          // a real close tag at a tag boundary (not </abbr>): every
+          // pending anchor opened before it closes here — first-close
+          // semantics for each, one forward pass for all
+          flush(i)
+          var j = i + 1
+          while (j < n && html.charAt(j) != '>') j += 1
           i = math.min(j + 1, n)
         } else {
           var j = i + 1
@@ -280,6 +289,7 @@ object HtmlExtract {
         }
       } else i += 1
     }
+    flush(n) // unclosed anchors run to end of input
     out.toSeq
   }
 

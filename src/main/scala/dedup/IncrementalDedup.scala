@@ -134,9 +134,11 @@ object IncrementalDedup {
     * (threshold, nbits, probeRadius) binomial-tail argument of
     * [[Ann.cosineDedupLsh]].
     *
-    * Byte-identical embeddings are caught with probability 1 by a
-    * SEPARATE exact-match prefilter (vector-equality semi-join), NOT by
-    * the LSH path: this index is asymmetric (only the corpus side is
+    * Byte-identical NON-ZERO embeddings are caught with probability 1 by
+    * a SEPARATE exact-match prefilter (xxhash64(vec)-keyed, Bloom-pruned
+    * map-side, array-equality verified — the corpus never shuffles its
+    * float arrays for it), NOT by the LSH path: this index is asymmetric
+    * (only the corpus side is
     * bucketed), so a corpus vector evicted by `bucketCap` — guaranteed
     * once bucket occupancy exceeds the cap, e.g. any ≳1M-vector corpus at
     * nbits=8's 256 buckets — would otherwise be unreachable from the
@@ -170,12 +172,25 @@ object IncrementalDedup {
     val lshHit = probes.join(index, Seq("bucket"))
       .where(Ann.cosine(col("bvec"), col("cvec")) >= lit(threshold))
       .select(col("bid").as("id"))
-    // exact-duplicate prefilter, immune to bucket capping: equi-join on
-    // the vector value itself (array equality — no hash, no collisions).
-    // cosine(v, v) = 1 ≥ any threshold ≤ 1, so an exact hit is always a
-    // true hit; a null vec never equals anything and stays new.
-    val exactHit = batch
-      .join(corpus.select(col("vec")), Seq("vec"), "left_semi")
+    // exact-duplicate prefilter, immune to bucket capping. The join key
+    // is xxhash64(vec) — 8 bytes, NOT the float array itself, so the
+    // corpus never shuffles its vectors for this — and the corpus side is
+    // Bloom-pruned map-side to ~|batch ∩ corpus| + fpp·|corpus| rows
+    // before the join's Exchange (same BloomPrune idiom as crossPairs);
+    // array equality on the surviving candidates removes hash collisions,
+    // so the filter stays exact. Zero vectors are excluded on BOTH sides:
+    // cosine(0, ·) is undefined (Ann.cosine yields null, which fails the
+    // LSH path's ≥-threshold filter too), so a no-signal embedding is
+    // never "a duplicate of" another no-signal embedding. cosine(v, v) = 1
+    // for any non-zero v, so an exact hit is always a true hit; a null vec
+    // never hashes equal and stays new.
+    val nonZero = exists(col("vec"), v => v =!= lit(0f))
+    val batchKeyed = batch.where(nonZero).withColumn("vh", xxhash64(col("vec")))
+    val corpusKeyed = corpus.where(nonZero)
+      .select(xxhash64(col("vec")).as("vh"), col("vec").as("cvec"))
+    val exactHit = batchKeyed
+      .join(BloomPrune.prune(corpusKeyed, col("vh"), batchKeyed, col("vh")), Seq("vh"))
+      .where(col("vec") === col("cvec"))
       .select(col("id"))
     val hit = lshHit.unionByName(exactHit).distinct()
     batchVecs.join(hit, Seq("id"), "left_anti")

@@ -463,13 +463,21 @@ object Multimodal {
     val off = le32(10)
     val w = le32(18)
     val hRaw = le32(22)
-    val h = math.abs(hRaw)
+    // abs(Int.MinValue) is still negative — reject it BEFORE the h == 0
+    // check or a corrupt height of 0x80000000 sails through every bound
+    val h = if (hRaw == Int.MinValue) 0 else math.abs(hRaw)
     val topDown = hRaw < 0
     val bits = le16(28)
     val compression = le32(30)
     if (bits != 24 || compression != 0 || w <= 0 || h == 0) return None
-    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
-    if (off < 54 || off.toLong + rowBytes.toLong * h > bytes.length) return None
+    // ALL size arithmetic in Long: w*3 wraps Int for w ≥ ~715M and a
+    // wrapped-negative rowBytes would defeat the bounds check below, then
+    // crash the task on a negative array size — corrupt blobs must decode
+    // to None, never throw (the null-safety contract of imageDHash /
+    // describeBinary)
+    val rowBytesL = (w.toLong * 3 + 3) & ~3L // rows pad to 4-byte boundaries
+    if (off < 54 || off.toLong + rowBytesL * h > bytes.length) return None
+    val rowBytes = rowBytesL.toInt // ≤ bytes.length after the check above
     val out = new Array[Byte](w * h * 3)
     var row = 0
     while (row < h) {
@@ -751,10 +759,7 @@ object Multimodal {
     * to ConnectedComponents for cluster assignment. */
   def fingerprintNearDupEdges(hashes: DataFrame, fpCol: String,
       cfg: DedupConfig): DataFrame = {
-    val blocks = math.max(2, cfg.hammingK + 1) match {
-      case b if 64 % b == 0 => b
-      case b => Seq(4, 8, 16, 32).find(_ >= b).getOrElse(64)
-    }
+    val blocks = SimHash.blocksFor(cfg.hammingK)
     val fps = hashes.where(col(fpCol).isNotNull)
       .select(col("id").cast("long").as("id"), col(fpCol).cast("long").as("fp"))
       .localCheckpoint()

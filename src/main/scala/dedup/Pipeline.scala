@@ -344,6 +344,25 @@ object Pipeline {
     }
   }
 
+  /** Content fingerprint of an exported-weights directory: xxh64 over the
+    * sorted (path|bytes|mtime) listing of every file under it. Cheap (one
+    * FS listing, no data read) yet any re-export — new files, different
+    * sizes, or same-size rewrites (mtime moves) — changes it. Falls back
+    * to hashing the path string if the filesystem refuses the listing
+    * (the stage will then fail at load time anyway). */
+  private def weightsFingerprint(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val s = it.next()
+        entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
+      }
+      Hashes.xxh64Str(entries.sorted.mkString("\n"))
+    } catch { case _: Throwable => Hashes.xxh64Str(path) }
+
   private def runOne(
       spark: SparkSession,
       args: Args,
@@ -374,7 +393,12 @@ object Pipeline {
       // "tf" marks the r3 encoder switch (fake → hashed TF-IDF): old
       // checkpoint dirs recompute instead of resuming stale vectors
       (if (args.semantic) s"+setf${args.semK}e${args.semEps}d${args.semDim}" else "") +
-      (if (args.embedWeights.nonEmpty) s"+we${Hashes.xxh64Str(args.embedWeights)}" else ""),
+      // fingerprint the weight FILES (name|size|mtime listing), not just
+      // the path string — re-exporting retrained weights into the same
+      // directory must invalidate the embeddings checkpoint, or semantic
+      // dedup silently resumes vectors from the old model
+      (if (args.embedWeights.nonEmpty)
+        s"+we${weightsFingerprint(spark, args.embedWeights)}" else ""),
       sourceFp)
 
     // ids stage: stable xxhash64(url) ids; downstream engine stages carry
@@ -487,14 +511,18 @@ object Pipeline {
     // structurally blind to). SSJoin.dropContained collapses identical
     // sets before the prefix join (the exact-dedup-first composition its
     // scale doc prescribes) and dfCap bounds candidate volume on hot
-    // tokens; docs below min_length have EMPTY shingle sets and are never
-    // containment-dropped. The stage stores DROPPED ids (usually the small
-    // set), which fold into the final kept filter like semantic removals.
+    // tokens. Docs below min_length are ABSENT from the shingle stage
+    // (shingleSets emits no row for an empty set), so the drop universe
+    // must be the shingled ids, NOT the full doc table — anti-joining
+    // `docs` against the kept set would delete every short/null-text doc
+    // as a phantom "containment drop". The stage stores DROPPED ids
+    // (usually the small set), which fold into the final kept filter like
+    // semantic removals.
     val containRemoved =
       if (args.containT <= 0) None
       else Some(store.stage("contain_drops") {
         val toks = shingles.select(col("id"), col("shingles").as("toks"))
-        docs.select(col("id")).join(
+        toks.select(col("id")).join(
           SSJoin.dropContained(toks, args.containT, args.containDfCap),
           Seq("id"), "left_anti")
       })

@@ -175,21 +175,37 @@ object SSJoin {
     val num = math.round(threshold * 1000000L)
     val c = collapseExact(tokSets)
     val rp = pairsCore(c.reps, threshold)
+    expandMembers(c, rp, num, Seq("inter", "uni"), symmetric = true)
+  }
+
+  /** Expand rep-level pairs back to the members of identical-set groups —
+    * the one expansion rule shared by [[pairs]], [[containmentPairs]] and
+    * [[containmentAnalysis]]. For a SYMMETRIC measure (jaccard) the member
+    * pair is re-normalized id_a < id_b (rep ids satisfy gid_a < gid_b but
+    * member ids need the swap; the carried columns are symmetric so it is
+    * free) and within-group pairs emit each unordered pair once; for a
+    * DIRECTIONAL measure (containment) the (a in b) orientation is kept
+    * verbatim and within-group ordered pairs emit both directions. `carry`
+    * = the measure columns that ride the rep pair unchanged; within-group
+    * pairs set every carry column to glen (identical non-empty sets:
+    * inter = uni = len_a = |set|, qualifying at any threshold ≤ 1). */
+  private def expandMembers(c: Collapsed, rp: DataFrame, num: Long,
+      carry: Seq[String], symmetric: Boolean): DataFrame = {
     val ma = c.members.select(col("gid").as("id_a"), col("id").as("ma"))
     val mb = c.members.select(col("gid").as("id_b"), col("id").as("mb"))
-    // rep ids satisfy gid_a < gid_b but member ids need re-normalizing;
-    // (inter, uni) are symmetric so the swap is free
+    val (ca, cb) =
+      if (symmetric) (least(col("ma"), col("mb")), greatest(col("ma"), col("mb")))
+      else (col("ma"), col("mb"))
     val cross = rp.join(ma, "id_a").join(mb, "id_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"),
-        col("inter"), col("uni"))
+      .select(ca.as("id_a") +: cb.as("id_b") +: carry.map(col): _*)
     val within = c.members
       .where(col("gcnt") > 1 && col("glen") > 0 && lit(num) <= 1000000L)
+    val cond = if (symmetric) col("ma") < col("mb") else col("ma") =!= col("mb")
     val wpairs = within.select(col("gid"), col("id").as("ma"), col("glen"))
       .join(within.select(col("gid"), col("id").as("mb")), "gid")
-      .where(col("ma") < col("mb"))
-      .select(col("ma").as("id_a"), col("mb").as("id_b"),
-        col("glen").as("inter"), col("glen").as("uni"))
+      .where(cond)
+      .select(col("ma").as("id_a") +: col("mb").as("id_b") +:
+        carry.map(name => col("glen").as(name)): _*)
     cross.unionByName(wpairs)
   }
 
@@ -255,23 +271,8 @@ object SSJoin {
     val num = math.round(threshold * 1000000L)
     val c = collapseExact(tokSets)
     val rp = containmentPairsCore(c.reps, threshold, dfCap)
-    val ma = c.members.select(col("gid").as("id_a"), col("id").as("ma"))
-    val mb = c.members.select(col("gid").as("id_b"), col("id").as("mb"))
-    // containment is directional and constant across identical-set members,
-    // so the expansion keeps the (a in b) orientation verbatim
-    val cross = rp.join(ma, "id_a").join(mb, "id_b")
-      .select(col("ma").as("id_a"), col("mb").as("id_b"),
-        col("inter"), col("len_a"))
-    // within a group every ordered pair is containment 1.0 (identical
-    // non-empty sets), inter = len_a = |set|
-    val within = c.members
-      .where(col("gcnt") > 1 && col("glen") > 0 && lit(num) <= 1000000L)
-    val wpairs = within.select(col("gid"), col("id").as("ma"), col("glen"))
-      .join(within.select(col("gid"), col("id").as("mb")), "gid")
-      .where(col("ma") =!= col("mb"))
-      .select(col("ma").as("id_a"), col("mb").as("id_b"),
-        col("glen").as("inter"), col("glen").as("len_a"))
-    cross.unionByName(wpairs)
+    // containment is directional and constant across identical-set members
+    expandMembers(c, rp, num, Seq("inter", "len_a"), symmetric = false)
   }
 
   /** CONTAINMENT dedup (subset/quote removal): drop every doc that is
@@ -333,19 +334,8 @@ object SSJoin {
     val c = collapseExact(tokSets)
     val rp = containmentPairsCore(c.reps, threshold, dfCap)
       .localCheckpoint(eager = false)
-    val ma = c.members.select(col("gid").as("id_a"), col("id").as("ma"))
-    val mb = c.members.select(col("gid").as("id_b"), col("id").as("mb"))
-    val cross = rp.join(ma, "id_a").join(mb, "id_b")
-      .select(col("ma").as("id_a"), col("mb").as("id_b"),
-        col("inter"), col("len_a"))
-    val within = c.members
-      .where(col("gcnt") > 1 && col("glen") > 0 && lit(num) <= 1000000L)
-    val wpairs = within.select(col("gid"), col("id").as("ma"), col("glen"))
-      .join(within.select(col("gid"), col("id").as("mb")), "gid")
-      .where(col("ma") =!= col("mb"))
-      .select(col("ma").as("id_a"), col("mb").as("id_b"),
-        col("glen").as("inter"), col("glen").as("len_a"))
-    (cross.unionByName(wpairs), dropContainedFromPairs(tokSets, c, rp, num))
+    (expandMembers(c, rp, num, Seq("inter", "len_a"), symmetric = false),
+      dropContainedFromPairs(tokSets, c, rp, num))
   }
 
   /** Exact fuzzy-dedup assignments: the flagship's shingle sets through the

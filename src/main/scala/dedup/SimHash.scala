@@ -67,15 +67,23 @@ object SimHash {
       }
   }
 
+  /** Pigeonhole band count for a hamming-≤ k guarantee: k+1 blocks (a
+    * pair within hamming k shares at least one untouched block), rounded
+    * up to the next divisor of 64 so blocks tile the fingerprint exactly.
+    * The ONE policy for every 64-bit fingerprint family (text SimHash,
+    * image dHash, audio energy hash). */
+  def blocksFor(hammingK: Int): Int =
+    math.max(2, hammingK + 1) match {
+      case b if 64 % b == 0 => b
+      case b => Seq(4, 8, 16, 32).find(_ >= b).getOrElse(64)
+    }
+
   /** Full SimHash dedup candidate+verify pass: docs' shingle sets →
     * verified edges with hamming ≤ k. */
   def verifiedEdges(
       shingles: Dataset[DocShingles],
       cfg: DedupConfig): DataFrame = {
-    val blocks = math.max(2, cfg.hammingK + 1) match {
-      case b if 64 % b == 0 => b
-      case b => Seq(4, 8, 16, 32).find(_ >= b).getOrElse(64)
-    }
+    val blocks = blocksFor(cfg.hammingK)
     val fps = fingerprints(shingles, cfg.seed).localCheckpoint()
     val cand = Lsh.groupEdges(bandKeys(fps, blocks), cfg.saltBuckets,
       cfg.allPairsCap, cfg.chainEdges)

@@ -147,6 +147,17 @@ class EmbeddingSpec extends AnyFunSuite {
       .select(col("text"), col("vec").cast("string").as("v"))
       .distinct().groupBy("text").count().where(col("count") > 1).count()
     assert(joined === 0L, "same text must embed to the same vector")
+    // re-exporting DIFFERENT weights into the SAME path must invalidate
+    // the embeddings checkpoint — the config fingerprint covers the weight
+    // FILES (name|size|mtime), not the path string. Rerun with 8-dim
+    // vectors: a stale resume would still read 16-dim embeddings.
+    toks.map { t => (t, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("token", "vec").write.mode("overwrite").parquet(s"$dir/weights/vocab")
+    val (kept2, _) = Pipeline.run(spark, Pipeline.parse(argv))
+    assert(kept2.count() > 0)
+    assert(spark.read.parquet(s"$dir/out/embeddings/data")
+      .select("vec").head().getSeq[Float](0).length === 8,
+      "re-exported weights must recompute embeddings, not resume stale ones")
     // --embed-weights without --semantic is rejected loudly
     val err = intercept[IllegalArgumentException] {
       Pipeline.parse(Array("--synth", "10", "--output", dir,

@@ -268,14 +268,20 @@ class EndToEndSpec extends AnyFunSuite {
       page("http://wire/story", quote), // verbatim inside the big page
       page("http://big/page", s"$quote $filler"),
       page("http://big/page-copy", s"$quote $filler"), // exact dup of the page
-      page("http://un/related", other))
+      page("http://un/related", other),
+      // below min_length (5 tokens): absent from the shingle stage, so it
+      // is OUTSIDE the containment universe — a phantom "contained" drop
+      // of short docs was a real round-4 bug
+      page("http://tiny/doc", "hi there"))
       .toDS().toDF().write.mode("overwrite").parquet(s"$dir/in.parquet")
     val argv = Array(
       "--input", s"$dir/in.parquet", "--output", s"$dir/out",
       "--contain", "0.9", "--num-perm", "64", "--salt", "4")
     val (kept, assigns) = Pipeline.run(spark, Pipeline.parse(argv))
     val keptUrls = kept.select("url").as[String].collect().toSet
-    assert(assigns.count() === 4L)
+    assert(assigns.count() === 5L)
+    assert(keptUrls.contains("http://tiny/doc"),
+      "short doc (no shingles) must never be containment-dropped")
     // MinHash cannot see the quote (jaccard ≈ 0.09 << 0.7) — only the
     // containment stage drops it; the byte-identical page copy falls to
     // the main dedup; exactly one big page + the unrelated doc survive

@@ -258,6 +258,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept.values.forall(_.startsWith("payload")), "payload columns survive")
   }
 
+  test("newDocsSemantic: zero vectors are never each other's 'exact duplicates'") {
+    // cosine(0, ·) is undefined (Ann.cosine -> null), and the OOV/no-signal
+    // embedding of a weights encoder is all zeros — a corpus containing one
+    // zero vector must not delete every zero-vector batch doc as a "dup".
+    val dim = 8
+    val zero = Array.fill(dim)(0f)
+    val corpusDf = Seq(
+      (1L, Array.fill(dim)(0.5f)),
+      (2L, zero.clone())).toDF("id", "vec")
+    val batchDf = Seq(
+      (10L, zero.clone()),              // zero: must stay new
+      (11L, Array.fill(dim)(0.5f))).toDF("id", "vec") // exact non-zero dup: drops
+    val kept = IncrementalDedup.newDocsSemantic(corpusDf, batchDf, 0.9, dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L),
+      "zero batch vec kept (similar to nothing), non-zero exact dup dropped")
+  }
+
   test("newDocsSemantic: exact duplicates of bucket-EVICTED corpus vectors " +
       "are still dropped (cap-immune prefilter)") {
     // the corpus index is asymmetric: a corpus vector evicted by bucketCap

@@ -57,6 +57,32 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(HtmlExtract.anchors(null) === Seq.empty)
   }
 
+  test("anchors: overlapping/nested anchors each close at the FIRST real close tag") {
+    assert(HtmlExtract.anchors("<a href=a>one <a href=b>two</a> tail") ===
+      Seq(("a", "one two"), ("b", "two")))
+    // sequential anchors keep document order and their own texts
+    assert(HtmlExtract.anchors("<a href=a>x</a> mid <a href=b>y</a>") ===
+      Seq(("a", "x"), ("b", "y")))
+  }
+
+  test("anchors: adversarial pages stay linear — one pass, capped anchor text") {
+    // 30k unclosed anchors: the old per-anchor close-tag lookahead made
+    // this quadratic (each anchor rescanning to end of input) — a
+    // multi-minute straggler from one malformed page. The single-pass
+    // flush + raw-text cap must keep it well under seconds.
+    val m = 30000
+    val html = (0 until m).map(i => s"<a href=u$i>t$i ").mkString + ("pad " * 50)
+    val t0 = System.nanoTime()
+    val as = HtmlExtract.anchors(html)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(as.length === m)
+    assert(as.head._1 === "u0" && as.last._1 === s"u${m - 1}")
+    // every anchor is unclosed -> runs to end of input, capped: the first
+    // anchor's text is a strict prefix of the page, not the whole page
+    assert(as.head._2.length <= 4096)
+    assert(sec < 10.0, f"anchors() took $sec%.1f s — quadratic scan regressed")
+  }
+
   test("anchorTexts: per-destination-host rollup with deterministic top anchor") {
     import spark.implicits._
     val pages = Seq(

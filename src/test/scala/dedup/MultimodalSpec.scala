@@ -502,6 +502,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!edges.exists(e => e._1 == 4L || e._2 == 4L), "unrelated image has no edges")
   }
 
+  test("decodeBmp: corrupt giant dims return None, never throw (Int-overflow guards)") {
+    def bmpHeader(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](64)
+      b(0) = 'B'; b(1) = 'M'
+      def putLe32(i: Int, v: Int): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+        b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+      }
+      putLe32(10, 54); putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+      b(26) = 1; b(28) = 24 // planes, 24bpp, compression 0
+      b
+    }
+    // w*3 wraps Int negative -> a wrapped rowBytes once defeated the bounds
+    // check and crashed on a negative array size
+    assert(Multimodal.decodeBmp(bmpHeader(800000000, 1)) === None)
+    // abs(Int.MinValue) is still negative -> height guard
+    assert(Multimodal.decodeBmp(bmpHeader(1, Int.MinValue)) === None)
+    assert(Multimodal.decodeBmp(bmpHeader(Int.MaxValue / 2, 2)) === None)
+    assert(Multimodal.decodeBmp(bmpHeader(4, -4)).isEmpty) // top-down but truncated
+  }
+
   test("encodeWavPcm16/decodeWavPcm roundtrip: exact 16-bit samples, clamping, rate") {
     val samples = Array.tabulate(300)(t => (t * 131 % 65536) - 32768)
     val Some((rate, ch, back)) =
