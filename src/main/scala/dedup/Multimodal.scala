@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   *      [[imageDims]], WAV sample-rate/channels/duration [[wavMeta]].
   *   2. REAL Spark plumbing: schema, typed mapPartitions batching,
   *      null-safe metadata tables ([[describeBinary]], [[mediaMeta]]).
-  *   3. STUB (clearly marked): pixel/sample DECODE ([[decodeStub]],
-  *      [[sampleChunks]]) — actual media decoding needs codec libraries
-  *      this container doesn't ship; a production deployment swaps these
-  *      for codec calls with the same signatures.
+  *   3. REAL pixel/sample decode for every format implementable without
+  *      media libraries: BMP ([[decodeBmp]]) and WAV PCM
+  *      ([[decodeWavPcm]]) are plain byte layouts; PNG ([[decodePng]])
+  *      is DEFLATE (the JDK ships Inflater) + five arithmetic scanline
+  *      filters; GIF ([[decodeGif]]) is tabular LZW. Encoders for all
+  *      four ([[encodeBmp]], [[encodePng]], [[encodeGif]], WAV in
+  *      fixtures) make the round-trips golden-testable.
+  *   4. STUB (clearly marked): [[decodeStub]]/[[sampleChunks]] for the
+  *      formats that genuinely need codec libraries this container
+  *      doesn't ship (JPEG DCT, MP3/FLAC/MP4/WebM streams); a production
+  *      deployment swaps these for codec calls with the same signatures.
   */
 object Multimodal {
 
@@ -598,14 +605,15 @@ object Multimodal {
     f
   }
 
-  /** Decode + feature-extract with REAL decoders where the format is a
-    * plain byte layout (uncompressed 24-bit BMP pixels, WAV integer PCM
-    * samples — no codec exists or is needed); everything else falls back
+  /** Decode + feature-extract with REAL decoders wherever the format is
+    * implementable without media libraries (BMP's plain byte layout,
+    * PNG via the JDK's Inflater, GIF via LZW, WAV integer PCM);
+    * everything else falls back
     * to [[decodeStub]]. The 16-float output contract is uniform, so the
     * Spark-side plumbing (schema, batching, partitioning) is identical
     * whichever path a blob takes. */
   def decodeFeatures(bytes: Array[Byte]): Array[Float] =
-    decodeBmp(bytes) match {
+    decodeImage(bytes) match {
       case Some((w, h, rgb)) => imageFeatures(w, h, rgb)
       case None =>
         decodeWavPcm(bytes) match {
@@ -615,12 +623,12 @@ object Multimodal {
     }
 
   /** STUB decode + feature-extract for the formats that genuinely need a
-    * codec (JPEG/PNG/GIF entropy coding, MP3/FLAC/MP4/WebM streams — no
+    * codec (JPEG arithmetic/Huffman DCT, MP3/FLAC/MP4/WebM streams — no
     * media libs in this container): a deterministic 16-dim byte-histogram
     * "embedding". Batch shape, schema and partitioning are the real
     * contract; only the math inside is fake, and since round 4 it is the
-    * FALLBACK of [[decodeFeatures]], not the whole story — BMP pixels and
-    * WAV PCM samples decode for real. */
+    * FALLBACK of [[decodeFeatures]], not the whole story — BMP, PNG and
+    * GIF pixels and WAV PCM samples decode for real. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     if (bytes == null || bytes.isEmpty) return hist
@@ -667,6 +675,432 @@ object Multimodal {
     }
     out
   }
+
+  /** REAL PNG pixel decode — no external codec: PNG's only compression
+    * is DEFLATE (RFC 1951), which the JDK ships (`java.util.zip.Inflater`),
+    * and the five scanline filters (None/Sub/Up/Average/Paeth, spec §9)
+    * are plain byte arithmetic. Supports the bit-depth-8 color types:
+    * 0 grayscale, 2 truecolor, 3 palette (PLTE), 4 gray+alpha, 6 RGBA —
+    * alpha is dropped, gray/palette expanded, output is the same
+    * (w, h, rgb-top-down) contract as [[decodeBmp]]. Returns None for
+    * interlaced (Adam7), 16-bit, sub-byte palette depths, bad CRC-length
+    * structure, or any inflate/bounds malformation — never throws. */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes == null || bytes.length < 45 || sniffMagic(bytes) != "png") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    // IHDR is mandated first (spec §5.6); signature is 8 bytes
+    if (be32(8) != 13 || be32(12) != 0x49484452) return None
+    val w = be32(16); val h = be32(20)
+    val depth = u8(24); val colorType = u8(25); val interlace = u8(28)
+    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    // w*channels wraps Int for giant headers on tiny payloads — all
+    // raw-size arithmetic in Long, same corrupt-blob contract as decodeBmp.
+    // Unlike BMP (whose pixel bytes must be PRESENT in the blob), PNG
+    // decompresses, so a 100-byte blob can claim a multi-GB raster: cap
+    // the decode at 256 MiB of raw scanlines (≈9500² RGB) — corpus image
+    // payloads beyond that are rejected as None, never allocated.
+    val rawLen = (w.toLong * channels + 1) * h
+    if (rawLen > (1L << 28) || w.toLong * h * 3 > (1L << 28)) return None
+    // one chunk walk: concatenate IDAT payloads, grab PLTE if present
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream(math.min(bytes.length, 1 << 20))
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= bytes.length) {
+      val len = be32(i)
+      val typ = be32(i + 4)
+      if (len < 0 || i + 12L + len > bytes.length) return None
+      typ match {
+        case 0x504C5445 => // PLTE
+          if (len % 3 != 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + len)
+        case 0x49444154 => idat.write(bytes, i + 8, len) // IDAT
+        case 0x49454E44 => done = true // IEND
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (colorType == 3 && palette == null) return None
+    // zlib inflate of the concatenated IDAT stream
+    val inf = new java.util.zip.Inflater()
+    val raw = new Array[Byte](rawLen.toInt)
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        // truncated stream, or a preset-dictionary stream (illegal in PNG)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+      if (off < raw.length) return None
+    } finally inf.end()
+    // unfilter in place: each scanline is [filterType, bpp*w bytes]
+    val stride = w * channels
+    val line = new Array[Byte](stride)  // current unfiltered scanline
+    val prior = new Array[Byte](stride) // previous unfiltered scanline
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val ft = raw(base) & 0xFF
+      var x = 0
+      while (x < stride) {
+        val cur = raw(base + 1 + x) & 0xFF
+        val a = if (x >= channels) line(x - channels) & 0xFF else 0 // left
+        val b = prior(x) & 0xFF                                     // up
+        val c = if (x >= channels) prior(x - channels) & 0xFF else 0 // up-left
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + ((a + b) >> 1)
+          case 4 => // Paeth predictor (spec §9.4)
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        line(x) = v.toByte
+        x += 1
+      }
+      // expand this scanline to RGB
+      var px = 0
+      var dst = y * w * 3
+      while (px < w) {
+        val s = px * channels
+        colorType match {
+          case 0 | 4 =>
+            val g = line(s)
+            out(dst) = g; out(dst + 1) = g; out(dst + 2) = g
+          case 2 | 6 =>
+            out(dst) = line(s); out(dst + 1) = line(s + 1); out(dst + 2) = line(s + 2)
+          case 3 =>
+            val pi = (line(s) & 0xFF) * 3
+            if (pi + 2 >= palette.length) return None
+            out(dst) = palette(pi); out(dst + 1) = palette(pi + 1); out(dst + 2) = palette(pi + 2)
+        }
+        px += 1; dst += 3
+      }
+      System.arraycopy(line, 0, prior, 0, stride)
+      y += 1
+    }
+    Some((w, h, out))
+  } catch { case _: RuntimeException | _: java.util.zip.DataFormatException => None }
+
+  /** PNG encoder — truecolor (type 2), depth 8, non-interlaced; the
+    * inverse of [[decodePng]], used for fixtures/oracle rows and as a
+    * real lossless export for decoded pixels. `rowFilter` picks the
+    * scanline filter type per row; the default cycles through all five
+    * spec filters so a round-trip exercises every unfilter branch (any
+    * choice is spec-legal — filters change bytes, never pixels). */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte],
+      rowFilter: Int => Int = _ % 5): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3, "rgb must be w*h*3")
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = rowFilter(y) match { case f if f >= 0 && f <= 4 => f; case _ => 0 }
+      val base = y * (stride + 1)
+      raw(base) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xFF
+        val a = if (x >= 3) rgb(y * stride + x - 3) & 0xFF else 0
+        val b = if (y > 0) rgb((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xFF else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(base + 1 + x) = enc.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    val compressed = try {
+      def_.setInput(raw); def_.finish()
+      val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!def_.finished()) buf.write(tmp, 0, def_.deflate(tmp))
+      buf.toByteArray
+    } finally def_.end()
+    val out = new java.io.ByteArrayOutputStream(compressed.length + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A), 0, 8)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(payload.length), 0, 4)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(payload)
+      out.write(t, 0, 4)
+      out.write(payload, 0, payload.length)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // depth 8, truecolor; compression/filter/interlace 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", compressed)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL GIF pixel decode — first image frame of a GIF87a/89a stream.
+    * GIF's LZW (variable 3..12-bit codes, clear/EOI, GIF89a spec
+    * appendix F / Welch 1984) is ~60 lines of table arithmetic — no
+    * codec library involved. Global and local color tables, interlaced
+    * frames (the 4-pass row order) and frames smaller than the logical
+    * screen are all handled; output is the FRAME's (w, h, rgb-top-down).
+    * None for truncated/malformed streams — never throws. */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes == null || bytes.length < 14 || sniffMagic(bytes) != "gif") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    var i = 6
+    val screenFlags = u8(i + 4)
+    i += 7 // logical screen descriptor
+    var globalTable: Array[Byte] = null
+    if ((screenFlags & 0x80) != 0) {
+      val n = 2 << (screenFlags & 7)
+      if (i + n * 3 > bytes.length) return None
+      globalTable = java.util.Arrays.copyOfRange(bytes, i, i + n * 3)
+      i += n * 3
+    }
+    while (i < bytes.length) {
+      u8(i) match {
+        case 0x21 => // extension: label byte then sub-blocks until 0
+          i += 2
+          while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x2C => // image descriptor — decode this frame and return
+          if (i + 10 > bytes.length) return None
+          val iw = le16(i + 5); val ih = le16(i + 7)
+          val flags = u8(i + 9)
+          i += 10
+          var table = globalTable
+          if ((flags & 0x80) != 0) {
+            val n = 2 << (flags & 7)
+            if (i + n * 3 > bytes.length) return None
+            table = java.util.Arrays.copyOfRange(bytes, i, i + n * 3)
+            i += n * 3
+          }
+          // same decompression-amplification cap as decodePng
+          if (table == null || iw <= 0 || ih <= 0 ||
+              iw.toLong * ih * 3 > (1L << 28)) return None
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream(1024)
+          while (i < bytes.length && u8(i) != 0) {
+            val n = u8(i)
+            if (i + 1 + n > bytes.length) return None
+            data.write(bytes, i + 1, n)
+            i += 1 + n
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
+            .getOrElse(return None)
+          // interlaced frames store rows in 4 passes (spec appendix E)
+          val rowOrder = new Array[Int](ih)
+          if ((flags & 0x40) != 0) {
+            var r = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                 y <- start until ih by step) { rowOrder(r) = y; r += 1 }
+          } else { var y = 0; while (y < ih) { rowOrder(y) = y; y += 1 } }
+          val out = new Array[Byte](iw * ih * 3)
+          var r = 0
+          while (r < ih) {
+            val y = rowOrder(r)
+            var x = 0
+            while (x < iw) {
+              val pi = (indices(r * iw + x) & 0xFF) * 3
+              if (pi + 2 >= table.length) return None
+              val dst = (y * iw + x) * 3
+              out(dst) = table(pi); out(dst + 1) = table(pi + 1); out(dst + 2) = table(pi + 2)
+              x += 1
+            }
+            r += 1
+          }
+          return Some((iw, ih, out))
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  } catch { case _: RuntimeException => None }
+
+  /** GIF LZW decompression: variable-width codes starting at
+    * `minCode`+1 bits, clear resets the table, table grows to 4096
+    * entries. Returns exactly `expect` pixel indices or None. */
+  private[dedup] def lzwDecode(data: Array[Byte], minCode: Int,
+      expect: Int): Option[Array[Byte]] = {
+    val clearCode = 1 << minCode
+    val eoi = clearCode + 1
+    // table as (prefix link, appended byte); roots are implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var tableSize = eoi + 1
+    var codeWidth = minCode + 1
+    val out = new Array[Byte](expect)
+    var outN = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var prev = -1
+    val scratch = new Array[Byte](4096)
+    def readCode(): Int = {
+      if (bitPos + codeWidth > totalBits) return -1
+      var v = 0; var b = 0
+      while (b < codeWidth) {
+        val p = bitPos + b
+        if ((data(p >> 3) & (1 << (p & 7))) != 0) v |= 1 << b
+        b += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    def expand(code: Int, extra: Int): Int = { // write string for code (+optional first-byte repeat)
+      var n = 0
+      var c = code
+      while (c >= clearCode + 2) { scratch(n) = suffix(c); n += 1; c = prefix(c) }
+      scratch(n) = c.toByte; n += 1 // root literal
+      if (outN + n + (if (extra >= 0) 1 else 0) > expect) return -1
+      var k = n - 1
+      while (k >= 0) { out(outN) = scratch(k); outN += 1; k -= 1 }
+      if (extra >= 0) { out(outN) = scratch(n - 1); outN += 1 }
+      scratch(n - 1) & 0xFF // first byte of the expansion
+    }
+    while (outN < expect) {
+      val code = readCode()
+      if (code < 0 || code == eoi) return if (outN == expect) Some(out) else None
+      if (code == clearCode) {
+        tableSize = eoi + 1; codeWidth = minCode + 1; prev = -1
+      } else if (prev < 0) {
+        if (code >= clearCode) return None // first code must be a root
+        if (expand(code, -1) < 0) return None
+        prev = code
+      } else if (code < tableSize) {
+        if (code == eoi || code == clearCode) return None
+        val first = expand(code, -1)
+        if (first < 0) return None
+        if (tableSize < 4096) {
+          prefix(tableSize) = prev; suffix(tableSize) = first.toByte; tableSize += 1
+          if (tableSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      } else if (code == tableSize && tableSize < 4096) {
+        // KwKwK case: string = expand(prev) + firstByte(prev)
+        val first = expand(prev, 0)
+        if (first < 0) return None
+        prefix(tableSize) = prev; suffix(tableSize) = first.toByte; tableSize += 1
+        if (tableSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        prev = code
+      } else return None
+    }
+    Some(out)
+  }
+
+  /** GIF89a encoder — single frame over a caller-supplied color table
+    * (≤256 RGB entries), REAL LZW compression (dictionary of
+    * (prefix, byte) pairs, clear on table overflow). The inverse of
+    * [[decodeGif]] for fixtures, oracle rows and golden round-trips. */
+  def encodeGif(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && indices.length == w * h, "indices must be w*h")
+    require(palette.length % 3 == 0 && palette.length <= 768, "palette must be <=256 RGB entries")
+    val nColors = palette.length / 3
+    var tableBits = 1
+    while ((1 << tableBits) < nColors) tableBits += 1
+    if (tableBits < 1) tableBits = 1
+    val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 64)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(w); le16(h)
+    out.write(0x80 | (tableBits - 1)) // global table present, 2^tableBits entries
+    out.write(0); out.write(0)        // background index, aspect
+    out.write(palette, 0, palette.length)
+    var pad = (1 << tableBits) - nColors // table sizes are powers of two
+    while (pad > 0) { out.write(0); out.write(0); out.write(0); pad -= 1 }
+    out.write(0x2C) // image descriptor at (0,0), full size, no local table
+    le16(0); le16(0); le16(w); le16(h); out.write(0)
+    val minCode = math.max(2, tableBits)
+    out.write(minCode)
+    // LZW encode: dictionary maps (prefixCode << 8 | byte) -> code
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    val clearCode = 1 << minCode
+    val eoi = clearCode + 1
+    var tableSize = eoi + 1
+    var codeWidth = minCode + 1
+    val bits = new java.io.ByteArrayOutputStream(indices.length / 2 + 16)
+    var acc = 0L; var accN = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accN
+      accN += codeWidth
+      while (accN >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; accN -= 8 }
+    }
+    emit(clearCode)
+    var prev = indices(0) & 0xFF
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xFF
+      val key = Integer.valueOf((prev << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        emit(prev)
+        if (tableSize < 4096) {
+          dict.put(key, Integer.valueOf(tableSize))
+          tableSize += 1
+          // width grows when the NEXT code to assign no longer fits
+          if (tableSize - 1 == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        } else {
+          emit(clearCode)
+          dict.clear()
+          tableSize = eoi + 1
+          codeWidth = minCode + 1
+        }
+        prev = k
+      }
+      i += 1
+    }
+    emit(prev); emit(eoi)
+    if (accN > 0) bits.write((acc & 0xFF).toInt)
+    // wrap in <=255-byte sub-blocks
+    val payload = bits.toByteArray
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(255, payload.length - off)
+      out.write(n)
+      out.write(payload, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decode ANY supported image container to (w, h, rgb-top-down): the
+    * codec-free BMP layout plus the two formats whose compression the
+    * JDK/spec make implementable without media libraries (PNG via
+    * Inflater, GIF via LZW). JPEG stays with [[decodeStub]]. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeBmp(bytes).orElse(decodePng(bytes)).orElse(decodeGif(bytes))
 
   // -------------------------------------------- perceptual image hashing
   /** dHash: the standard difference-hash perceptual image fingerprint —
@@ -730,9 +1164,9 @@ object Multimodal {
   /** Binary image column → (id, w, h, dhash) fingerprints, one typed
     * mapPartitions pass (decode once per blob). Undecodable blobs and
     * sub-9×8 images yield null dims/hash — kept, never a task failure
-    * (same null-safety contract as [[mediaMeta]]). Currently decodes BMP
-    * (the codec-free format); a production deployment widens the decode
-    * dispatch, the hash and everything downstream are format-agnostic. */
+    * (same null-safety contract as [[mediaMeta]]). Decodes BMP, PNG and
+    * GIF ([[decodeImage]]); a production deployment widens the dispatch
+    * to JPEG — the hash and everything downstream are format-agnostic. */
   def imageDHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -740,7 +1174,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bin) =>
-          decodeBmp(bin) match {
+          decodeImage(bin) match {
             case Some((w, h, rgb)) =>
               (id, Some(w), Some(h), dHash(w, h, rgb))
             case None => (id, None, None, None)

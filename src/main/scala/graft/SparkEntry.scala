@@ -514,6 +514,101 @@ object SparkEntry {
           col("component"))
     }),
 
+    // REAL PNG codec gate (Multimodal.encodePng → decodePng): per-doc
+    // pixels from an integer formula are PNG-encoded (the default
+    // rowFilter cycles the five spec filters, so every image exercises
+    // every unfilter branch + the JDK Inflater) and decoded back; the
+    // output is a position-weighted integer checksum over the decoded
+    // RGB raster. DuckDB recomputes the checksum from the PIXEL FORMULA
+    // alone — any byte the codec got wrong (filter math, zlib framing,
+    // scanline layout) shifts the weighted sum. Zero shuffle: one
+    // mapPartitions pass, embarrassingly parallel at any scale.
+    "q_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 37
+            val w = 18; val h = 16
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((d * 31 + x * 7 + y * 13) % 256).toByte
+                rgb(p + 1) = ((d * 17 + x * 11 + y * 5) % 256).toByte
+                rgb(p + 2) = ((d * 23 + x * 3 + y * 19) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val png = Multimodal.encodePng(w, h, rgb)
+            Multimodal.decodeImage(png) match {
+              case Some((dw, dh, px)) =>
+                var sum = 0L
+                var i = 0
+                while (i < dw * dh) {
+                  sum += ((px(i * 3) & 0xFF) * 3L + (px(i * 3 + 1) & 0xFF) * 5L +
+                    (px(i * 3 + 2) & 0xFF) * 7L) * (i + 1)
+                  i += 1
+                }
+                (id, dw, dh, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "w", "h", "pix_sum")
+    }),
+
+    // REAL GIF codec gate (Multimodal.encodeGif → decodeGif): palette
+    // indices and the 256-entry color table both come from integer
+    // formulas; the engine LZW-compresses and decompresses (variable
+    // code widths, clear codes, sub-block framing) and checksums the
+    // decoded raster with the same position-weighted sum. DuckDB
+    // recomputes from the formulas — a single wrong index anywhere in
+    // the LZW stream shifts the sum. Zero shuffle.
+    "q_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pal = Array.tabulate(256 * 3) { i =>
+        val c = i / 3
+        (i % 3 match {
+          case 0 => (c * 29 + 5) % 256
+          case 1 => (c * 13 + 1) % 256
+          case _ => (c * 7 + 3) % 256
+        }).toByte
+      }
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 37
+            val w = 20; val h = 14
+            val idx = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                idx(y * w + x) = ((d * 11 + x * 3 + y * 5) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val gif = Multimodal.encodeGif(w, h, idx, pal)
+            Multimodal.decodeImage(gif) match {
+              case Some((dw, dh, px)) =>
+                var sum = 0L
+                var i = 0
+                while (i < dw * dh) {
+                  sum += ((px(i * 3) & 0xFF) * 3L + (px(i * 3 + 1) & 0xFF) * 5L +
+                    (px(i * 3 + 2) & 0xFF) * 7L) * (i + 1)
+                  i += 1
+                }
+                (id, dw, dh, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "w", "h", "pix_sum")
+    }),
+
     // Per-host quality rollup (UrlOps.hostQuality): Gopher gate then one
     // host-keyed partial agg — the domain-level curation signal. URLs are
     // synthesized from doc_id (the documents table has no url column, same
@@ -1526,6 +1621,29 @@ object SparkEntry {
         |SELECT doc_id, 200::BIGINT AS n_samples, fp_bits,
         |  min(doc_id) OVER (PARTITION BY fp_bits) AS component
         |FROM hashes""".stripMargin,
+
+    "q_png_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x,
+        |    ((d.doc_id % 37)*31 + x.x*7 + y.y*13) % 256 AS r,
+        |    ((d.doc_id % 37)*17 + x.x*11 + y.y*5) % 256 AS g,
+        |    ((d.doc_id % 37)*23 + x.x*3 + y.y*19) % 256 AS b
+        |  FROM documents d, generate_series(0,17) x(x), generate_series(0,15) y(y)
+        |)
+        |SELECT doc_id, 18 AS w, 16 AS h,
+        |  sum((r*3 + g*5 + b*7) * (y*18 + x + 1))::BIGINT AS pix_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_gif_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x,
+        |    ((d.doc_id % 37)*11 + x.x*3 + y.y*5) % 256 AS c
+        |  FROM documents d, generate_series(0,19) x(x), generate_series(0,13) y(y)
+        |)
+        |SELECT doc_id, 20 AS w, 14 AS h,
+        |  sum((((c*29+5) % 256)*3 + ((c*13+1) % 256)*5 + ((c*7+3) % 256)*7)
+        |      * (y*20 + x + 1))::BIGINT AS pix_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
 
     "q_domain_quality" ->
       """WITH f AS (

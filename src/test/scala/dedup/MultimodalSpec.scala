@@ -419,9 +419,16 @@ class MultimodalSpec extends AnyFunSuite {
     val fWav = Multimodal.decodeFeatures(wav)
     assert(math.abs(fWav(12) - 0.5f) < 1e-6, "rms of ±0.5 samples")
     assert(fWav(15) === 0.5f, "peak")
-    // a PNG still takes the stub path (entropy-coded: codec required)
-    val png = pngBytes(4, 4)
-    assert(Multimodal.decodeFeatures(png).toSeq === Multimodal.decodeStub(png).toSeq)
+    // a REAL PNG of the same pixels decodes to the same features as its BMP
+    val rgbFlat = rows.flatten.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    val fPng = Multimodal.decodeFeatures(Multimodal.encodePng(2, 2, rgbFlat))
+    assert(fPng.toSeq === fImg.toSeq, "PNG pixels route through the real image path")
+    // a header-only PNG (no IDAT) falls back to the stub, and a JPEG
+    // (genuinely codec-bound) always does
+    val pngHdr = pngBytes(4, 4)
+    assert(Multimodal.decodeFeatures(pngHdr).toSeq === Multimodal.decodeStub(pngHdr).toSeq)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 9, 9)
+    assert(Multimodal.decodeFeatures(jpeg).toSeq === Multimodal.decodeStub(jpeg).toSeq)
   }
 
   test("encodeBmp/decodeBmp roundtrip: arbitrary pixels, odd width (row padding)") {
@@ -590,5 +597,219 @@ class MultimodalSpec extends AnyFunSuite {
     assert(edges.contains((1L, 3L)) || edges.contains((2L, 3L)),
       s"near-dup pair must survive hamming<=1 verify, got $edges")
     assert(!edges.exists(e => e._1 == 4L || e._2 == 4L), "unrelated clip has no edges")
+  }
+
+  // --------------------------------------------------- PNG / GIF codecs
+
+  private def testPixels(w: Int, h: Int, d: Int = 0): Array[Byte] =
+    Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      (i % 3 match {
+        case 0 => (d * 31 + x * 7 + y * 13) % 256
+        case 1 => (d * 17 + x * 11 + y * 5) % 256
+        case _ => (d * 23 + x * 3 + y * 19) % 256
+      }).toByte
+    }
+
+  test("encodePng/decodePng roundtrip: every filter type, odd sizes, 1-pixel edges") {
+    for ((w, h) <- Seq((1, 1), (1, 7), (7, 1), (9, 8), (18, 16), (11, 9))) {
+      val rgb = testPixels(w, h, w + h)
+      // default rowFilter cycles 0..4 — all five unfilter branches run
+      val Some((w2, h2, back)) = Multimodal.decodePng(Multimodal.encodePng(w, h, rgb))
+      assert((w2, h2) === ((w, h)))
+      assert(back.toSeq === rgb.toSeq, s"roundtrip at ${w}x$h")
+      // each filter alone as well (Paeth needs x>=3 AND y>0 paths)
+      for (f <- 0 to 4) {
+        val one = Multimodal.decodePng(Multimodal.encodePng(w, h, rgb, _ => f))
+        assert(one.map(_._3.toSeq) === Some(rgb.toSeq), s"filter $f at ${w}x$h")
+      }
+    }
+  }
+
+  test("decodePng golden vs the JDK's own codec (ImageIO), both directions") {
+    val w = 23; val h = 17
+    val rgb = testPixels(w, h, 3)
+    // our encoder -> JDK decoder
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(w, h, rgb)))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val p = (y * w + x) * 3
+      assert(((argb >> 16) & 0xFF) === (rgb(p) & 0xFF), s"R at $x,$y")
+      assert(((argb >> 8) & 0xFF) === (rgb(p + 1) & 0xFF), s"G at $x,$y")
+      assert((argb & 0xFF) === (rgb(p + 2) & 0xFF), s"B at $x,$y")
+    }
+    // JDK encoder -> our decoder (truecolor, gray and RGBA sources:
+    // exercises color types 2, 0 and 6)
+    for (imgType <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)) {
+      val src = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        src.setRGB(x, y, 0xFF000000 | ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "png", buf)
+      val Some((w2, h2, back)) = Multimodal.decodePng(buf.toByteArray)
+      assert((w2, h2) === ((w, h)), s"dims for type $imgType")
+      val gray = imgType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        if (gray) {
+          // getRGB on TYPE_BYTE_GRAY color-converts (linear->sRGB); the
+          // PNG stores the RAW raster sample — compare against that
+          val s = src.getRaster.getSample(x, y, 0)
+          assert((back(p) & 0xFF) === s && (back(p + 1) & 0xFF) === s &&
+            (back(p + 2) & 0xFF) === s, s"gray $x,$y")
+        } else {
+          val argb = src.getRGB(x, y)
+          assert((back(p) & 0xFF) === ((argb >> 16) & 0xFF), s"R $x,$y type $imgType")
+          assert((back(p + 1) & 0xFF) === ((argb >> 8) & 0xFF), s"G $x,$y type $imgType")
+          assert((back(p + 2) & 0xFF) === (argb & 0xFF), s"B $x,$y type $imgType")
+        }
+      }
+    }
+  }
+
+  test("decodePng: truncated/corrupt/interlaced/16-bit rejected as None, never thrown") {
+    val good = Multimodal.encodePng(9, 8, testPixels(9, 8))
+    // cuts that damage the raster data reject; a trailer-only cut (IDAT
+    // complete, IEND gone) still decodes — deliberate data-recovery
+    // leniency for truncated-in-flight crawl payloads
+    for (cut <- Seq(8, 20, 33, good.length / 2))
+      assert(Multimodal.decodePng(good.take(cut)).isEmpty, s"truncated at $cut")
+    assert(Multimodal.decodePng(good.take(good.length - 5)).map(_._3.toSeq) ===
+      Some(testPixels(9, 8).toSeq), "complete IDAT without IEND recovers")
+    val interlaced = good.clone; interlaced(28) = 1 // IHDR interlace byte
+    assert(Multimodal.decodePng(interlaced).isEmpty, "Adam7 not claimed")
+    val deep = good.clone; deep(24) = 16
+    assert(Multimodal.decodePng(deep).isEmpty, "16-bit not claimed")
+    val giant = good.clone // IHDR w = 2^24: decompression-bomb guard
+    giant(16) = 1; giant(17) = 0; giant(18) = 0; giant(19) = 0
+    assert(Multimodal.decodePng(giant).isEmpty, "raster cap")
+    // bit flips anywhere must never throw
+    for (i <- good.indices by 7) {
+      val bad = good.clone; bad(i) = (bad(i) ^ 0x55).toByte
+      Multimodal.decodePng(bad) // Option either way — just must not throw
+    }
+  }
+
+  test("encodeGif/decodeGif roundtrip: palette mapping, LZW table growth past 12-bit widths") {
+    // small image, small palette
+    val pal = Array.tabulate(4 * 3)(i => ((i * 29 + 5) % 256).toByte)
+    val idx = Array.tabulate[Byte](7 * 5)(i => (i % 4).toByte)
+    val Some((w, h, rgb)) = Multimodal.decodeGif(Multimodal.encodeGif(7, 5, idx, pal))
+    assert((w, h) === ((7, 5)))
+    for (i <- idx.indices; c <- 0 to 2)
+      assert(rgb(i * 3 + c) === pal((idx(i) & 0xFF) * 3 + c), s"pixel $i ch $c")
+    // large pseudorandom image with a 256-entry palette: the LZW dict
+    // must grow through every code width to 4096 and hit the clear path
+    val pal256 = Array.tabulate(256 * 3)(i => ((i * 7 + 1) % 256).toByte)
+    val big = Array.tabulate[Byte](256 * 200) { i =>
+      (((i * 2654435761L) >>> 13) % 256).toByte // LCG-ish: few repeats
+    }
+    val Some((bw, bh, bRgb)) = Multimodal.decodeGif(Multimodal.encodeGif(256, 200, big, pal256))
+    assert((bw, bh) === ((256, 200)))
+    for (i <- 0 until big.length by 997; c <- 0 to 2)
+      assert(bRgb(i * 3 + c) === pal256((big(i) & 0xFF) * 3 + c), s"big pixel $i")
+    // highly repetitive image (KwKwK-heavy): all-same and ababab rows
+    val rep = Array.tabulate[Byte](64 * 64)(i => if ((i / 64) % 2 == 0) 0 else (i % 2).toByte)
+    val Some((_, _, repRgb)) = Multimodal.decodeGif(Multimodal.encodeGif(64, 64, rep, pal))
+    for (i <- rep.indices)
+      assert(repRgb(i * 3) === pal((rep(i) & 0xFF) * 3), s"rep pixel $i")
+  }
+
+  test("decodeGif golden vs the JDK's own codec (ImageIO), both directions") {
+    val w = 21; val h = 13
+    val pal = Array.tabulate(16 * 3)(i => ((i * 37 + 3) % 256).toByte)
+    val idx = Array.tabulate[Byte](w * h)(i => ((i * 5 + i / w) % 16).toByte)
+    val ours = Multimodal.encodeGif(w, h, idx, pal)
+    // our encoder -> JDK decoder
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val pi = (idx(y * w + x) & 0xFF) * 3
+      assert(((argb >> 16) & 0xFF) === (pal(pi) & 0xFF), s"R at $x,$y")
+      assert(((argb >> 8) & 0xFF) === (pal(pi + 1) & 0xFF), s"G at $x,$y")
+      assert((argb & 0xFF) === (pal(pi + 2) & 0xFF), s"B at $x,$y")
+    }
+    // JDK encoder -> our decoder: same pixels via an explicit indexed model
+    val cm = new java.awt.image.IndexColorModel(4, 16,
+      Array.tabulate[Byte](16)(i => pal(i * 3)),
+      Array.tabulate[Byte](16)(i => pal(i * 3 + 1)),
+      Array.tabulate[Byte](16)(i => pal(i * 3 + 2)))
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w) {
+      val pi = (idx(y * w + x) & 0xFF) * 3
+      src.setRGB(x, y, 0xFF000000 | ((pal(pi) & 0xFF) << 16) |
+        ((pal(pi + 1) & 0xFF) << 8) | (pal(pi + 2) & 0xFF))
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "gif", buf)
+    val Some((w2, h2, back)) = Multimodal.decodeGif(buf.toByteArray)
+    assert((w2, h2) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val pi = (idx(y * w + x) & 0xFF) * 3
+      val p = (y * w + x) * 3
+      assert((back(p) & 0xFF) === (pal(pi) & 0xFF) &&
+        (back(p + 1) & 0xFF) === (pal(pi + 1) & 0xFF) &&
+        (back(p + 2) & 0xFF) === (pal(pi + 2) & 0xFF), s"pixel $x,$y")
+    }
+  }
+
+  test("decodeGif: interlaced frames (4-pass row order) and corrupt bytes") {
+    val w = 9; val h = 11 // odd height exercises every interlace pass
+    val pal = Array.tabulate(8 * 3)(i => ((i * 41 + 7) % 256).toByte)
+    val idx = Array.tabulate[Byte](w * h)(i => (i % 8).toByte)
+    // storage row r holds logical row rowOrder(r) per GIF spec appendix E
+    val order = (Seq(0 until h by 8, 4 until h by 8, 2 until h by 4, 1 until h by 2)
+      .flatten).toArray
+    val stored = new Array[Byte](w * h)
+    for (r <- 0 until h; x <- 0 until w) stored(r * w + x) = idx(order(r) * w + x)
+    val plain = Multimodal.encodeGif(w, h, stored, pal)
+    // flip the interlace bit in the image descriptor (after header+LSD+table)
+    val descOff = 6 + 7 + 3 * 8 // 8-entry global table (tableBits=3)
+    assert(plain(descOff) === 0x2C.toByte, "image descriptor located")
+    val inter = plain.clone
+    inter(descOff + 9) = (inter(descOff + 9) | 0x40).toByte
+    val Some((_, _, rgb)) = Multimodal.decodeGif(inter)
+    for (i <- idx.indices)
+      assert(rgb(i * 3) === pal((idx(i) & 0xFF) * 3), s"deinterlaced pixel $i")
+    // truncations / flips never throw; cuts inside the LZW data reject,
+    // a trailer-only cut (data complete) recovers — same leniency as PNG
+    for (cut <- Seq(5, 12, descOff + 3, descOff + 15))
+      assert(Multimodal.decodeGif(plain.take(cut)).isEmpty, s"truncated at $cut")
+    assert(Multimodal.decodeGif(plain.take(plain.length - 2)).isDefined,
+      "complete LZW data without trailer recovers")
+    for (i <- plain.indices by 5) {
+      val bad = plain.clone; bad(i) = (bad(i) ^ 0x55).toByte
+      Multimodal.decodeGif(bad)
+    }
+  }
+
+  test("imageDHash routes PNG and GIF through the real decoders (format-agnostic hash)") {
+    import spark.implicits._
+    val rgb = testPixels(18, 16, 5)
+    val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte) // gray palette
+    val lumaIdx = Array.tabulate[Byte](18 * 16) { p =>
+      val r = rgb(p * 3) & 0xFF; val g = rgb(p * 3 + 1) & 0xFF; val b = rgb(p * 3 + 2) & 0xFF
+      ((299 * r + 587 * g + 114 * b) / 1000).toByte
+    }
+    val df = Seq(
+      (1L, Multimodal.encodeBmp(18, 16, rgb)),
+      (2L, Multimodal.encodePng(18, 16, rgb)),
+      (3L, Multimodal.encodeGif(18, 16, lumaIdx, pal))).toDF("id", "img")
+    val out = Multimodal.imageDHash(df, "id", "img").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L).isDefined && out(1L) === out(2L),
+      "identical pixels => identical dHash across BMP and PNG containers")
+    // the GIF is the LUMA image of the same picture: dHash is luma-based,
+    // so it must collide with the color originals too
+    assert(out(3L) === out(1L), "gray-palette GIF of same luma collides")
   }
 }
