@@ -75,4 +75,49 @@ object Sources {
         lit(null).cast("binary").as("html"),
         col("value").as("text"),
         lit(null).cast("string").as("lang"))
+
+  /** Bucketed (co-located) sink: write `df` as an EXTERNAL bucketed table
+    * — parquet under `path`, hash-bucketed and sorted by `key` into
+    * `buckets` files per partition, registered in the catalog so the
+    * bucketing metadata survives for later reads.
+    *
+    * This is the 100-TB join-amortization primitive: two tables bucketed
+    * the same way (same key, same bucket count) equi-join on that key
+    * with ZERO Exchange on either side (asserted in PlanSpec) — the 100-TB
+    * shuffle is paid ONCE at write time, then every downstream dedup
+    * round, incremental join or audit query against the corpus is
+    * shuffle-free on that key. The kept-corpus <-> assignments <->
+    * signature-index family all join on doc id, so a corpus stored this
+    * way amortizes its biggest cost across every future run.
+    *
+    * Spark requires bucketed writes to go through the catalog
+    * (`saveAsTable`); with `path` set the table is external — data
+    * outlives the catalog entry and `recoverBucketedTable` re-registers
+    * it in a fresh session (the resume story for bucketed corpora). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Re-register an external bucketed table written by [[writeBucketed]]
+    * in the current session's catalog (idempotent), and return it. A
+    * plain `spark.read.parquet(path)` of the same files would WORK but
+    * lose the bucketing metadata — and with it the shuffle-free join. */
+  def recoverBucketedTable(spark: SparkSession, table: String, path: String,
+      key: String, buckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(path).schema
+      val cols = schema.map(f =>
+        s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE `$table` ($cols) USING parquet
+           |LOCATION '$path'
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS""".stripMargin)
+    }
+    spark.table(table)
+  }
 }

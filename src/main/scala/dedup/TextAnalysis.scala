@@ -623,4 +623,42 @@ object TextAnalysis {
       }
     }
   }
+
+  // ------------------------------------------------------ n-gram novelty
+  /** CROSS-corpus n-gram novelty: per document, how many of its distinct
+    * n-grams appear in at least one OTHER document — the corpus-level
+    * complement of [[repetitionStats]] (which is within-doc). High shared
+    * fraction flags boilerplate/template docs that survive doc-level dedup
+    * because no single other doc is similar enough (the "death by a
+    * thousand quotes" shape); the per-mille novelty is the integer-exact
+    * keep signal. Cf. the duplicated-n-gram corpus measures of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better").
+    *
+    * Input: a precomputed DISTINCT n-gram hash-set column (the engine's
+    * native SSJoin-style representation — e.g. sorted-distinct xxh64 of
+    * word shingles). Counts are hash-invariant absent collisions (64-bit:
+    * ~1e-13 at corpus scale), so a raw-text SQL oracle can replay them.
+    *
+    * Scale shape (10¹¹ docs): explode to (id, gram) — ~avg-doc-len rows
+    * per doc, the same width the SSJoin family already shuffles; ONE
+    * partial-agg groupBy(gram) for document frequency (a gram in 10⁹ docs
+    * pre-combines map-side to one row per task); the join back is a plain
+    * equi-join on gram where the build row is 12 bytes — AQE handles the
+    * hot-gram skew, nothing materializes a per-key list. Output is one
+    * row per doc. */
+  def ngramNovelty(df: DataFrame, idCol: String, setCol: String): DataFrame = {
+    val grams = df.select(col(idCol).cast("long").as("id"),
+        explode(col(setCol)).as("gram"))
+    val gramDf = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")) // input sets are distinct => df = doc count
+    grams.join(gramDf, "gram")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_per_mille",
+        expr("(1000 * (n_grams - n_shared)) DIV n_grams"))
+      .select(col("id"), col("n_grams"), col("n_shared"),
+        col("novelty_per_mille"))
+  }
 }

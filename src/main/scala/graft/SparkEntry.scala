@@ -1121,6 +1121,21 @@ object SparkEntry {
         .select(col("sim_decile"), col("n_pairs"))
     }),
 
+    // Cross-corpus n-gram novelty (TextAnalysis.ngramNovelty): per doc,
+    // how many of its distinct trigrams appear in ANY other document —
+    // the boilerplate/template signal that doc-level dedup misses (no
+    // single pair is similar enough, but every n-gram is secondhand).
+    // Engine runs on hashed sets (cardinalities are hash-invariant, the
+    // q_sim_histogram argument); DuckDB replays on raw string grams.
+    "q_novelty" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .where(nTokens(col("text")) >= 5)
+        .select(col("doc_id").as("id"), triGramHashes(col("text")).as("set"))
+      TextAnalysis.ngramNovelty(d, "id", "set")
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          col("novelty_per_mille"))
+    }),
+
     // Pipeline metrics rows (north-rule: "metrics rows" as first-class
     // output): per-language input/removed/kept accounting across the
     // exact (md5) and fuzzy (flagship MinHash-LSH+verify+CC) stages in
@@ -2002,6 +2017,19 @@ object SparkEntry {
         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
         |SELECT (inter * 10) // uni AS sim_decile, count(*)::BIGINT AS n_pairs
         |FROM pairs WHERE inter * 2 >= uni GROUP BY 1""".stripMargin,
+
+    "q_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (SELECT doc_id,
+        |  unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) AS g
+        |  FROM toks),
+        |dfc AS (SELECT g, count(*)::BIGINT AS df FROM grams GROUP BY g)
+        |SELECT grams.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN dfc.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+        |  ((1000 * (count(*) - sum(CASE WHEN dfc.df > 1 THEN 1 ELSE 0 END)))
+        |    // count(*))::BIGINT AS novelty_per_mille
+        |FROM grams JOIN dfc USING (g) GROUP BY grams.doc_id""".stripMargin,
 
     "q_dedup_summary" ->
       (fuzzyCcSql +

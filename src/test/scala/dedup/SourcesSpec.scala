@@ -83,4 +83,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(urls1.length === 2)
     assert(urls1.toSeq === urls2.toSeq)
   }
+
+  test("writeBucketed + recoverBucketedTable: data round-trips, bucketing " +
+      "metadata survives catalog loss, co-located join is exchange-free") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("bktA").toString
+    val dirB = Files.createTempDirectory("bktB").toString
+    val a = (0L until 500L).map(i => (i, s"text $i")).toDF("id", "text")
+    val b = (0L until 500L by 2).map(i => (i, i * 10)).toDF("id", "score")
+    Sources.writeBucketed(a, "bkt_a", dirA, "id", 4)
+    Sources.writeBucketed(b, "bkt_b", dirB, "id", 4)
+    // at this toy size the planner prefers a broadcast join (which also
+    // avoids shuffling, but proves nothing about bucketing) — disable it
+    // so the plan must choose between Exchange+SMJ and the bucketed scan
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      assert(joined.count() === 250L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed-by-id join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan used:\n$plan")
+      // catalog loss (new session / resume): re-register from files only
+      spark.sql("DROP TABLE bkt_b")
+      val recovered = Sources.recoverBucketedTable(spark, "bkt_b", dirB, "id", 4)
+      assert(recovered.count() === 250L)
+      val joined2 = spark.table("bkt_a").join(recovered, "id")
+      assert(joined2.count() === 250L)
+      val plan2 = joined2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("ShuffleExchange") && plan2.contains("Bucketed: true"),
+        s"recovered table keeps the shuffle-free join:\n$plan2")
+      // idempotent when the table already exists
+      assert(Sources.recoverBucketedTable(spark, "bkt_b", dirB, "id", 4)
+        .count() === 250L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
 }

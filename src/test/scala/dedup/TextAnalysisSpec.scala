@@ -320,4 +320,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) === ((4L, 0L, 2L)))
     assert(out(3L) === ((0L, 0L, 0L)))
   }
+
+  test("ngramNovelty == brute force on a planted corpus; boilerplate doc scores low") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox sleeps under the old tree", // shares a prefix with 1
+      3L -> "completely novel sentence with unique words here",
+      4L -> "the quick brown fox jumps over the lazy dog", // exact copy of 1
+      5L -> "alpha beta gamma delta epsilon zeta")
+    def gramSet(t: String): Set[String] =
+      TextNorm.wordShingles(TextNorm.tokenize(t), 3, 5).toSet
+    // brute-force truth on raw string grams
+    val sets = docs.map { case (id, t) => id -> gramSet(t) }.toMap
+    val truth = sets.map { case (id, g) =>
+      val shared = g.count(x => sets.exists { case (o, s) => o != id && s(x) })
+      id -> ((g.size.toLong, shared.toLong,
+        1000L * (g.size - shared) / g.size))
+    }
+    val in = docs.toDF("id", "text")
+      .select($"id", udf { (t: String) =>
+        gramSet(t).map(g => Hashes.xxh64Str(g)).toArray
+      }.apply($"text").as("set"))
+    val out = TextAnalysis.ngramNovelty(in, "id", "set").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === truth)
+    assert(out(4L)._3 === 0L, "an exact copy has zero novelty")
+    assert(out(3L)._3 === 1000L && out(5L)._3 === 1000L, "unique docs are fully novel")
+    assert(out(1L)._2 > 0L && out(1L)._3 < 1000L, "partial overlap detected")
+  }
 }
