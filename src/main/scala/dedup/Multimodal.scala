@@ -607,7 +607,8 @@ object Multimodal {
 
   /** Decode + feature-extract with REAL decoders wherever the format is
     * implementable without media libraries (BMP's plain byte layout,
-    * PNG via the JDK's Inflater, GIF via LZW, WAV integer PCM);
+    * PNG via the JDK's Inflater, GIF via LZW, baseline JPEG via
+    * [[Jpeg.decode]], WAV integer PCM, FLAC via [[Flac.decode]]);
     * everything else falls back
     * to [[decodeStub]]. The 16-float output contract is uniform, so the
     * Spark-side plumbing (schema, batching, partitioning) is identical
@@ -616,19 +617,19 @@ object Multimodal {
     decodeImage(bytes) match {
       case Some((w, h, rgb)) => imageFeatures(w, h, rgb)
       case None =>
-        decodeWavPcm(bytes) match {
+        decodeAudio(bytes) match {
           case Some((_, _, samples)) => audioFeatures(samples)
           case None => decodeStub(bytes)
         }
     }
 
   /** STUB decode + feature-extract for the formats that genuinely need a
-    * codec (JPEG arithmetic/Huffman DCT, MP3/FLAC/MP4/WebM streams — no
-    * media libs in this container): a deterministic 16-dim byte-histogram
+    * codec (MP3/MP4/WebM streams, progressive/arithmetic JPEG — no media
+    * libs in this container): a deterministic 16-dim byte-histogram
     * "embedding". Batch shape, schema and partitioning are the real
     * contract; only the math inside is fake, and since round 4 it is the
-    * FALLBACK of [[decodeFeatures]], not the whole story — BMP, PNG and
-    * GIF pixels and WAV PCM samples decode for real. */
+    * FALLBACK of [[decodeFeatures]], not the whole story — BMP, PNG, GIF
+    * and baseline-JPEG pixels and WAV-PCM/FLAC samples decode for real. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     if (bytes == null || bytes.isEmpty) return hist
@@ -1096,11 +1097,13 @@ object Multimodal {
   }
 
   /** Decode ANY supported image container to (w, h, rgb-top-down): the
-    * codec-free BMP layout plus the two formats whose compression the
-    * JDK/spec make implementable without media libraries (PNG via
-    * Inflater, GIF via LZW). JPEG stays with [[decodeStub]]. */
+    * codec-free BMP layout plus the three compressed formats whose
+    * compression is implementable without media libraries (PNG via the
+    * JDK's Inflater, GIF via LZW, baseline JPEG via [[Jpeg.decode]] —
+    * canonical Huffman + 8×8 DCT, ITU-T T.81). */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeBmp(bytes).orElse(decodePng(bytes)).orElse(decodeGif(bytes))
+      .orElse(Jpeg.decode(bytes))
 
   // -------------------------------------------- perceptual image hashing
   /** dHash: the standard difference-hash perceptual image fingerprint —
@@ -1277,11 +1280,18 @@ object Multimodal {
     Some(hash)
   }
 
+  /** Decode ANY supported audio container to (rate, channels, normalized
+    * interleaved samples): WAV integer PCM (plain byte layout) or FLAC
+    * ([[Flac.decode]] — Rice codes + integer predictors, lossless). The
+    * audio twin of [[decodeImage]]. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodeWavPcm(bytes).orElse(Flac.decode(bytes))
+
   /** Binary audio column → (id, sample_rate, n_samples, afp) fingerprints,
     * one typed mapPartitions pass (decode once per blob). Undecodable
     * blobs and sub-65-sample clips yield null rate/count/hash — kept,
     * never a task failure (same null-safety contract as [[mediaMeta]]).
-    * Decodes WAV PCM (the codec-free format); the hash and everything
+    * Decodes WAV PCM and FLAC ([[decodeAudio]]); the hash and everything
     * downstream are format-agnostic. */
   def audioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -1290,7 +1300,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bin) =>
-          decodeWavPcm(bin) match {
+          decodeAudio(bin) match {
             case Some((rate, _, samples)) =>
               (id, Some(rate), Some(samples.length.toLong),
                 audioEnergyHash(samples))

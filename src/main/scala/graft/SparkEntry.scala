@@ -609,6 +609,77 @@ object SparkEntry {
         }.toDF("doc_id", "w", "h", "pix_sum")
     }),
 
+    // REAL FLAC codec gate (Flac.encode → Flac.decodeSamples): per-doc
+    // PCM from an integer formula is FLAC-encoded (per-frame fixed-
+    // predictor order search, Rice residuals, CRC-8/16 framing) and
+    // decoded back; FLAC is LOSSLESS, so the position-weighted sample
+    // checksum must equal what DuckDB computes from the waveform formula
+    // alone — one wrong Rice bit, predictor tap, or CRC byte and the row
+    // dies. blockSize=128 forces multi-frame streams with a ragged tail.
+    // Zero shuffle: one mapPartitions pass.
+    "q_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = (id % 29).toInt
+            val pcm = Array.tabulate(300)(t => (d * 41 + t * (11 + d)) % 3001 - 1500)
+            val flac = Flac.encode(8000, 1, pcm, blockSize = 128)
+            Flac.decodeSamples(flac) match {
+              case Some((rate, _, _, out)) =>
+                var sum = 0L
+                var t = 0
+                while (t < out.length) { sum += out(t).toLong * (t + 1); t += 1 }
+                (id, rate, out.length, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
+    }),
+
+    // REAL JPEG codec gate (Jpeg.encodeGray → Multimodal.decodeImage):
+    // a lossy format oracle-gated through its LOSSLESS corner — images of
+    // constant 8×8 blocks are DC-only after the DCT, and with a flat
+    // quantization table the whole pipeline (level shift, FDCT, quantize,
+    // canonical Huffman with DC prediction, restart markers, byte
+    // stuffing, IDCT) round-trips BIT-EXACTLY. restartInterval=2 puts
+    // real DRI/RSTn handling inside the gate. DuckDB recomputes the
+    // weighted checksum from the block-value formula alone — one wrong
+    // Huffman bit, DC diff, or dequant shifts the sum. Zero shuffle.
+    "q_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 37
+            val w = 24; val h = 16 // 3×2 MCUs
+            val luma = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                luma(y * w + x) = ((d * 31 + (x / 8) * 17 + (y / 8) * 47) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val jpg = Jpeg.encodeGray(w, h, luma, Jpeg.FlatQuant, restartInterval = 2)
+            Multimodal.decodeImage(jpg) match {
+              case Some((dw, dh, px)) =>
+                var sum = 0L
+                var i = 0
+                while (i < dw * dh) {
+                  sum += ((px(i * 3) & 0xFF) * 3L + (px(i * 3 + 1) & 0xFF) * 5L +
+                    (px(i * 3 + 2) & 0xFF) * 7L) * (i + 1)
+                  i += 1
+                }
+                (id, dw, dh, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "w", "h", "pix_sum")
+    }),
+
     // Per-host quality rollup (UrlOps.hostQuality): Gopher gate then one
     // host-keyed partial agg — the domain-level curation signal. URLs are
     // synthesized from doc_id (the documents table has no url column, same
@@ -1658,6 +1729,26 @@ object SparkEntry {
         |SELECT doc_id, 20 AS w, 14 AS h,
         |  sum((((c*29+5) % 256)*3 + ((c*13+1) % 256)*5 + ((c*7+3) % 256)*7)
         |      * (y*20 + x + 1))::BIGINT AS pix_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_flac_decode" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, t.t AS t,
+        |    ((d.doc_id % 29)*41 + t.t*(11 + d.doc_id % 29)) % 3001 - 1500 AS v
+        |  FROM documents d, generate_series(0,299) t(t)
+        |)
+        |SELECT doc_id, 8000 AS sample_rate, 300 AS n_samples,
+        |  sum(v * (t + 1))::BIGINT AS sample_sum
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q_jpeg_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x,
+        |    ((d.doc_id % 37)*31 + (x.x // 8)*17 + (y.y // 8)*47) % 256 AS v
+        |  FROM documents d, generate_series(0,23) x(x), generate_series(0,15) y(y)
+        |)
+        |SELECT doc_id, 24 AS w, 16 AS h,
+        |  sum(v*15 * (y*24 + x + 1))::BIGINT AS pix_sum
         |FROM px GROUP BY doc_id""".stripMargin,
 
     "q_domain_quality" ->
