@@ -637,6 +637,74 @@ object SparkEntry {
         }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
     }),
 
+    // REAL MJPEG-AVI video gate (Avi.encodeMjpeg → Avi.decodeFrames):
+    // 3-frame videos whose frames are constant-8×8-block JPEGs (the
+    // lossless corner again), decoded through the RIFF movi walk + the
+    // real JPEG decoder; the checksum weights each pixel by position AND
+    // frame index, so a dropped/reordered/mis-decoded frame shifts the
+    // sum. DuckDB recomputes from the per-frame block formula alone.
+    // Zero shuffle: one mapPartitions pass.
+    "q_mjpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 37
+            val w = 24; val h = 16
+            val frames = (0 until 3).map { f =>
+              val luma = Array.tabulate(w * h) { i =>
+                val x = i % w; val y = i / w
+                ((d * 31 + f * 59 + (x / 8) * 17 + (y / 8) * 47) % 256).toByte
+              }
+              Jpeg.encodeGray(w, h, luma, Jpeg.FlatQuant)
+            }
+            val avi = Avi.encodeMjpeg(w, h, 10, frames)
+            val decoded = Avi.decodeFrames(avi)
+            var sum = 0L
+            decoded.zipWithIndex.foreach { case ((dw, dh, px), f) =>
+              var i = 0
+              while (i < dw * dh) {
+                sum += ((px(i * 3) & 0xFF) * 3L + (px(i * 3 + 1) & 0xFF) * 5L +
+                  (px(i * 3 + 2) & 0xFF) * 7L) * (i + 1) * (f + 1)
+                i += 1
+              }
+            }
+            (id, decoded.length, sum)
+          }
+        }.toDF("doc_id", "n_frames", "pix_sum")
+    }),
+
+    // Perceptual VIDEO dedup fingerprint (Avi.videoFingerprint): per-frame
+    // dHash folded by per-bit majority vote — integer-exact, so DuckDB
+    // replays the whole thing: block-constant 18×16 frames make every
+    // 2×2 dHash cell equal its block value (cells never straddle the 8px
+    // blocks), the per-frame bits are cell comparisons, and the majority
+    // is a ≥2-of-3 vote per bit. Exact copies share vfp (component gate).
+    "q_video_fp" -> ((s, dir) => {
+      import s.implicits._
+      val vids = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 37
+            val w = 18; val h = 16
+            val frames = (0 until 3).map { f =>
+              val luma = Array.tabulate(w * h) { i =>
+                val x = i % w; val y = i / w
+                ((d * 31 + f * 59 + (x / 8) * 97 + (y / 8) * 53) % 256).toByte
+              }
+              Jpeg.encodeGray(w, h, luma, Jpeg.FlatQuant)
+            }
+            (id, Avi.encodeMjpeg(w, h, 5, frames))
+          }
+        }.toDF("doc_id", "vid")
+      Avi.videoFingerprint(vids, "doc_id", "vid")
+        .withColumn("vfp_bits", lpad(bin(col("vfp")), 64, "0"))
+        .withColumn("component",
+          min(col("id")).over(Window.partitionBy(col("vfp"))))
+        .select(col("id").as("doc_id"), col("n_frames"), col("vfp_bits"),
+          col("component"))
+    }),
+
     // REAL JPEG codec gate (Jpeg.encodeGray → Multimodal.decodeImage):
     // a lossy format oracle-gated through its LOSSLESS corner — images of
     // constant 8×8 blocks are DC-only after the DCT, and with a flat
@@ -1740,6 +1808,40 @@ object SparkEntry {
         |SELECT doc_id, 8000 AS sample_rate, 300 AS n_samples,
         |  sum(v * (t + 1))::BIGINT AS sample_sum
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q_mjpeg_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f.f AS f, y.y AS y, x.x AS x,
+        |    ((d.doc_id % 37)*31 + f.f*59 + (x.x // 8)*17 + (y.y // 8)*47) % 256 AS v
+        |  FROM documents d, generate_series(0,2) f(f),
+        |       generate_series(0,23) x(x), generate_series(0,15) y(y)
+        |)
+        |SELECT doc_id, 3 AS n_frames,
+        |  sum(v*15 * (y*24 + x + 1) * (f + 1))::BIGINT AS pix_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_video_fp" ->
+      """WITH cells AS (
+        |  SELECT d.doc_id, f.f AS f, i.i AS i, j.j AS j,
+        |    ((d.doc_id % 37)*31 + f.f*59 + ((j.j*2) // 8)*97 + ((i.i*2) // 8)*53) % 256 AS cell
+        |  FROM documents d, generate_series(0,2) f(f),
+        |       generate_series(0,8) j(j), generate_series(0,7) i(i)
+        |), fbits AS (
+        |  SELECT a.doc_id, a.f, (a.i*8 + a.j) AS k,
+        |    CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id=b.doc_id AND a.f=b.f AND a.i=b.i AND b.j=a.j+1
+        |  WHERE a.j < 8
+        |), vbits AS (
+        |  SELECT doc_id, k, CASE WHEN sum(bit) >= 2 THEN 1 ELSE 0 END AS bit
+        |  FROM fbits GROUP BY doc_id, k
+        |), hashes AS (
+        |  SELECT doc_id, string_agg(bit::VARCHAR, '' ORDER BY k DESC) AS vfp_bits
+        |  FROM vbits GROUP BY doc_id
+        |)
+        |SELECT doc_id, 3::BIGINT AS n_frames, vfp_bits,
+        |  min(doc_id) OVER (PARTITION BY vfp_bits) AS component
+        |FROM hashes""".stripMargin,
 
     "q_jpeg_decode" ->
       """WITH px AS (
