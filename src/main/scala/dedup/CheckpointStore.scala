@@ -27,6 +27,15 @@ import scala.jdk.CollectionConverters._
   * clamp(ceil(rows/chunk), 256, 2048), tag `spark_partition_id()` as
   * `__pid__`, write partitionBy("__pid__"), snappy.
   *
+  * Snapshot semantics are Iceberg's, not just Iceberg-flavored: a
+  * recompute ARCHIVES the outgoing snapshot (data + manifest) instead of
+  * destroying it, every manifest carries `parent_snapshot_id` +
+  * `sequence_number` + commit timestamp, [[snapshots]] is the history
+  * metadata table, [[readSnapshot]] is time travel, and
+  * [[expireSnapshots]] is the retention maintenance op. The CURRENT
+  * snapshot always lives at `<stage>/data` (readers and resume never
+  * chase indirection); history lives under `<stage>/_snapshots/<id>/`.
+  *
   * No Iceberg runtime ships in this sandbox (SURVEY.md §7); the manifest
   * carries Iceberg-snapshot-equivalent metadata and a real
   * `TableFormat`-style swap-in would only replace `write`/`read` here.
@@ -46,6 +55,7 @@ class CheckpointStore(
 
   private def manifestPath(name: String) = new Path(s"$root/$name/_MANIFEST.json")
   private def dataPath(name: String) = s"$root/$name/data"
+  private def snapshotsDir(name: String) = s"$root/$name/_snapshots"
 
   /** Stage names committed (or reused) so far, in order — the lineage. */
   private var committed: List[String] = Nil
@@ -125,7 +135,37 @@ class CheckpointStore(
     }
     val t0 = System.nanoTime()
     val df0 = compute
-    fs.delete(new Path(s"$root/$name"), true)
+    // Iceberg-style snapshot retention: a recompute does NOT destroy the
+    // previous snapshot — if the outgoing data dir still matches its
+    // manifest byte-for-byte (same validation isCommitted applies), it is
+    // archived under _snapshots/<id>/ and stays time-travel-readable via
+    // [[readSnapshot]] until [[expireSnapshots]]; anything unvalidatable
+    // (partial write, corrupt file, legacy manifest) is deleted — a
+    // half-dead dir must never masquerade as a historical snapshot.
+    val prev = readManifest(name)
+    val prevId = prev.filter(_.has("snapshot_id")).map(_.get("snapshot_id").asText())
+    val prevValid = prev.exists { node =>
+      node.has("data_files") && {
+        val expected = node.get("data_files").fields().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap
+        dataFiles(name).map(f => f.getPath.getName -> f.getLen).toMap == expected
+      }
+    }
+    if (prevValid && prevId.isDefined) {
+      val archive = new Path(s"${snapshotsDir(name)}/${prevId.get}")
+      fs.mkdirs(archive.getParent)
+      if (!fs.exists(archive)) { // same id re-archived = same bytes; keep first
+        fs.rename(new Path(dataPath(name)), new Path(archive, "data"))
+        val mCopy = fs.create(new Path(archive, "manifest.json"), true)
+        mCopy.write(mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsBytes(prev.get))
+        mCopy.close()
+      } else fs.delete(new Path(dataPath(name)), true)
+      fs.delete(manifestPath(name), false)
+    } else {
+      fs.delete(new Path(dataPath(name)), true)
+      fs.delete(manifestPath(name), false)
+    }
     chunkRows match {
       case Some(chunk) =>
         // reference partitioned_save: a count() sizes the repartition —
@@ -148,8 +188,14 @@ class CheckpointStore(
     val wallSec = (System.nanoTime() - t0) / 1e9
     val manifest = mapper.createObjectNode()
     manifest.put("stage", name)
+    // unique per COMMIT (nanotime in the hash), not per config+rowcount —
+    // two recomputes of the same stage are two snapshots in the history
     manifest.put("snapshot_id", java.lang.Long.toHexString(
-      Hashes.xxh64Str(s"$name|$effectiveHash|${partCounts.map(_._2).sum}")))
+      Hashes.xxh64Str(s"$name|$effectiveHash|${partCounts.map(_._2).sum}|$t0")))
+    prevId.foreach(manifest.put("parent_snapshot_id", _))
+    manifest.put("sequence_number",
+      prev.filter(_.has("sequence_number")).map(_.get("sequence_number").asLong()).getOrElse(0L) + 1L)
+    manifest.put("committed_at_ms", System.currentTimeMillis())
     manifest.put("config_hash", effectiveHash)
     manifest.put("rows", partCounts.map(_._2).sum)
     manifest.put("files", partCounts.size)
@@ -208,6 +254,71 @@ class CheckpointStore(
     }
     rows.toDF("stage", "snapshot_id", "config_hash", "rows", "files",
       "bytes", "wall_sec", "lineage")
+  }
+
+  /** Snapshot HISTORY of one stage — the Iceberg `snapshots` metadata
+    * table: archived snapshots plus the current one, oldest first by
+    * sequence number. Columns: (snapshot_id, parent_snapshot_id,
+    * sequence_number, committed_at_ms, config_hash, rows, bytes,
+    * is_current). Driver-side O(#snapshots) manifest reads. */
+  def snapshots(name: String): DataFrame = {
+    import spark.implicits._
+    def row(node: com.fasterxml.jackson.databind.JsonNode, current: Boolean) = (
+      node.get("snapshot_id").asText(),
+      if (node.has("parent_snapshot_id")) node.get("parent_snapshot_id").asText() else null,
+      if (node.has("sequence_number")) node.get("sequence_number").asLong() else -1L,
+      if (node.has("committed_at_ms")) node.get("committed_at_ms").asLong() else -1L,
+      node.get("config_hash").asText(),
+      node.get("rows").asLong(),
+      if (node.has("data_files"))
+        node.get("data_files").properties().asScala.map(_.getValue.asLong()).sum
+      else -1L,
+      current)
+    val sd = new Path(snapshotsDir(name))
+    val archived =
+      if (!fs.exists(sd)) Seq.empty
+      else fs.listStatus(sd).toSeq.filter(_.isDirectory).flatMap { d =>
+        val mp = new Path(d.getPath, "manifest.json")
+        if (!fs.exists(mp)) None
+        else try {
+          val in = fs.open(mp)
+          val bytes = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
+          in.readFully(bytes); in.close()
+          Some(row(mapper.readTree(bytes), current = false))
+        } catch { case _: Throwable => None }
+      }
+    val all = archived ++ readManifest(name).map(row(_, current = true)).toSeq
+    all.sortBy(r => (r._3, r._4))
+      .toDF("snapshot_id", "parent_snapshot_id", "sequence_number",
+        "committed_at_ms", "config_hash", "rows", "bytes", "is_current")
+  }
+
+  /** TIME TRAVEL: read a stage as of `snapshotId` — the current snapshot
+    * or any archived one that [[expireSnapshots]] has not removed. None
+    * for an unknown/expired id. */
+  def readSnapshot(name: String, snapshotId: String): Option[DataFrame] = {
+    val isCurrent = readManifest(name)
+      .exists(n => n.has("snapshot_id") && n.get("snapshot_id").asText() == snapshotId)
+    if (isCurrent) Some(spark.read.parquet(dataPath(name)).drop("__pid__"))
+    else {
+      val archived = new Path(s"${snapshotsDir(name)}/$snapshotId/data")
+      if (fs.exists(archived)) Some(spark.read.parquet(archived.toString).drop("__pid__"))
+      else None
+    }
+  }
+
+  /** SNAPSHOT EXPIRY (the Iceberg maintenance op): delete archived
+    * snapshots beyond the newest `keepLast` (by sequence number, then
+    * commit time). The CURRENT snapshot is never touched. Returns the
+    * expired snapshot ids. */
+  def expireSnapshots(name: String, keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val hist = snapshots(name).collect()
+      .filter(!_.getBoolean(7)) // archived only
+      .sortBy(r => (r.getLong(2), r.getLong(3))) // oldest first
+    val expire = hist.dropRight(keepLast).map(_.getString(0)).toSeq
+    expire.foreach(id => fs.delete(new Path(s"${snapshotsDir(name)}/$id"), true))
+    expire
   }
 
   /** Manifest of a committed stage, for tests / metrics reporting. */

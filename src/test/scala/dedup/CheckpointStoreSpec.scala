@@ -193,6 +193,57 @@ class CheckpointStoreSpec extends AnyFunSuite {
     assert(computed === 2)
   }
 
+  test("snapshot history: recompute archives, time travel reads, expiry removes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    val s1 = new CheckpointStore(spark, root, "cfgA")
+    s1.stage("s") { (1 to 100).toDF("x") }
+    val id1 = s1.snapshots("s").collect().head.getString(0)
+    // config change -> recompute; the old snapshot must survive as history
+    val s2 = new CheckpointStore(spark, root, "cfgB")
+    s2.stage("s") { (1 to 5).toDF("x") }
+    val hist2 = s2.snapshots("s").collect()
+    assert(hist2.length === 2)
+    assert(hist2.map(_.getLong(2)).toSeq === Seq(1L, 2L), "sequence numbers ascend")
+    val (old2, cur2) = (hist2(0), hist2(1))
+    assert(old2.getString(0) === id1 && !old2.getBoolean(7))
+    assert(cur2.getBoolean(7) && cur2.getString(1) === id1,
+      "current snapshot must carry parent_snapshot_id")
+    assert(old2.getLong(5) === 100L && cur2.getLong(5) === 5L)
+    // time travel: both snapshots readable, unknown id is None
+    assert(s2.readSnapshot("s", id1).get.count() === 100L)
+    assert(s2.readSnapshot("s", cur2.getString(0)).get.count() === 5L)
+    assert(s2.readSnapshot("s", "deadbeef").isEmpty)
+    // third commit, then expire to keepLast=1 archived: only id1 goes
+    val s3 = new CheckpointStore(spark, root, "cfgC")
+    s3.stage("s") { (1 to 7).toDF("x") }
+    assert(s3.snapshots("s").count() === 3L)
+    val expired = s3.expireSnapshots("s", keepLast = 1)
+    assert(expired === Seq(id1))
+    assert(s3.readSnapshot("s", id1).isEmpty, "expired snapshot unreadable")
+    assert(s3.readSnapshot("s", cur2.getString(0)).get.count() === 5L,
+      "kept archived snapshot still time-travels")
+    assert(s3.snapshots("s").count() === 2L)
+    // resume with an unchanged config never archives or recomputes
+    var computed = 0
+    val s4 = new CheckpointStore(spark, root, "cfgC")
+    s4.stage("s") { computed += 1; (1 to 9).toDF("x") }
+    assert(computed === 0 && s4.snapshots("s").count() === 2L)
+    // a CORRUPTED outgoing snapshot is deleted, never archived as history
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/s/data"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    fs.delete(part.getPath, false)
+    val corruptId = s3.snapshots("s").collect().filter(_.getBoolean(7)).head.getString(0)
+    val s5 = new CheckpointStore(spark, root, "cfgD")
+    s5.stage("s") { (1 to 3).toDF("x") }
+    // history = archived cfgB + current cfgD; the corrupted cfgC snapshot
+    // was deleted, not archived
+    val hist5 = s5.snapshots("s").collect()
+    assert(hist5.length === 2, "corrupt snapshot must not enter history")
+    assert(!hist5.map(_.getString(0)).contains(corruptId))
+  }
+
   test("lineage is recorded in stage order") {
     val root = Files.createTempDirectory("lin").toString
     import spark.implicits._
