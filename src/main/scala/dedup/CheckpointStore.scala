@@ -31,10 +31,12 @@ import scala.jdk.CollectionConverters._
   * recompute ARCHIVES the outgoing snapshot (data + manifest) instead of
   * destroying it, every manifest carries `parent_snapshot_id` +
   * `sequence_number` + commit timestamp, [[snapshots]] is the history
-  * metadata table, [[readSnapshot]] is time travel, and
-  * [[expireSnapshots]] is the retention maintenance op. The CURRENT
-  * snapshot always lives at `<stage>/data` (readers and resume never
-  * chase indirection); history lives under `<stage>/_snapshots/<id>/`.
+  * metadata table, [[readSnapshot]] is time travel,
+  * [[addedSince]]/[[removedSince]] are the incremental (changelog) scan,
+  * and the maintenance triple is [[expireSnapshots]], [[compact]]
+  * (rewrite_data_files) and [[removeOrphans]]. The CURRENT snapshot
+  * always lives at `<stage>/data` (readers and resume never chase
+  * indirection); history lives under `<stage>/_snapshots/<id>/`.
   *
   * No Iceberg runtime ships in this sandbox (SURVEY.md §7); the manifest
   * carries Iceberg-snapshot-equivalent metadata and a real
@@ -142,6 +144,36 @@ class CheckpointStore(
     // [[readSnapshot]] until [[expireSnapshots]]; anything unvalidatable
     // (partial write, corrupt file, legacy manifest) is deleted — a
     // half-dead dir must never masquerade as a historical snapshot.
+    val prev = archiveCurrent(name)
+    chunkRows match {
+      case Some(chunk) =>
+        // reference partitioned_save: a count() sizes the repartition —
+        // persist so compute isn't paid twice (fuzzy_spark2.py:302-332)
+        val cached = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rows = cached.count()
+        val parts = math.max(chunkMinPartitions,
+          math.min((rows + chunk - 1) / chunk, chunkMaxPartitions.toLong)).toInt
+        cached.repartition(parts)
+          .withColumn("__pid__", org.apache.spark.sql.functions.spark_partition_id())
+          .write.partitionBy("__pid__")
+          .mode("overwrite").option("compression", "snappy").parquet(dataPath(name))
+        cached.unpersist(blocking = false)
+      case None =>
+        val df = repartitionTo.map(df0.repartition(_)).getOrElse(df0)
+        df.write.mode("overwrite").option("compression", "snappy").parquet(dataPath(name))
+    }
+    writeManifestFor(name, prev, t0)
+    committed = committed :+ name
+    spark.read.parquet(dataPath(name)).drop("__pid__")
+  }
+
+  /** Archive the CURRENT snapshot of `name` into `_snapshots/<id>/` if it
+    * validates against its manifest (same per-file-byte rule as
+    * [[isCommitted]]); delete it otherwise — a half-dead dir must never
+    * masquerade as a historical snapshot. Returns the outgoing manifest
+    * (for parent-id / sequence-number chaining). Driver-side `rename`,
+    * O(1) in data size. */
+  private def archiveCurrent(name: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val prev = readManifest(name)
     val prevId = prev.filter(_.has("snapshot_id")).map(_.get("snapshot_id").asText())
     val prevValid = prev.exists { node =>
@@ -166,23 +198,14 @@ class CheckpointStore(
       fs.delete(new Path(dataPath(name)), true)
       fs.delete(manifestPath(name), false)
     }
-    chunkRows match {
-      case Some(chunk) =>
-        // reference partitioned_save: a count() sizes the repartition —
-        // persist so compute isn't paid twice (fuzzy_spark2.py:302-332)
-        val cached = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val rows = cached.count()
-        val parts = math.max(chunkMinPartitions,
-          math.min((rows + chunk - 1) / chunk, chunkMaxPartitions.toLong)).toInt
-        cached.repartition(parts)
-          .withColumn("__pid__", org.apache.spark.sql.functions.spark_partition_id())
-          .write.partitionBy("__pid__")
-          .mode("overwrite").option("compression", "snappy").parquet(dataPath(name))
-        cached.unpersist(blocking = false)
-      case None =>
-        val df = repartitionTo.map(df0.repartition(_)).getOrElse(df0)
-        df.write.mode("overwrite").option("compression", "snappy").parquet(dataPath(name))
-    }
+    prev
+  }
+
+  /** Build + atomically write the manifest for the freshly written data
+    * dir of `name`, chaining parent/sequence from the outgoing manifest
+    * `prev`. The manifest write IS the commit marker (written last). */
+  private def writeManifestFor(name: String,
+      prev: Option[com.fasterxml.jackson.databind.JsonNode], t0: Long): Unit = {
     // per-partition lineage/metrics from footers — no second data scan
     val partCounts = footerCounts(name).sortBy(_._1)
     val wallSec = (System.nanoTime() - t0) / 1e9
@@ -192,7 +215,8 @@ class CheckpointStore(
     // two recomputes of the same stage are two snapshots in the history
     manifest.put("snapshot_id", java.lang.Long.toHexString(
       Hashes.xxh64Str(s"$name|$effectiveHash|${partCounts.map(_._2).sum}|$t0")))
-    prevId.foreach(manifest.put("parent_snapshot_id", _))
+    prev.filter(_.has("snapshot_id"))
+      .foreach(p => manifest.put("parent_snapshot_id", p.get("snapshot_id").asText()))
     manifest.put("sequence_number",
       prev.filter(_.has("sequence_number")).map(_.get("sequence_number").asLong()).getOrElse(0L) + 1L)
     manifest.put("committed_at_ms", System.currentTimeMillis())
@@ -213,12 +237,9 @@ class CheckpointStore(
       p.put("rows", rows)
       parts.add(p)
     }
-    // manifest write is the atomic commit marker (written last)
     val outStream = fs.create(manifestPath(name), true)
     outStream.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(manifest))
     outStream.close()
-    committed = committed :+ name
-    spark.read.parquet(dataPath(name)).drop("__pid__")
   }
 
   /** Iceberg-style snapshot listing: one row per committed stage under
@@ -278,14 +299,8 @@ class CheckpointStore(
     val archived =
       if (!fs.exists(sd)) Seq.empty
       else fs.listStatus(sd).toSeq.filter(_.isDirectory).flatMap { d =>
-        val mp = new Path(d.getPath, "manifest.json")
-        if (!fs.exists(mp)) None
-        else try {
-          val in = fs.open(mp)
-          val bytes = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
-          in.readFully(bytes); in.close()
-          Some(row(mapper.readTree(bytes), current = false))
-        } catch { case _: Throwable => None }
+        readSnapshotManifest(new Path(d.getPath, "manifest.json"))
+          .map(row(_, current = false))
       }
     val all = archived ++ readManifest(name).map(row(_, current = true)).toSeq
     all.sortBy(r => (r._3, r._4))
@@ -307,6 +322,33 @@ class CheckpointStore(
     }
   }
 
+  /** INCREMENTAL SCAN (the Iceberg changelog-read shape): rows in the
+    * CURRENT snapshot of `name` that are absent from snapshot `sinceId`,
+    * compared on `keyCols` (every column when empty). A 10¹²-doc corpus
+    * recrawled monthly re-processes only this delta — the natural feed for
+    * [[IncrementalDedup]] (`newDocs*` take exactly (corpus, batch)). Plan
+    * is one left-anti equi-join on the keys, O(delta) output, never a diff
+    * of full materialized sets on the driver. None for an unknown id. */
+  def addedSince(name: String, sinceId: String,
+      keyCols: Seq[String] = Nil): Option[DataFrame] =
+    readSnapshot(name, sinceId).map { old =>
+      val cur = spark.read.parquet(dataPath(name)).drop("__pid__")
+      val keys = if (keyCols.nonEmpty) keyCols else cur.columns.toSeq
+      cur.join(old.select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .distinct(), keys, "left_anti")
+    }
+
+  /** Inverse of [[addedSince]]: rows of snapshot `sinceId` no longer in
+    * the current snapshot (deletions/expired pages). Same anti-join shape. */
+  def removedSince(name: String, sinceId: String,
+      keyCols: Seq[String] = Nil): Option[DataFrame] =
+    readSnapshot(name, sinceId).map { old =>
+      val cur = spark.read.parquet(dataPath(name)).drop("__pid__")
+      val keys = if (keyCols.nonEmpty) keyCols else old.columns.toSeq
+      old.join(cur.select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .distinct(), keys, "left_anti")
+    }
+
   /** SNAPSHOT EXPIRY (the Iceberg maintenance op): delete archived
     * snapshots beyond the newest `keepLast` (by sequence number, then
     * commit time). The CURRENT snapshot is never touched. Returns the
@@ -320,6 +362,81 @@ class CheckpointStore(
     expire.foreach(id => fs.delete(new Path(s"${snapshotsDir(name)}/$id"), true))
     expire
   }
+
+  /** FILE COMPACTION (the Iceberg `rewrite_data_files` maintenance op):
+    * rewrite the CURRENT snapshot of `name` into ceil(rows/targetRows)
+    * files as a NEW snapshot — rows identical, config hash unchanged so
+    * resume still reuses the stage, the outgoing snapshot is archived
+    * into history like any other commit. The small-files problem is real
+    * at 10¹² docs: a stage committed from 2048 tasks at low selectivity
+    * yields KB-sized files whose per-file open/footer overhead dominates
+    * downstream scans. Write goes to a temp dir first — an interrupted
+    * compaction leaves the current snapshot untouched (and the temp dir
+    * is [[removeOrphans]] food). Returns the new file count. */
+  def compact(name: String, targetRows: Long = 200000L): Int = {
+    require(targetRows > 0, "targetRows must be > 0")
+    val prev = readManifest(name)
+    require(prev.isDefined, s"compact: stage $name has no committed snapshot")
+    val rows = prev.get.get("rows").asLong()
+    val parts = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+    val t0 = System.nanoTime()
+    val tmp = new Path(s"$root/$name/_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dataPath(name)).drop("__pid__")
+      .repartition(parts)
+      .write.mode("overwrite").option("compression", "snappy").parquet(tmp.toString)
+    archiveCurrent(name)
+    fs.rename(tmp, new Path(dataPath(name)))
+    writeManifestFor(name, prev, t0)
+    dataFiles(name).size
+  }
+
+  /** ORPHAN FILE CLEANUP (the Iceberg `remove_orphan_files` maintenance
+    * op): delete, under stage `name`, (a) parquet files in a data dir
+    * that its manifest does not list — debris of an interrupted write
+    * that would otherwise poison [[isCommitted]] into recomputing a
+    * healthy stage forever, (b) leftover compaction temp dirs, and (c)
+    * manifest-less `_snapshots/` dirs. Never touches a manifest-listed
+    * file. Returns the deleted paths. */
+  def removeOrphans(name: String): Seq[String] = {
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    def listed(m: com.fasterxml.jackson.databind.JsonNode): Set[String] =
+      if (!m.has("data_files")) Set.empty
+      else m.get("data_files").fieldNames().asScala.toSet
+    def sweep(dataDir: Path, keep: Set[String]): Unit = {
+      if (!fs.exists(dataDir)) return
+      val it = fs.listFiles(dataDir, true)
+      val orphans = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") && !keep(f.getPath.getName))
+          orphans += f.getPath
+      }
+      orphans.foreach { p => fs.delete(p, false); deleted += p.toString }
+    }
+    readManifest(name).foreach(m => sweep(new Path(dataPath(name)), listed(m)))
+    val tmp = new Path(s"$root/$name/_compact_tmp")
+    if (fs.exists(tmp)) { fs.delete(tmp, true); deleted += tmp.toString }
+    val sd = new Path(snapshotsDir(name))
+    if (fs.exists(sd)) fs.listStatus(sd).filter(_.isDirectory).foreach { d =>
+      val mp = new Path(d.getPath, "manifest.json")
+      readSnapshotManifest(mp) match {
+        case Some(m) => sweep(new Path(d.getPath, "data"), listed(m))
+        case None => fs.delete(d.getPath, true); deleted += d.getPath.toString
+      }
+    }
+    deleted.toSeq
+  }
+
+  private def readSnapshotManifest(
+      mp: Path): Option[com.fasterxml.jackson.databind.JsonNode] =
+    if (!fs.exists(mp)) None
+    else try {
+      val in = fs.open(mp)
+      val bytes = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
+      in.readFully(bytes); in.close()
+      Some(mapper.readTree(bytes))
+    } catch { case _: Throwable => None }
 
   /** Manifest of a committed stage, for tests / metrics reporting. */
   def manifest(name: String): Option[Map[String, Any]] =

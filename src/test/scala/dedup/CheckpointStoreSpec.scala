@@ -244,6 +244,85 @@ class CheckpointStoreSpec extends AnyFunSuite {
     assert(!hist5.map(_.getString(0)).contains(corruptId))
   }
 
+  test("incremental scan: addedSince/removedSince diff snapshots by key") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("incr").toString
+    val s1 = new CheckpointStore(spark, root, "v1")
+    s1.stage("docs") { (1 to 100).map(i => (i.toLong, s"text$i")).toDF("id", "text") }
+    val id1 = s1.snapshots("docs").collect().head.getString(0)
+    // recrawl: 1-49 dropped, 50-100 kept, 101-120 new
+    val s2 = new CheckpointStore(spark, root, "v2")
+    s2.stage("docs") { (50 to 120).map(i => (i.toLong, s"text$i")).toDF("id", "text") }
+    val added = s2.addedSince("docs", id1, Seq("id")).get
+    assert(added.select("id").as[Long].collect().sorted.toSeq === (101L to 120L))
+    assert(added.columns.toSeq === Seq("id", "text"), "delta keeps full rows")
+    val removed = s2.removedSince("docs", id1, Seq("id")).get
+    assert(removed.select("id").as[Long].collect().sorted.toSeq === (1L to 49L))
+    // all-column comparison (no keyCols): a changed row counts as added
+    val s3 = new CheckpointStore(spark, root, "v3")
+    s3.stage("docs") { (50 to 120).map(i =>
+      (i.toLong, if (i == 60) "EDITED" else s"text$i")).toDF("id", "text") }
+    val id2 = s3.snapshots("docs").collect()
+      .filter(r => !r.getBoolean(7) && r.getString(4).startsWith("v2")).head.getString(0)
+    assert(s3.addedSince("docs", id2).get.select("id").as[Long].collect().toSeq === Seq(60L))
+    // unknown snapshot -> None, never a wrong empty diff
+    assert(s2.addedSince("docs", "nope", Seq("id")).isEmpty)
+    // the plan is a single left-anti join, no cartesian
+    val plan = added.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && !plan.toLowerCase.contains("cartesian"))
+  }
+
+  test("compact: rewrites small files as a new snapshot; resume and history intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cmp").toString
+    val s1 = new CheckpointStore(spark, root, "cfg")
+    s1.stage("s", repartitionTo = Some(16)) { (1 to 1000).toDF("x") }
+    val preId = s1.snapshots("s").collect().head.getString(0)
+    val preFiles = s1.manifest("s").get("files").asInstanceOf[Long]
+    assert(preFiles === 16L)
+    val newFiles = s1.compact("s", targetRows = 1000L)
+    assert(newFiles === 1, "1000 rows at targetRows=1000 -> one file")
+    // same rows, stage still committed (no recompute on resume)
+    assert(s1.manifest("s").get("rows") === 1000L)
+    var computed = 0
+    val s2 = new CheckpointStore(spark, root, "cfg")
+    val back = s2.stage("s") { computed += 1; (1 to 5).toDF("x") }
+    assert(computed === 0 && back.count() === 1000L)
+    // compaction is a commit: history has the pre-compact snapshot, chained
+    val hist = s2.snapshots("s").collect()
+    assert(hist.length === 2 && hist.head.getString(0) === preId)
+    assert(hist(1).getString(1) === preId, "compacted snapshot chains to parent")
+    assert(s2.readSnapshot("s", preId).get.count() === 1000L, "time travel pre-compact")
+  }
+
+  test("removeOrphans: unreferenced files deleted, committed stage repaired") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("orph").toString
+    val store = new CheckpointStore(spark, root, "cfg")
+    store.stage("s") { (1 to 50).toDF("x") }
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // debris of an "interrupted write": a stray parquet copy in the data dir
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/s/data")
+    val real = fs.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val stray = new org.apache.hadoop.fs.Path(dataDir, "part-junk-orphan.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, real, fs, stray, false,
+      spark.sparkContext.hadoopConfiguration)
+    // plus a leftover compaction temp dir and a manifest-less snapshot dir
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/s/_compact_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/s/_snapshots/bogus"))
+    assert(!store.isCommitted("s"), "stray file poisons the byte validation")
+    val gone = store.removeOrphans("s")
+    assert(gone.exists(_.endsWith("part-junk-orphan.parquet")))
+    assert(gone.exists(_.endsWith("_compact_tmp")))
+    assert(gone.exists(_.endsWith("bogus")))
+    assert(store.isCommitted("s"), "cleanup restores resumability")
+    assert(!fs.exists(stray))
+    // manifest-listed files are never touched
+    assert(fs.exists(real))
+    assert(store.removeOrphans("s").isEmpty, "second pass finds nothing")
+  }
+
   test("lineage is recorded in stage order") {
     val root = Files.createTempDirectory("lin").toString
     import spark.implicits._
