@@ -10,15 +10,22 @@ package dedup
   * Decoder scope (returns None, never throws, outside it):
   *   - baseline sequential DCT (SOF0; SOF1 accepted — same entropy coding),
   *     8-bit precision, 1 or 3 components;
+  *   - PROGRESSIVE DCT (SOF2, spec G.1.2): spectral selection +
+  *     successive approximation, DC and AC first/refinement scans,
+  *     interleaved DC scans, EOB runs, per-scan restart markers —
+  *     coefficients accumulate across scans in per-component zigzag
+  *     planes and the IDCT runs once at EOI;
   *   - arbitrary sampling factors 1..4 per axis (covers 4:4:4, 4:2:2,
   *     4:2:0, 4:1:1) with integer nearest upsampling;
   *   - restart intervals (DRI + RSTn), stuffed-byte unstuffing, APPn/COM
   *     skip, 8- and 16-bit DQT entries;
-  *   - progressive (SOF2), arithmetic coding, 12-bit precision → None.
+  *   - lossless/hierarchical (SOF3/5-7/11-15), arithmetic coding
+  *     (SOF9-11), 12-bit precision → None.
   *
-  * Encoder scope: baseline sequential, grayscale (1 component) or 4:4:4
-  * color, caller-supplied or quality-scaled Annex K quantization tables,
-  * Annex K.3 Huffman tables. The encoder exists so fixtures and oracle
+  * Encoder scope: baseline sequential ([[encodeGray]]/[[encodeRgb]]) and
+  * progressive grayscale ([[encodeGrayProgressive]] — six scans covering
+  * every G.1.2 coding mode), caller-supplied or quality-scaled Annex K
+  * quantization tables, Annex K.3 Huffman tables. The encoder exists so fixtures and oracle
   * rows carry pixels whose provenance is an integer formula (same pattern
   * as `encodePng`/`encodeGif`): DC-only images (constant 8×8 blocks) with
   * a flat quant table round-trip BIT-EXACTLY — the lossy format's lossless
@@ -513,17 +520,205 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Progressive grayscale JPEG (SOF2) from the same raster contract as
+    * [[encodeGray]]. Six scans exercise every progressive coding mode of
+    * G.1.2: DC first at Al=1, DC refinement, AC first per spectral band
+    * (1–5, 6–63) at Al=1, and AC refinement of both bands down to Al=0 —
+    * so a decode reconstructs exactly the coefficients [[encodeGray]]
+    * would transmit, and on the lossless corner (constant 8×8 blocks +
+    * flat quant) the round-trip is bit-exact like the baseline's.
+    *
+    * EOB runs are emitted per block (run length 1): the Annex K AC table
+    * carries no EOBn symbols for longer runs (r∈[1,14], s=0), and a
+    * length-1 run is a legal degenerate encoding every decoder accepts.
+    * Longer runs are exercised on the DECODE side by ImageIO-written
+    * progressive streams (JpegSpec) whose optimized tables have them.
+    * `restartInterval > 0` puts DRI + RSTn in every scan (counted in
+    * blocks — each scan here is non-interleaved). */
+  def encodeGrayProgressive(
+      w: Int, h: Int, luma: Array[Byte],
+      quant: Array[Int] = StdLumQuant,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && luma.length == w * h, "luma must be w*h")
+    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    // quantized zigzag-order coefficients per block, block raster order
+    val coefs = new Array[Array[Int]](bw8 * bh8)
+    val blk = new Array[Int](64)
+    val f = new Array[Double](64)
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            blk(y * 8 + x) = luma(sy * w + math.min(bx * 8 + x, w - 1)) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        fdct(blk, f)
+        val q = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          q(k) = math.floor(f(Zigzag(k)) / quant(Zigzag(k)) + 0.5).toInt
+          k += 1
+        }
+        coefs(by * bw8 + bx) = q
+        bx += 1
+      }
+      by += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(1024 + w * h / 4)
+    writeMarker(out, 0xD8)
+    writeSegment(out, 0xDB, dqtPayload(0, quant))
+    writeSegment(out, 0xC2, Array(8, h >>> 8, h & 0xFF, w >>> 8, w & 0xFF, 1, 1, 0x11, 0))
+    writeSegment(out, 0xC4, dhtPayload(0, 0, DcLumBits, DcLumVals))
+    writeSegment(out, 0xC4, dhtPayload(1, 0, AcLumBits, AcLumVals))
+    if (restartInterval > 0)
+      writeSegment(out, 0xDD, Array(restartInterval >>> 8, restartInterval & 0xFF))
+    val dcCode = buildEncodeTable(DcLumBits, DcLumVals)
+    val acCode = buildEncodeTable(AcLumBits, AcLumVals)
+
+    def rst(bwr: BitWriter, b: Int): Unit =
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        bwr.flush()
+        writeMarker(out, 0xD0 + ((b / restartInterval - 1) % 8))
+      }
+
+    // ---- scan 1: DC first, Al=1 (coefficients arrive arithmetic-shifted)
+    writeSegment(out, 0xDA, Array(1, 1, 0x00, 0, 0, 0x01))
+    var bwr = new BitWriter(out)
+    var prevDc = 0
+    var b = 0
+    while (b < coefs.length) {
+      rst(bwr, b); if (restartInterval > 0 && b > 0 && b % restartInterval == 0) prevDc = 0
+      val v = coefs(b)(0) >> 1
+      val diff = v - prevDc
+      prevDc = v
+      val t = magnitudeCategory(diff)
+      bwr.put(dcCode._1(t), dcCode._2(t))
+      if (t > 0) bwr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      b += 1
+    }
+    bwr.flush()
+
+    // ---- scan 2: DC refinement, Ah=1 → Al=0 (one raw bit per block)
+    writeSegment(out, 0xDA, Array(1, 1, 0x00, 0, 0, 0x10))
+    bwr = new BitWriter(out)
+    b = 0
+    while (b < coefs.length) {
+      rst(bwr, b)
+      bwr.put(coefs(b)(0) & 1, 1)
+      b += 1
+    }
+    bwr.flush()
+
+    // ---- AC first pass over a spectral band at Al=1 (G.1.2.2)
+    def acFirstScan(ss: Int, seBand: Int, al: Int): Unit = {
+      writeSegment(out, 0xDA, Array(1, 1, 0x00, ss, seBand, al))
+      val wtr = new BitWriter(out)
+      var bi = 0
+      while (bi < coefs.length) {
+        rst(wtr, bi)
+        val q = coefs(bi)
+        var r = 0
+        var k = ss
+        while (k <= seBand) {
+          val raw = q(k)
+          val v = if (raw >= 0) raw >> al else -((-raw) >> al)
+          if (v == 0) r += 1
+          else {
+            while (r > 15) { wtr.put(acCode._1(0xF0), acCode._2(0xF0)); r -= 16 }
+            val s = magnitudeCategory(v)
+            wtr.put(acCode._1((r << 4) | s), acCode._2((r << 4) | s))
+            wtr.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) wtr.put(acCode._1(0x00), acCode._2(0x00)) // EOB, run 1
+        bi += 1
+      }
+      wtr.flush()
+    }
+
+    // ---- AC refinement of a band, Ah=al+1 → Al=al (G.1.2.3): newly
+    // visible coefficients as (run, 1) + sign; correction bits for
+    // already-nonzero coefficients buffered and flushed after the next
+    // symbol — the mirror of the decoder's interleaving
+    def acRefineScan(ss: Int, seBand: Int, al: Int): Unit = {
+      writeSegment(out, 0xDA, Array(1, 1, 0x00, ss, seBand, ((al + 1) << 4) | al))
+      val wtr = new BitWriter(out)
+      val pending = new scala.collection.mutable.ArrayBuffer[Int]()
+      def flushPending(): Unit = { pending.foreach(wtr.put(_, 1)); pending.clear() }
+      var bi = 0
+      while (bi < coefs.length) {
+        rst(wtr, bi) // pending is always empty at a block boundary
+        val q = coefs(bi)
+        var eobPos = ss - 1
+        var k = ss
+        while (k <= seBand) {
+          if ((math.abs(q(k)) >> al) == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        k = ss
+        while (k <= seBand) {
+          val a = math.abs(q(k)) >> al
+          if (a == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              wtr.put(acCode._1(0xF0), acCode._2(0xF0)); r -= 16
+              flushPending()
+            }
+            if (a > 1) pending += (a & 1)
+            else {
+              wtr.put(acCode._1((r << 4) | 1), acCode._2((r << 4) | 1))
+              wtr.put(if (q(k) < 0) 0 else 1, 1)
+              flushPending()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pending.nonEmpty) {
+          wtr.put(acCode._1(0x00), acCode._2(0x00)) // EOB (run 1)
+          flushPending()
+        }
+        bi += 1
+      }
+      wtr.flush()
+    }
+
+    acFirstScan(1, 5, 1)
+    acFirstScan(6, 63, 1)
+    acRefineScan(1, 5, 0)
+    acRefineScan(6, 63, 0)
+    writeMarker(out, 0xD9)
+    out.toByteArray
+  }
+
   // --------------------------------------------------------------- decode
 
   private final case class Comp(
       id: Int, hs: Int, vs: Int, tq: Int,
       var td: Int = 0, var ta: Int = 0,
+      var coef: Array[Int] = null, // zigzag-order coefficients, 64 per block
+      var bw: Int = 0, var bh: Int = 0, // MCU-grid block geometry
+      var bwEff: Int = 0, var bhEff: Int = 0, // effective blocks (A.2.2)
       var plane: Array[Int] = null, var pw: Int = 0, var ph: Int = 0,
       var prevDc: Int = 0)
 
-  /** Decode a baseline JPEG to (w, h, rgb-top-down) — same contract as
-    * [[Multimodal.decodeBmp]]/`decodePng`/`decodeGif`. None (never throws)
-    * for progressive/arithmetic/12-bit/malformed input. */
+  /** Decode a baseline OR progressive JPEG to (w, h, rgb-top-down) — same
+    * contract as [[Multimodal.decodeBmp]]/`decodePng`/`decodeGif`. None
+    * (never throws) for lossless/hierarchical/arithmetic/12-bit/malformed
+    * input. Both modes decode into per-component zigzag coefficient
+    * planes; a progressive stream (SOF2) accumulates them across scans
+    * (spectral selection + successive approximation, G.1.2) and the IDCT
+    * runs once at EOI. */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
@@ -536,19 +731,339 @@ object Jpeg {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    var scanSeen = false
+    var hmax = 1; var vmax = 1; var mcusX = 0; var mcusY = 0
+    var geomDone = false
     var pos = 2
     // raster-order pixel cap: same ceiling idiom as decodePng (a corrupt
     // header must not allocate unbounded planes)
     val MaxPixels = 1 << 26
 
-    while (pos + 4 <= bytes.length) {
+    /** Allocate coefficient planes at the first SOS. Interleaved scans
+      * cover the padded MCU grid (bw×bh blocks); non-interleaved scans
+      * cover only the component's effective blocks (ceil of its true
+      * sampled size, spec A.2.2) — padding blocks stay zero there. */
+    def setupGeometry(): Boolean = {
+      if (geomDone) return true
+      hmax = comps.map(_.hs).max; vmax = comps.map(_.vs).max
+      mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      comps.foreach { c =>
+        c.bw = mcusX * c.hs; c.bh = mcusY * c.vs
+        if (c.bw.toLong * c.bh * 64 > MaxPixels.toLong * 4) return false
+        c.coef = new Array[Int](c.bw * c.bh * 64)
+        val cw = (w * c.hs + hmax - 1) / hmax
+        val ch = (h * c.vs + vmax - 1) / vmax
+        c.bwEff = (cw + 7) / 8; c.bhEff = (ch + 7) / 8
+      }
+      geomDone = true
+      true
+    }
+
+    /** Dequantize + dezigzag + IDCT every block, then upsample and color
+      * convert — the one pixel-producing pass, shared by both modes. */
+    def assemble(): Option[(Int, Int, Array[Byte])] = {
+      val zz = new Array[Int](64)
+      val px = new Array[Int](64)
+      comps.foreach { comp =>
+        val q = quant(comp.tq); if (q == null) return None
+        comp.pw = comp.bw * 8; comp.ph = comp.bh * 8
+        comp.plane = new Array[Int](comp.pw * comp.ph)
+        var by = 0
+        while (by < comp.bh) {
+          var bx = 0
+          while (bx < comp.bw) {
+            val base = (by * comp.bw + bx) * 64
+            var k = 0
+            while (k < 64) { zz(Zigzag(k)) = comp.coef(base + k) * q(Zigzag(k)); k += 1 }
+            idct(zz, px)
+            val ox = bx * 8; val oy = by * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                comp.plane((oy + yy) * comp.pw + ox + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      val rgb = new Array[Byte](w * h * 3)
+      def sample(comp: Comp, x: Int, y: Int): Int =
+        comp.plane((y * comp.vs / vmax) * comp.pw + (x * comp.hs / hmax))
+      if (comps.length == 1) {
+        val cY = comps(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = sample(cY, x, y).toByte
+            val p = (y * w + x) * 3
+            rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val cY = comps(0); val cCb = comps(1); val cCr = comps(2)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yy = sample(cY, x, y)
+            val cb = sample(cCb, x, y) - 128
+            val cr = sample(cCr, x, y) - 128
+            def cl(v: Double): Byte = {
+              val r = math.round(v).toInt
+              (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+            }
+            val p = (y * w + x) * 3
+            rgb(p) = cl(yy + 1.402 * cr)
+            rgb(p + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
+            rgb(p + 2) = cl(yy + 1.772 * cb)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some((w, h, rgb))
+    }
+
+    /** One DC entry of a progressive scan: first pass (Ah=0) is the
+      * baseline DC diff shifted left by Al; a refinement appends one raw
+      * bit at position Al (G.1.2.1 — bitwise OR works for negatives in
+      * two's complement). */
+    def dcBlock(br: BitReader, comp: Comp, blockIdx: Int, ah: Int, al: Int): Boolean = {
+      val base = blockIdx * 64
+      if (ah == 0) {
+        val t = br.decodeHuff(dcTabs(comp.td))
+        if (t < 0 || t > 11) return false
+        val diffBits = if (t == 0) 0 else br.bitsValue(t)
+        val diff = if (t == 0) 0
+          else if (diffBits < (1 << (t - 1))) diffBits - (1 << t) + 1
+          else diffBits
+        comp.prevDc += diff
+        comp.coef(base) = comp.prevDc << al
+      } else if (br.bit() == 1) comp.coef(base) |= (1 << al)
+      true
+    }
+
+    /** The full-spectrum interleaved scan of a sequential frame — the
+      * baseline path, now writing raw zigzag coefficients. */
+    def decodeSequentialScan(br: BitReader): Boolean = {
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.restart()) return false
+          comps.foreach(_.prevDc = 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        comps.foreach { comp =>
+          val at = acTabs(comp.ta)
+          var v = 0
+          while (v < comp.vs) {
+            var hh = 0
+            while (hh < comp.hs) {
+              val base = ((my * comp.vs + v) * comp.bw + (mx * comp.hs + hh)) * 64
+              if (!dcBlock(br, comp, base / 64, 0, 0)) return false
+              var k = 1
+              while (k < 64) {
+                val rs = br.decodeHuff(at)
+                if (rs < 0) return false
+                val r = rs >>> 4; val s = rs & 0xF
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else k = 64 // EOB
+                } else {
+                  k += r
+                  if (k > 63) return false
+                  val vb = br.bitsValue(s)
+                  comp.coef(base + k) =
+                    if (vb < (1 << (s - 1))) vb - (1 << s) + 1 else vb
+                  k += 1
+                }
+              }
+              hh += 1
+            }
+            v += 1
+          }
+        }
+        mcu += 1
+      }
+      true
+    }
+
+    /** One scan of a progressive frame (G.1.2): DC scans may interleave
+      * 1..4 components over the MCU grid; AC scans are single-component
+      * over the effective block grid. Restart markers reset DC prediction
+      * and the EOB run. */
+    def decodeProgressiveScan(br: BitReader, scanComps: Array[Comp],
+        ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+      if (al > 13 || (ah != 0 && ah != al + 1)) return false
+      if (ss == 0) {
+        if (se != 0) return false // DC scan codes only coefficient 0
+        if (ah == 0 && scanComps.exists(c => dcTabs(c.td) == null)) return false
+        scanComps.foreach(_.prevDc = 0)
+        if (scanComps.length > 1) {
+          var mcu = 0
+          val total = mcusX * mcusY
+          while (mcu < total) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+              if (!br.restart()) return false
+              scanComps.foreach(_.prevDc = 0)
+            }
+            val mx = mcu % mcusX; val my = mcu / mcusX
+            var ci = 0
+            while (ci < scanComps.length) {
+              val comp = scanComps(ci)
+              var v = 0
+              while (v < comp.vs) {
+                var hh = 0
+                while (hh < comp.hs) {
+                  if (!dcBlock(br, comp,
+                      (my * comp.vs + v) * comp.bw + (mx * comp.hs + hh), ah, al))
+                    return false
+                  hh += 1
+                }
+                v += 1
+              }
+              ci += 1
+            }
+            mcu += 1
+          }
+        } else {
+          val comp = scanComps(0)
+          var blk = 0
+          val total = comp.bwEff * comp.bhEff
+          while (blk < total) {
+            if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+              if (!br.restart()) return false
+              comp.prevDc = 0
+            }
+            if (!dcBlock(br, comp,
+                (blk / comp.bwEff) * comp.bw + blk % comp.bwEff, ah, al))
+              return false
+            blk += 1
+          }
+        }
+        true
+      } else {
+        if (scanComps.length != 1 || se < ss || se > 63) return false
+        val comp = scanComps(0)
+        val at = acTabs(comp.ta); if (at == null) return false
+        val p1 = 1 << al; val m1 = -1 << al
+        var eobrun = 0
+        var blk = 0
+        val total = comp.bwEff * comp.bhEff
+        while (blk < total) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            if (!br.restart()) return false
+            eobrun = 0
+          }
+          val base = ((blk / comp.bwEff) * comp.bw + blk % comp.bwEff) * 64
+          if (ah == 0) {
+            // AC first pass: baseline run/size coding + EOB runs; values
+            // arrive scaled up by 2^Al (G.1.2.2)
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                val rs = br.decodeHuff(at)
+                if (rs < 0) return false
+                val r = rs >>> 4; val s = rs & 0xF
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1 + (if (r > 0) br.bitsValue(r) else 0)
+                    done = true
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > 63) return false
+                  val vb = br.bitsValue(s)
+                  comp.coef(base + k) =
+                    (if (vb < (1 << (s - 1))) vb - (1 << s) + 1 else vb) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // AC refinement (G.1.2.3): newly-nonzero coefficients arrive
+            // as ±2^Al; every already-nonzero coefficient passed over
+            // carries one correction bit
+            var k = ss
+            if (eobrun == 0) {
+              var done = false
+              while (k <= se && !done) {
+                val rs = br.decodeHuff(at)
+                if (rs < 0) return false
+                var r = rs >>> 4; val s = rs & 0xF
+                var newval = 0
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) + (if (r > 0) br.bitsValue(r) else 0)
+                    done = true
+                  }
+                  // r == 15: ZRL — skip 16 zero-history positions below
+                } else {
+                  if (s != 1) return false // refinement magnitude must be 1
+                  newval = if (br.bit() == 1) p1 else m1
+                }
+                if (!done) {
+                  var stop = false
+                  while (k <= se && !stop) {
+                    val cv = comp.coef(base + k)
+                    if (cv != 0) {
+                      if (br.bit() == 1 && (cv & p1) == 0)
+                        comp.coef(base + k) = cv + (if (cv >= 0) p1 else m1)
+                    } else {
+                      r -= 1
+                      if (r < 0) stop = true
+                    }
+                    if (!stop) k += 1
+                  }
+                  if (newval != 0 && k <= se) comp.coef(base + k) = newval
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // inside an EOB run: only correction bits for the block's
+              // remaining nonzero coefficients
+              while (k <= se) {
+                val cv = comp.coef(base + k)
+                if (cv != 0) {
+                  if (br.bit() == 1 && (cv & p1) == 0)
+                    comp.coef(base + k) = cv + (if (cv >= 0) p1 else m1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          blk += 1
+        }
+        true
+      }
+    }
+
+    while (pos + 2 <= bytes.length) { // EOI is a bare 2-byte marker
       if (u8(pos) != 0xFF) return None
       var m = u8(pos + 1)
       while (m == 0xFF && pos + 2 < bytes.length) { pos += 1; m = u8(pos + 1) }
       pos += 2
       m match {
-        case 0xD9 => return None // EOI before any scan decoded
-        case 0xC0 | 0xC1 => // baseline SOF (0xC1 = extended sequential, same coding)
+        case 0xD9 => // EOI: a progressive frame assembles here
+          return if (progressive && scanSeen) assemble() else None
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
+          if (comps != null) return None // one frame per stream
+          progressive = m == 0xC2
           val len = u16(pos); if (pos + len > bytes.length) return None
           val prec = u8(pos + 2)
           h = u16(pos + 3); w = u16(pos + 5)
@@ -563,8 +1078,8 @@ object Jpeg {
             comp
           }
           pos += len
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-          return None // progressive / lossless / arithmetic
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+          return None // lossless / hierarchical / arithmetic
         case 0xC4 => // DHT (possibly several tables in one segment)
           val len = u16(pos); if (pos + len > bytes.length) return None
           var p = pos + 2
@@ -604,132 +1119,58 @@ object Jpeg {
           val len = u16(pos); if (pos + len > bytes.length) return None
           restartInterval = u16(pos + 2)
           pos += len
-        case 0xDA => // SOS: decode the (single, sequential) scan
+        case 0xDA => // SOS
           val len = u16(pos); if (pos + len > bytes.length) return None
           if (comps == null) return None
           val ns = u8(pos + 2)
-          if (ns != comps.length) return None // baseline: one interleaved scan
+          if (ns < 1 || ns > comps.length || pos + 6 + 2 * ns > bytes.length)
+            return None
+          val scanComps = new Array[Comp](ns)
           var c = 0
           while (c < ns) {
             val cs = u8(pos + 3 + 2 * c)
             val comp = comps.find(_.id == cs).getOrElse(return None)
             comp.td = u8(pos + 4 + 2 * c) >>> 4
             comp.ta = u8(pos + 4 + 2 * c) & 0xF
+            if (comp.td > 3 || comp.ta > 3) return None
+            scanComps(c) = comp
             c += 1
           }
-          val hmax = comps.map(_.hs).max
-          val vmax = comps.map(_.vs).max
-          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-          comps.foreach { comp =>
-            comp.pw = mcusX * comp.hs * 8
-            comp.ph = mcusY * comp.vs * 8
-            if (comp.pw.toLong * comp.ph > MaxPixels.toLong * 4) return None
-            comp.plane = new Array[Int](comp.pw * comp.ph)
-            if (quant(comp.tq) == null || dcTabs(comp.td) == null || acTabs(comp.ta) == null)
-              return None
-          }
+          val ss = u8(pos + 3 + 2 * ns)
+          val se = u8(pos + 4 + 2 * ns)
+          val ah = u8(pos + 5 + 2 * ns) >>> 4
+          val al = u8(pos + 5 + 2 * ns) & 0xF
+          if (!setupGeometry()) return None
           val br = new BitReader(bytes, pos + len)
-          val zz = new Array[Int](64)
-          val px = new Array[Int](64)
-          var mcu = 0
-          val totalMcus = mcusX * mcusY
-          while (mcu < totalMcus) {
-            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-              if (!br.restart()) return None
-              comps.foreach(_.prevDc = 0)
-            }
-            val mx = mcu % mcusX; val my = mcu / mcusX
+          if (!progressive) {
+            // sequential: exactly one interleaved full-spectrum scan
+            if (ns != comps.length || ss != 0 || se != 63 || ah != 0 || al != 0)
+              return None
             comps.foreach { comp =>
-              val q = quant(comp.tq); val dt = dcTabs(comp.td); val at = acTabs(comp.ta)
-              var v = 0
-              while (v < comp.vs) {
-                var hh = 0
-                while (hh < comp.hs) {
-                  java.util.Arrays.fill(zz, 0)
-                  val t = br.decodeHuff(dt)
-                  if (t < 0 || t > 11) return None
-                  val diffBits = if (t == 0) 0 else br.bitsValue(t)
-                  val diff = if (t == 0) 0
-                    else if (diffBits < (1 << (t - 1))) diffBits - (1 << t) + 1
-                    else diffBits
-                  comp.prevDc += diff
-                  zz(0) = comp.prevDc * q(0)
-                  var k = 1
-                  while (k < 64) {
-                    val rs = br.decodeHuff(at)
-                    if (rs < 0) return None
-                    val r = rs >>> 4; val s = rs & 0xF
-                    if (s == 0) {
-                      if (r == 15) k += 16 // ZRL
-                      else k = 64 // EOB
-                    } else {
-                      k += r
-                      if (k > 63) return None
-                      val vb = br.bitsValue(s)
-                      val coefv = if (vb < (1 << (s - 1))) vb - (1 << s) + 1 else vb
-                      zz(Zigzag(k)) = coefv * q(Zigzag(k))
-                      k += 1
-                    }
-                  }
-                  idct(zz, px)
-                  val ox = (mx * comp.hs + hh) * 8; val oy = (my * comp.vs + v) * 8
-                  var yy = 0
-                  while (yy < 8) {
-                    var xx = 0
-                    while (xx < 8) {
-                      comp.plane((oy + yy) * comp.pw + ox + xx) = px(yy * 8 + xx)
-                      xx += 1
-                    }
-                    yy += 1
-                  }
-                  hh += 1
-                }
-                v += 1
-              }
+              if (quant(comp.tq) == null || dcTabs(comp.td) == null ||
+                  acTabs(comp.ta) == null) return None
             }
-            mcu += 1
+            if (!decodeSequentialScan(br)) return None
+            return assemble()
           }
-          // assemble RGB with integer nearest upsampling per component
-          val rgb = new Array[Byte](w * h * 3)
-          def sample(comp: Comp, x: Int, y: Int): Int =
-            comp.plane((y * comp.vs / vmax) * comp.pw + (x * comp.hs / hmax))
-          if (comps.length == 1) {
-            val cY = comps(0)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val g = sample(cY, x, y).toByte
-                val p = (y * w + x) * 3
-                rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
-                x += 1
-              }
-              y += 1
-            }
-          } else {
-            val cY = comps(0); val cCb = comps(1); val cCr = comps(2)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val yy = sample(cY, x, y)
-                val cb = sample(cCb, x, y) - 128
-                val cr = sample(cCr, x, y) - 128
-                def cl(v: Double): Byte = {
-                  val r = math.round(v).toInt
-                  (if (r < 0) 0 else if (r > 255) 255 else r).toByte
-                }
-                val p = (y * w + x) * 3
-                rgb(p) = cl(yy + 1.402 * cr)
-                rgb(p + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
-                rgb(p + 2) = cl(yy + 1.772 * cb)
-                x += 1
-              }
-              y += 1
-            }
+          if (!decodeProgressiveScan(br, scanComps, ss, se, ah, al)) return None
+          scanSeen = true
+          // resume the marker walk at the next real marker (the reader may
+          // have stopped mid-byte; stuffed FF00 and stray RSTn are not
+          // markers)
+          var p = br.pos
+          var next = -1
+          while (next < 0 && p + 1 < bytes.length) {
+            if ((bytes(p) & 0xFF) == 0xFF) {
+              val m2 = bytes(p + 1) & 0xFF
+              if (m2 == 0x00) p += 2
+              else if (m2 >= 0xD0 && m2 <= 0xD7) p += 2
+              else if (m2 == 0xFF) p += 1
+              else next = p
+            } else p += 1
           }
-          return Some((w, h, rgb))
+          if (next < 0) return None // truncated between scans
+          pos = next
         case 0x01 => () // TEM: standalone, no payload
         case rst if rst >= 0xD0 && rst <= 0xD7 => () // stray RST: standalone
         case _ => // APPn, COM, anything else with a length

@@ -624,12 +624,13 @@ object Multimodal {
     }
 
   /** STUB decode + feature-extract for the formats that genuinely need a
-    * codec (MP3/MP4/WebM streams, progressive/arithmetic JPEG — no media
-    * libs in this container): a deterministic 16-dim byte-histogram
+    * codec (MP3/MP4/WebM streams, arithmetic-coded JPEG — no media libs
+    * in this container): a deterministic 16-dim byte-histogram
     * "embedding". Batch shape, schema and partitioning are the real
     * contract; only the math inside is fake, and since round 4 it is the
     * FALLBACK of [[decodeFeatures]], not the whole story — BMP, PNG, GIF
-    * and baseline-JPEG pixels and WAV-PCM/FLAC samples decode for real. */
+    * and JPEG pixels (baseline AND progressive, [[Jpeg.decode]]) and
+    * WAV-PCM/FLAC samples decode for real. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     if (bytes == null || bytes.isEmpty) return hist
@@ -1099,8 +1100,8 @@ object Multimodal {
   /** Decode ANY supported image container to (w, h, rgb-top-down): the
     * codec-free BMP layout plus the three compressed formats whose
     * compression is implementable without media libraries (PNG via the
-    * JDK's Inflater, GIF via LZW, baseline JPEG via [[Jpeg.decode]] —
-    * canonical Huffman + 8×8 DCT, ITU-T T.81). */
+    * JDK's Inflater, GIF via LZW, baseline AND progressive JPEG via
+    * [[Jpeg.decode]] — canonical Huffman + 8×8 DCT, ITU-T T.81). */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeBmp(bytes).orElse(decodePng(bytes)).orElse(decodeGif(bytes))
       .orElse(Jpeg.decode(bytes))

@@ -748,6 +748,50 @@ object SparkEntry {
         }.toDF("doc_id", "w", "h", "pix_sum")
     }),
 
+    // PROGRESSIVE JPEG gate (Jpeg.encodeGrayProgressive → decodeImage):
+    // same lossless-corner argument as q_jpeg_decode, but the wire is a
+    // six-scan SOF2 stream — DC first at Al=1, DC refinement, AC first
+    // per spectral band, AC refinement down to Al=0, with RSTn markers in
+    // every scan (restartInterval=2). Constant 8×8 blocks make every AC
+    // scan pure EOB traffic and the DC successive approximation exact, so
+    // the decoded raster must equal the formula bit-for-bit; one wrong
+    // refinement bit, EOB run, band boundary or restart reset shifts the
+    // weighted checksum DuckDB recomputes from the block formula alone.
+    "q_jpeg_prog" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 41
+            val w = 32; val h = 16 // 4×2 blocks, interval 2 → RSTn in-scan
+            val luma = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                luma(y * w + x) = ((d * 29 + (x / 8) * 19 + (y / 8) * 53) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val jpg = Jpeg.encodeGrayProgressive(w, h, luma, Jpeg.FlatQuant,
+              restartInterval = 2)
+            Multimodal.decodeImage(jpg) match {
+              case Some((dw, dh, px)) =>
+                var sum = 0L
+                var i = 0
+                while (i < dw * dh) {
+                  sum += ((px(i * 3) & 0xFF) * 3L + (px(i * 3 + 1) & 0xFF) * 5L +
+                    (px(i * 3 + 2) & 0xFF) * 7L) * (i + 1)
+                  i += 1
+                }
+                (id, dw, dh, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "w", "h", "pix_sum")
+    }),
+
     // Per-host quality rollup (UrlOps.hostQuality): Gopher gate then one
     // host-keyed partial agg — the domain-level curation signal. URLs are
     // synthesized from doc_id (the documents table has no url column, same
@@ -1851,6 +1895,16 @@ object SparkEntry {
         |)
         |SELECT doc_id, 24 AS w, 16 AS h,
         |  sum(v*15 * (y*24 + x + 1))::BIGINT AS pix_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_jpeg_prog" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x,
+        |    ((d.doc_id % 41)*29 + (x.x // 8)*19 + (y.y // 8)*53) % 256 AS v
+        |  FROM documents d, generate_series(0,31) x(x), generate_series(0,15) y(y)
+        |)
+        |SELECT doc_id, 32 AS w, 16 AS h,
+        |  sum(v*15 * (y*32 + x + 1))::BIGINT AS pix_sum
         |FROM px GROUP BY doc_id""".stripMargin,
 
     "q_domain_quality" ->

@@ -207,19 +207,209 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff(cback, rgb) <= 6)
   }
 
+  // ------------------------------------------------------- progressive
+
+  test("progressive lossless corner: constant 8x8 blocks + flat quant bit-exact") {
+    val w = 24; val h = 16
+    for (seed <- 0 until 8) {
+      val luma = Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 8; val by = (i / w) / 8
+        ((seed * 31 + bx * 17 + by * 47) % 256).toByte
+      }
+      val jpg = Jpeg.encodeGrayProgressive(w, h, luma, Jpeg.FlatQuant)
+      // the wire really is progressive (SOF2) with multiple scans
+      assert((0 until jpg.length - 1).exists(i =>
+        (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xC2))
+      assert(jpg.sliding(2).count(p => (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xDA) === 6)
+      val Some((dw, dh, rgb)) = Jpeg.decode(jpg)
+      assert(dw === w && dh === h)
+      for (i <- 0 until w * h) assert(rgb(i * 3) === luma(i), s"pixel $i seed $seed")
+    }
+  }
+
+  test("progressive decode == baseline decode on the same general image (same coefficients)") {
+    // every scan mode carries exact coefficient bits, so after the final
+    // refinement the coefficient planes must equal the baseline scan's
+    // and the decoded rasters must be BIT-identical
+    for ((w, h, seed) <- Seq((33, 25, 3), (24, 16, 7), (8, 8, 1), (41, 9, 5))) {
+      val luma = grayFormula(w, h, seed)
+      for (quant <- Seq(Jpeg.FlatQuant, Jpeg.quantForQuality(Jpeg.StdLumQuant, 80))) {
+        val Some((bw2, bh2, base)) = Jpeg.decode(Jpeg.encodeGray(w, h, luma, quant))
+        val Some((pw2, ph2, prog)) =
+          Jpeg.decode(Jpeg.encodeGrayProgressive(w, h, luma, quant))
+        assert(bw2 === pw2 && bh2 === ph2)
+        assert(java.util.Arrays.equals(base, prog),
+          s"progressive != baseline at w=$w h=$h seed=$seed")
+      }
+    }
+  }
+
+  test("progressive restart markers: RSTn in every scan, still bit-exact") {
+    val w = 40; val h = 24 // 5x3 = 15 blocks, interval 4
+    val luma = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      ((bx * 53 + by * 11 + 7) % 256).toByte
+    }
+    val jpg = Jpeg.encodeGrayProgressive(w, h, luma, Jpeg.FlatQuant, restartInterval = 4)
+    assert((0 until jpg.length - 1).exists(i =>
+      (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) >= 0xD0 && (jpg(i + 1) & 0xFF) <= 0xD7))
+    val Some((dw, dh, rgb)) = Jpeg.decode(jpg)
+    assert(dw === w && dh === h)
+    for (i <- 0 until w * h) assert(rgb(i * 3) === luma(i))
+  }
+
+  test("EOB runs > 1: hand-built progressive stream with a custom AC table") {
+    // 32x8 gray = 4 blocks, all constant (zero AC): one DC-first scan,
+    // then an AC scan whose single token is EOB4 (symbol 0x20 + 2 bits
+    // 0b00: run = (1<<2) + 0 = 4 blocks) — exercises the eobrun skip path
+    // the Annex-K-table encoder cannot emit. Custom AC DHT: symbols
+    // 0x00 (EOB1) and 0x20 (EOB4) at code lengths 1 and 2.
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def segment(m: Int, payload: Array[Int]): Unit = {
+      marker(m); val len = payload.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF)
+      payload.foreach(b => out.write(b & 0xFF))
+    }
+    marker(0xD8)
+    segment(0xDB, Array(0) ++ Array.fill(64)(1)) // flat quant
+    segment(0xC2, Array(8, 0, 8, 0, 32, 1, 1, 0x11, 0)) // SOF2 32x8 gray
+    // DC table: Annex K luminance
+    segment(0xC4, Array(0x00, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0,
+      0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+    // custom AC table: len1 -> {0x00}, len2 -> {0x20}
+    segment(0xC4, Array(0x10, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x00, 0x20))
+    // scan 1: DC first Al=0; blocks have luma 64,80,96,112 -> DC 64-128=-64
+    // then +16 steps; categories/diffs via the standard table
+    segment(0xDA, Array(1, 1, 0x00, 0, 0, 0x00))
+    val bw = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val b = ((acc >>> (nb - 8)) & 0xFF).toInt
+        bw.write(b); if (b == 0xFF) bw.write(0x00)
+        nb -= 8
+      }
+    }
+    // a constant-v block's DC coefficient is (v-128)*8 (Cn(0)^2 folds the
+    // 64-sample sum to ×8): 64→-512, 80→-384, 96→-256, 112→-128.
+    // Use the canonical table programmatically instead of hand-deriving:
+    val dcCodes = { // rebuild Annex K DC canonical codes (bits, vals above)
+      val bits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+      val vals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+      val code = new Array[Int](12); val len = new Array[Int](12)
+      var c = 0; var k = 0
+      for (l <- 1 to 16) {
+        for (_ <- 0 until bits(l)) { code(vals(k)) = c; len(vals(k)) = l; c += 1; k += 1 }
+        c <<= 1
+      }
+      (code, len)
+    }
+    var prevDc = 0
+    for (dc <- Seq(-512, -384, -256, -128)) {
+      val diff = dc - prevDc; prevDc = dc
+      var a = math.abs(diff); var t = 0
+      while (a != 0) { a >>>= 1; t += 1 }
+      put(dcCodes._1(t), dcCodes._2(t))
+      if (t > 0) put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    if (nb > 0) put(0x7F, 8 - nb) // pad
+    bw.toByteArray.foreach(b => out.write(b & 0xFF))
+    // scan 2: AC first Ss=1 Se=63 Ah=0 Al=0; one EOB4 token: code of 0x20
+    // is len-2 '10'; 2 appended bits 00; pad with 1s -> byte 1000_1111
+    segment(0xDA, Array(1, 1, 0x00, 1, 63, 0x00))
+    out.write(0x8F)
+    marker(0xD9)
+    val wire = out.toByteArray
+    val Some((dw, dh, rgb)) = Jpeg.decode(wire)
+    assert(dw === 32 && dh === 8)
+    for (i <- 0 until 32 * 8) {
+      val expected = (64 + ((i % 32) / 8) * 16).toByte
+      assert(rgb(i * 3) === expected, s"pixel $i")
+    }
+  }
+
+  test("decodes ImageIO-written progressive streams like ImageIO's own decoder") {
+    // the JDK writer's progressive script (libjpeg jpeg_simple_progression)
+    // uses optimized Huffman tables, real EOB runs and AC refinements —
+    // the paths our Annex-K encoder cannot emit
+    def progressiveWrite(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // gray
+    val w = 32; val h = 24
+    val luma = Array.tabulate(w * h)(i => (30 + (i % w) * 4 + (i / w)).toByte)
+    val gimg = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) gimg.getRaster.setSample(x, y, 0, luma(y * w + x) & 0xFF)
+    val gwire = progressiveWrite(gimg)
+    assert((0 until gwire.length - 1).exists(i =>
+      (gwire(i) & 0xFF) == 0xFF && (gwire(i + 1) & 0xFF) == 0xC2), "JDK wrote SOF2")
+    val Some((gw2, gh2, ours)) = Jpeg.decode(gwire)
+    val (jw, jh, theirs) = imageioDecodeGray(gwire)
+    assert(gw2 === jw && gh2 === jh)
+    val oursGray = Array.tabulate(gw2 * gh2)(i => ours(i * 3))
+    assert(meanDiff(oursGray, theirs) <= 2.0)
+    assert(maxDiff(oursGray, theirs) <= 8)
+    // color 4:2:0 (subsampled MCU geometry + interleaved DC scan)
+    val cw = 48; val ch = 40
+    val rgb = Array.tabulate(cw * ch * 3) { p =>
+      val i = p / 3; val x = i % cw; val y = i / cw
+      (p % 3 match {
+        case 0 => 60 + x * 2
+        case 1 => 40 + y * 3
+        case 2 => 120 + x + y
+      }).toByte
+    }
+    val cimg = new java.awt.image.BufferedImage(cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val p = (y * cw + x) * 3
+      cimg.setRGB(x, y, ((rgb(p) & 0xFF) << 16) | ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+    }
+    val cwire = progressiveWrite(cimg)
+    val Some((dw, dh, oursC)) = Jpeg.decode(cwire)
+    val (iw, ih, theirsC) = imageioDecode(cwire)
+    assert(dw === iw && dh === ih && dw === cw && dh === ch)
+    assert(meanDiff(oursC, theirsC) <= 3.0,
+      s"mean diff vs ImageIO progressive decode = ${meanDiff(oursC, theirsC)}")
+    assert(maxDiff(oursC, theirsC) <= 32)
+  }
+
+  test("the JDK decoder reads our progressive wire") {
+    val w = 24; val h = 16
+    val luma = grayFormula(w, h, 7)
+    val (jw, jh, theirs) =
+      imageioDecodeGray(Jpeg.encodeGrayProgressive(w, h, luma, Jpeg.FlatQuant))
+    assert(jw === w && jh === h)
+    assert(maxDiff(theirs, luma) <= 3)
+  }
+
   // ---------------------------------------------------- robustness
 
-  test("progressive / arithmetic / 12-bit markers are rejected, not mis-decoded") {
+  test("arithmetic / lossless / malformed-progressive streams are rejected, not mis-decoded") {
     val base = Jpeg.encodeGray(16, 16, grayFormula(16, 16, 1), Jpeg.FlatQuant)
-    // flip SOF0 (FFC0) to SOF2 (progressive)
+    val sof = (0 until base.length - 1).find(i =>
+      (base(i) & 0xFF) == 0xFF && (base(i + 1) & 0xFF) == 0xC0).get
+    // SOF0 flipped to SOF2 leaves a baseline scan header (Ss=0, Se=63)
+    // that is illegal in a progressive frame (a DC scan must have Se=0)
     val prog = base.clone()
-    val sof = (0 until prog.length - 1).find(i =>
-      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
     prog(sof + 1) = 0xC2.toByte
     assert(Jpeg.decode(prog).isEmpty)
     val arith = base.clone()
     arith(sof + 1) = 0xC9.toByte
     assert(Jpeg.decode(arith).isEmpty)
+    val lossless = base.clone()
+    lossless(sof + 1) = 0xC3.toByte
+    assert(Jpeg.decode(lossless).isEmpty)
   }
 
   test("truncation and byte corruption never throw (None or a decoded raster)") {
@@ -232,6 +422,16 @@ class JpegSpec extends AnyFunSuite {
       val corrupt = base.clone()
       corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
       Jpeg.decode(corrupt) // any Option is fine; throwing is the failure
+    }
+    // same discipline on the progressive wire (multi-scan marker walk)
+    val prog = Jpeg.encodeGrayProgressive(24, 16, grayFormula(24, 16, 4), Jpeg.FlatQuant)
+    for (cut <- Seq(2, 20, prog.length / 3, prog.length / 2, prog.length - 1)) {
+      Jpeg.decode(prog.take(cut))
+    }
+    for (_ <- 0 until 200) {
+      val corrupt = prog.clone()
+      corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
+      Jpeg.decode(corrupt)
     }
     assert(Jpeg.decode(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
     assert(Jpeg.decode(null).isEmpty)
