@@ -503,11 +503,37 @@ object Multimodal {
     Some((w, h, out))
   }
 
-  /** REAL WAV PCM sample decode — integer PCM (format 1), 8-bit unsigned
-    * or 16/24/32-bit signed little-endian, interleaved channels, each
-    * sample normalized to [-1, 1]. Plain byte layout, no codec. Returns
-    * (sampleRate, channels, samples). None for non-PCM (float, ADPCM,
-    * μ-law…), odd bit widths, or truncated chunks. */
+  /** CCITT G.711 μ-law expansion to 16-bit-range linear PCM — the public
+    * reference decode formula (sign|exponent|mantissa byte, transmitted
+    * complemented; bias 0x84): the telephony codec WAV carries as format
+    * tag 7. Pure integer arithmetic, SQL-replayable. */
+  private[dedup] def ulawExpand(b: Int): Int = {
+    val u = ~b & 0xFF
+    var t = ((u & 0xF) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** CCITT G.711 A-law expansion (format tag 6): even bits inverted on
+    * the wire (XOR 0x55), segments 0/1 linear then doubling, sign bit
+    * SET means positive. Pure integer arithmetic. */
+  private[dedup] def alawExpand(b: Int): Int = {
+    val a = b ^ 0x55
+    var t = (a & 0xF) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** REAL WAV sample decode — integer PCM (format 1: 8-bit unsigned or
+    * 16/24/32-bit signed little-endian) plus the two G.711 telephony
+    * codecs (format 6 A-law, format 7 μ-law — one byte per sample,
+    * expanded by the public ITU formulas above), interleaved channels,
+    * each sample normalized to [-1, 1]. No media library anywhere.
+    * Returns (sampleRate, channels, samples). None for float PCM, ADPCM,
+    * odd bit widths, or truncated chunks. */
   def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (bytes == null || bytes.length < 44 || sniffMagic(bytes) != "riff") return None
     def u8(i: Int) = bytes(i) & 0xFF
@@ -531,7 +557,19 @@ object Multimodal {
       val next = i + 8L + size + (size & 1L)
       i = if (next > bytes.length) bytes.length else next.toInt
     }
-    if (fmt != 1 || rate <= 0 || ch <= 0 || dataOff < 0) return None
+    if ((fmt != 1 && fmt != 6 && fmt != 7) || rate <= 0 || ch <= 0 || dataOff < 0)
+      return None
+    if (fmt != 1) { // G.711: always one byte per sample
+      if (bits != 8) return None
+      val out = new Array[Float](dataLen)
+      var s = 0
+      while (s < dataLen) {
+        val e = u8(dataOff + s)
+        out(s) = (if (fmt == 7) ulawExpand(e) else alawExpand(e)) / 32768f
+        s += 1
+      }
+      return Some((rate, ch, out))
+    }
     if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
     val bytesPer = bits / 8
     val n = dataLen / bytesPer
@@ -1216,6 +1254,35 @@ object Multimodal {
     * end-to-end, used to materialize synthetic audio columns whose
     * samples are exactly known (fixtures and oracle rows). Samples are
     * clamped to the signed-16-bit range. */
+  /** G.711 WAV writer (format tag 6 = A-law, 7 = μ-law; one byte per
+    * sample) for formula-provenance fixtures and the q_g711_decode oracle
+    * row — the encoded bytes ARE the payload (no compressor involved, so
+    * a DuckDB oracle can synthesize the identical wire from arithmetic). */
+  def encodeWavG711(sampleRate: Int, encoded: Array[Byte], alaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && encoded != null, "rate > 0, bytes non-null")
+    val out = new Array[Byte](44 + encoded.length)
+    def putLe16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    def putLe32(i: Int, v: Int): Unit = {
+      putLe16(i, v); putLe16(i + 2, v >>> 16)
+    }
+    def tag(i: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, i)
+    tag(0, "RIFF"); putLe32(4, out.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, if (alaw) 6 else 7)
+    putLe16(22, 1) // mono
+    putLe32(24, sampleRate)
+    putLe32(28, sampleRate) // byte rate: 1 byte/sample
+    putLe16(32, 1) // block align
+    putLe16(34, 8) // bits per sample
+    tag(36, "data"); putLe32(40, encoded.length)
+    encoded.copyToArray(out, 44)
+    out
+  }
+
   def encodeWavPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
     require(sampleRate > 0 && samples != null, "rate > 0, samples non-null")
     val out = new Array[Byte](44 + samples.length * 2)

@@ -637,6 +637,37 @@ object SparkEntry {
         }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
     }),
 
+    // G.711 telephony-codec gate (Multimodal.encodeWavG711 → decodeAudio):
+    // even docs carry μ-law WAVs, odd docs A-law, 64 bytes from doc_id
+    // arithmetic. The expansion formulas are pure integer bit math
+    // (complement / XOR 0x55, segment shift, bias), so DuckDB replays
+    // every sample independently and the position-weighted sum over the
+    // expanded 16-bit values is exact — no float tolerance. The engine
+    // side runs the real dispatch (RIFF sniff → WAV walk → format-tag
+    // routing); MultimodalSpec separately proves both expanders agree
+    // with the JDK's own telephony codecs on all 256 bytes. Zero shuffle.
+    "q_g711_decode" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val enc = Array.tabulate(64)(i => ((id * 37 + i * 13 + 5) % 256).toByte)
+            val wav = Multimodal.encodeWavG711(8000, enc, alaw = id % 2 == 1)
+            Multimodal.decodeAudio(wav) match {
+              case Some((rate, _, samples)) =>
+                var sum = 0L
+                var i = 0
+                while (i < samples.length) {
+                  sum += math.round(samples(i) * 32768f).toLong * (i + 1)
+                  i += 1
+                }
+                (id, rate, samples.length, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
+    }),
+
     // REAL MJPEG-AVI video gate (Avi.encodeMjpeg → Avi.decodeFrames):
     // 3-frame videos whose frames are constant-8×8-block JPEGs (the
     // lossless corner again), decoded through the RIFF movi walk + the
@@ -1852,6 +1883,35 @@ object SparkEntry {
         |SELECT doc_id, 8000 AS sample_rate, 300 AS n_samples,
         |  sum(v * (t + 1))::BIGINT AS sample_sum
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q_g711_decode" ->
+      """WITH enc AS (
+        |  SELECT d.doc_id, i.i AS i,
+        |    ((d.doc_id*37 + i.i*13 + 5) % 256)::INT AS b
+        |  FROM documents d, generate_series(0,63) i(i)
+        |),
+        |ex AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      -- mu-law: complement, then ((mant*8+132) << exp) - bias
+        |      CASE WHEN (255 - b) >= 128
+        |           THEN 132 - (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8))
+        |           ELSE (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132
+        |      END
+        |    ELSE
+        |      -- A-law: XOR 0x55; segments 0/1 linear, then doubling;
+        |      -- sign bit SET means positive
+        |      CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN (xor(b, 85) // 16) % 8 = 0 THEN (xor(b, 85) % 16) * 16 + 8
+        |           WHEN (xor(b, 85) // 16) % 8 = 1 THEN (xor(b, 85) % 16) * 16 + 264
+        |           ELSE ((xor(b, 85) % 16) * 16 + 264) * (1 << ((xor(b, 85) // 16) % 8 - 1))
+        |      END
+        |    END AS v
+        |  FROM enc
+        |)
+        |SELECT doc_id, 8000 AS sample_rate, 64 AS n_samples,
+        |  sum(v * (i + 1))::BIGINT AS sample_sum
+        |FROM ex GROUP BY doc_id""".stripMargin,
 
     "q_mjpeg_decode" ->
       """WITH px AS (

@@ -403,6 +403,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavPcm(d16) === None)
   }
 
+  test("G.711 μ-law/A-law: known expansions, and every byte agrees with the " +
+      "JDK's own telephony codecs") {
+    // spec landmarks: μ-law 0xFF encodes 0 (complement 0x00 → t=132-132);
+    // 0x7F encodes the most negative value; A-law 0x55 (XOR→0) is segment
+    // 0 mantissa 0 negative → -8
+    assert(Multimodal.ulawExpand(0xFF) === 0)
+    assert(Multimodal.ulawExpand(0x7F) === 0)
+    assert(Multimodal.ulawExpand(0x80) === 32124) // complement 0x7F: sign clear
+    assert(Multimodal.ulawExpand(0x00) === -32124) // complement 0xFF: sign set
+    assert(Multimodal.alawExpand(0x55) === -8)
+    assert(Multimodal.alawExpand(0xD5) === 8)
+    assert(Multimodal.alawExpand(0xAA) === 32256)
+    assert(Multimodal.alawExpand(0x2A) === -32256)
+
+    // exhaustive cross-validation against javax.sound's ULAW/ALAW codecs —
+    // an independent implementation of the same ITU tables (tests only;
+    // the engine path stays library-free)
+    def jdkExpand(enc: javax.sound.sampled.AudioFormat.Encoding,
+        all: Array[Byte]): Array[Int] = {
+      val src = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(all),
+        new javax.sound.sampled.AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false),
+        all.length.toLong)
+      val dst = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), src)
+      val bytes = dst.readAllBytes()
+      Array.tabulate(all.length)(i =>
+        ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)))
+    }
+    val every = Array.tabulate(256)(_.toByte)
+    val jdkU = jdkExpand(javax.sound.sampled.AudioFormat.Encoding.ULAW, every)
+    val jdkA = jdkExpand(javax.sound.sampled.AudioFormat.Encoding.ALAW, every)
+    for (b <- 0 until 256) {
+      assert(Multimodal.ulawExpand(b) === jdkU(b), s"ulaw byte $b")
+      assert(Multimodal.alawExpand(b) === jdkA(b), s"alaw byte $b")
+    }
+
+    // the WAV wire: format tags 6/7 route through the same decode entry
+    val enc = Array.tabulate(64)(i => ((i * 37 + 11) % 256).toByte)
+    val Some((ur, uc, us)) =
+      Multimodal.decodeWavPcm(Multimodal.encodeWavG711(8000, enc, alaw = false))
+    assert(ur === 8000 && uc === 1 && us.length === 64)
+    for (i <- 0 until 64)
+      assert(math.round(us(i) * 32768f) === Multimodal.ulawExpand(enc(i) & 0xFF))
+    val Some((_, _, as)) =
+      Multimodal.decodeWavPcm(Multimodal.encodeWavG711(8000, enc, alaw = true))
+    for (i <- 0 until 64)
+      assert(math.round(as(i) * 32768f) === Multimodal.alawExpand(enc(i) & 0xFF))
+    // wavMeta sees the same header (1 byte/sample → durations in ms)
+    assert(Multimodal.wavMeta(Multimodal.encodeWavG711(8000, enc, alaw = false))
+      === Some((8000, 1, 8, 64 * 1000L / 8000)))
+  }
+
   test("decodeFeatures: real paths for BMP/WAV, stub only for codec formats") {
     val rows = Seq(
       Seq((255, 0, 0), (0, 255, 0)),
