@@ -247,6 +247,71 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  // ---------------------------------------------------------- bm25 search
+  /** Okapi BM25 top-k corpus search for a bag of query terms — the
+    * search-based curation primitive (find the documents most about X:
+    * targeted decontamination, topic audits, eval-leak hunts). INTEGER
+    * fixed-point end to end (the [[LinkGraph.pageRankInt]] / char-LM
+    * discipline), so a SQL oracle replays every score bit-exactly:
+    *
+    *   - idf₂(t) = ⌊log₂(N+1)⌋ − ⌊log₂(df_t+1)⌋ — the log-damped rarity
+    *     weight computed EXACTLY on integers (bit length), no
+    *     transcendental whose last ulp could differ across engines;
+    *   - per-term score in micro-units, k1/b in milli-units
+    *     (defaults 1200/750 = the standard 1.2/0.75):
+    *       norm  = 1000 − b + (b·dl·1000) DIV avgdlMilli
+    *       denom = tf·1000 + (k1·norm) DIV 1000
+    *       score = Σ_t  idf₂·tf·(k1+1000)·10⁶ DIV denom
+    *     — the real BM25 shape (tf saturation + doc-length
+    *     normalization + log-damped idf), all positive-integer DIVs,
+    *     Long-safe to dl ≈ 10⁵ per doc.
+    *
+    * Scale shape: one partial-agg stats pass (N, Σdl, per-term df — the
+    * driver holds O(|terms|) numbers), then one ZERO-SHUFFLE scoring
+    * projection and a TakeOrderedAndProject top-k (per-partition heaps,
+    * no global sort). Tokens = whitespace split, the [[topWords]]
+    * convention. Ties break by ascending id — reruns byte-identical. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1Milli: Long = 1200L,
+      bMilli: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[\\w\\p{L}]+")),
+      "terms must be non-empty word tokens")
+    require(k > 0 && k1Milli > 0 && bMilli >= 0 && bMilli <= 1000)
+    var d = docs
+      .withColumn("__toks", filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    terms.indices.foreach { i =>
+      d = d.withColumn(s"__tf_$i",
+        size(filter(col("__toks"), x => x === lit(terms(i)))).cast("long"))
+    }
+    val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("tot")) ++
+      terms.indices.map(i => sum((col(s"__tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = d.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val n = stats.getLong(0)
+    if (n == 0)
+      return d.withColumn("score_micro", lit(0L))
+        .select(col(idCol), col("dl"), col("score_micro")).limit(0)
+    val tot = stats.getLong(1)
+    val avgdlMilli = math.max(1L, tot * 1000L / n)
+    def bitLen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val scoreSql = terms.indices.map { i =>
+      val df = stats.getLong(2 + i)
+      val idf2 = bitLen(n + 1) - bitLen(df + 1)
+      s"(${idf2}L * __tf_$i * ${k1Milli + 1000}L * 1000000L) DIV " +
+        s"(__tf_$i * 1000L + (${k1Milli}L * ((${1000 - bMilli}L) + " +
+        s"(${bMilli}L * dl * 1000L) DIV ${avgdlMilli}L)) DIV 1000L)"
+    }.mkString(" + ")
+    d.withColumn("score_micro", expr(scoreSql))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dl"), col("score_micro"))
+  }
+
   // ----------------------------------------------------------- blocklist
   /** Occurrences (not distinct) of blocklisted tokens among the
     * whitespace tokens of `text` — a pure-Catalyst higher-order-function

@@ -79,6 +79,7 @@ object Bench {
     "q_cross_pairs",
     "q_domain_cap",
     "q_top_words",
+    "q_bm25", // integer fixed-point corpus search (stats pass + zero-shuffle scan)
     "q_rare_tokens",
     "q_blocklist",
     "q_recrawl",

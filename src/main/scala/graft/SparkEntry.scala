@@ -1239,6 +1239,18 @@ object SparkEntry {
     "q_top_words" -> ((s, dir) =>
       TextAnalysis.topWords(documents(s, dir), "text", 100)),
 
+    // BM25 top-k corpus search (TextAnalysis.bm25TopK): the search-based
+    // curation primitive, integer fixed-point end to end — idf is the
+    // EXACT bit-length log2 (no transcendental), tf saturation and
+    // doc-length normalization are positive-integer DIVs — so DuckDB
+    // recomputes every doc's score bit-for-bit from raw text (df, N,
+    // avgdl included) and must produce the identical top-25 under the
+    // identical (score desc, id asc) tie-break. One stats pass + one
+    // zero-shuffle scoring scan + per-partition-heap top-k.
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(documents(s, dir), "doc_id", "text",
+        Seq("spark", "window", "hash"), 25)),
+
     // Duplicated-span removal (SuffixDedup.removeRuns — Lee et al. 2022
     // substring semantics: cut the shared ≥120-char run from later docs,
     // keep the earliest occurrence whole). exactCfg topology ⇒ candidate
@@ -2188,6 +2200,34 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS dl,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x = 'spark'))::BIGINT AS tf0,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x = 'window'))::BIGINT AS tf1,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x = 'hash'))::BIGINT AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot,
+        |    sum((tf0 > 0)::INT)::BIGINT AS df0,
+        |    sum((tf1 > 0)::INT)::BIGINT AS df1,
+        |    sum((tf2 > 0)::INT)::BIGINT AS df2
+        |  FROM base),
+        |sc AS (
+        |  SELECT doc_id, dl,
+        |    ((length(bin(n + 1)) - length(bin(df0 + 1)))::BIGINT * tf0 * 2200 * 1000000)
+        |      // (tf0*1000 + (1200 * (250 + (750 * dl * 1000) // greatest(1, tot*1000//n))) // 1000)
+        |  + ((length(bin(n + 1)) - length(bin(df1 + 1)))::BIGINT * tf1 * 2200 * 1000000)
+        |      // (tf1*1000 + (1200 * (250 + (750 * dl * 1000) // greatest(1, tot*1000//n))) // 1000)
+        |  + ((length(bin(n + 1)) - length(bin(df2 + 1)))::BIGINT * tf2 * 2200 * 1000000)
+        |      // (tf2*1000 + (1200 * (250 + (750 * dl * 1000) // greatest(1, tot*1000//n))) // 1000)
+        |    AS score_micro
+        |  FROM base, stats)
+        |SELECT doc_id, dl, score_micro FROM sc
+        |ORDER BY score_micro DESC, doc_id ASC
+        |LIMIT 25""".stripMargin,
 
     "q_rare_tokens" ->
       """WITH d AS (SELECT doc_id,

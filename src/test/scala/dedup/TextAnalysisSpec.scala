@@ -349,4 +349,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._3 === 1000L && out(5L)._3 === 1000L, "unique docs are fully novel")
     assert(out(1L)._2 > 0L && out(1L)._3 < 1000L, "partial overlap detected")
   }
+
+  test("bm25TopK: hand-computed integer scores, tie-break, partition invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark hash"),
+      (1L, "window window window window"),
+      (2L, "spark a b c"),
+      (3L, "x y")).toDF("id", "text")
+    // N=4, Σdl=13 → avgdlMilli=3250; df: spark 2, window 1, hash 1;
+    // idf2 = bitlen(5)-bitlen(df+1) = 1 for all three.
+    // norm(dl) = 250 + 750·dl·1000 DIV 3250; denomPart = 1200·norm DIV 1000:
+    //   dl3→1130, dl4→1407, dl2→853
+    // scoreT = tf·2200·10⁶ DIV (tf·1000 + denomPart):
+    //   d0 = spark(tf2): 4.4e9 DIV 3130 = 1405750; hash(tf1): 2.2e9 DIV 2130
+    //        = 1032863 → 2438613
+    //   d1 = window(tf4): 8.8e9 DIV 5407 = 1627519
+    //   d2 = spark(tf1): 2.2e9 DIV 2407 = 914000
+    val out = TextAnalysis.bm25TopK(docs, "id", "text",
+      Seq("spark", "window", "hash"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 2438613L), (1L, 4L, 1627519L), (2L, 4L, 914000L), (3L, 2L, 0L)))
+
+    // k truncates after the deterministic (score desc, id asc) order
+    val top1 = TextAnalysis.bm25TopK(docs, "id", "text",
+      Seq("spark", "window", "hash"), 1).collect()
+    assert(top1.length === 1 && top1(0).getLong(0) === 0L)
+
+    // identical scores tie-break by ascending id (two identical docs)
+    val ties = Seq((7L, "spark x"), (5L, "spark x"), (9L, "y z")).toDF("id", "text")
+    val t = TextAnalysis.bm25TopK(ties, "id", "text", Seq("spark"), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(t === Seq(5L, 7L))
+
+    // partition layout cannot change scores or order
+    val repart = TextAnalysis.bm25TopK(docs.repartition(7), "id", "text",
+      Seq("spark", "window", "hash"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(repart === out.toSeq.map(r => (r._1, r._3)))
+
+    // a term absent from the corpus (df=0) contributes 0, never throws
+    val absent = TextAnalysis.bm25TopK(docs, "id", "text",
+      Seq("zzznotthere"), 4).collect()
+    assert(absent.forall(_.getLong(2) === 0L))
+
+    // empty corpus → empty result, correct schema
+    val empty = TextAnalysis.bm25TopK(docs.limit(0), "id", "text", Seq("spark"), 3)
+    assert(empty.columns.toSeq === Seq("id", "dl", "score_micro"))
+    assert(empty.count() === 0L)
+  }
 }
