@@ -322,6 +322,126 @@ object TextAnalysis {
     size(filter(split(text, "\\s+"),
       t => array_contains(lit(words.toArray), t))).cast("long")
 
+  /** Aho–Corasick multi-pattern automaton (the classic goto/fail trie
+    * with merged output links): ONE pass over a document counts every
+    * occurrence of every phrase — including overlapping matches —
+    * in O(chars + matches), independent of phrase-list size. This is the
+    * 100-TB shape for substring blocklists: per-phrase `contains` scans
+    * cost O(phrases × chars) per doc (400 C4-style phrases = 400 scans),
+    * and regex alternation compiles to the same automaton anyway but
+    * rebuilds per task. Built once on the driver, broadcast as plain
+    * arrays (int matrix transitions for ASCII, map fallback above). */
+  final class PhraseAutomaton private (
+      asciiNext: Array[Array[Int]], // node -> 128-wide next (-1 = none)
+      wideNext: Array[Map[Char, Int]], // non-ASCII edges
+      fail: Array[Int],
+      outCounts: Array[Int], // phrases ending at node (incl. via fail links)
+      val nPhrases: Int) extends Serializable {
+
+    private def step(state: Int, c: Char): Int = {
+      var s = state
+      while (s >= 0) {
+        val nxt =
+          if (c < 128) asciiNext(s)(c)
+          else wideNext(s).getOrElse(c, -1)
+        if (nxt >= 0) return nxt
+        if (s == 0) return 0
+        s = fail(s)
+      }
+      0
+    }
+
+    /** Total phrase occurrences in `text` (overlaps counted — standard
+      * automaton semantics: one hit per (phrase, end-position)). */
+    def countHits(text: String): Long = {
+      if (text == null) return 0L
+      var s = 0
+      var hits = 0L
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        hits += outCounts(s)
+        i += 1
+      }
+      hits
+    }
+  }
+
+  object PhraseAutomaton {
+    def apply(phrases: Seq[String]): PhraseAutomaton = {
+      require(phrases.nonEmpty && phrases.forall(p => p != null && p.nonEmpty),
+        "phrases must be non-empty strings")
+      val ascii = scala.collection.mutable.ArrayBuffer(Array.fill(128)(-1))
+      val wide = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.HashMap.empty[Char, Int])
+      val ends = scala.collection.mutable.ArrayBuffer(0) // phrases ending here
+      def child(s: Int, c: Char): Int =
+        if (c < 128) ascii(s)(c) else wide(s).getOrElse(c, -1)
+      def addChild(s: Int, c: Char): Int = {
+        val n = ascii.length
+        ascii += Array.fill(128)(-1)
+        wide += scala.collection.mutable.HashMap.empty[Char, Int]
+        ends += 0
+        if (c < 128) ascii(s)(c) = n else wide(s)(c) = n
+        n
+      }
+      phrases.foreach { p =>
+        var s = 0
+        p.foreach { c =>
+          val nxt = child(s, c)
+          s = if (nxt >= 0) nxt else addChild(s, c)
+        }
+        ends(s) += 1
+      }
+      // BFS fail links; merge output counts down the fail chain so a
+      // single state lookup yields every phrase ending at that position
+      val n = ascii.length
+      val fail = Array.fill(n)(0)
+      val out = ends.toArray
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      def edges(s: Int): Iterator[(Char, Int)] =
+        ascii(s).iterator.zipWithIndex.collect { case (t, c) if t >= 0 => (c.toChar, t) } ++
+          wide(s).iterator
+      edges(0).foreach { case (_, t) => queue += t } // depth-1: fail = root
+      while (queue.nonEmpty) {
+        val s = queue.dequeue()
+        out(s) += out(fail(s))
+        edges(s).foreach { case (c, t) =>
+          var f = fail(s)
+          var nxt = child(f, c)
+          while (nxt < 0 && f != 0) { f = fail(f); nxt = child(f, c) }
+          fail(t) = if (nxt >= 0 && nxt != t) nxt else 0
+          queue += t
+        }
+      }
+      new PhraseAutomaton(ascii.toArray, wide.map(_.toMap).toArray, fail, out,
+        phrases.length)
+    }
+  }
+
+  /** Per-doc phrase-blocklist hits (C4's real gate is PHRASE-based, not
+    * token-based): total occurrences of any blocklisted phrase, counted
+    * by one broadcast [[PhraseAutomaton]] pass per document — zero
+    * shuffle, cost independent of the phrase-list size. Overlapping
+    * occurrences count (one per end position), so a SQL oracle can
+    * replay the number by probing every start offset. */
+  def phraseHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(PhraseAutomaton(phrases))
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.map { case (id, t) => (id, ac.countHits(t)) }
+      }
+      .toDF("id", "n_hits")
+  }
+
   /** C4-style wordlist gate, fraction-thresholded: keep a doc iff
     * blocklisted tokens make up at most `maxPerMille`/1000 of its tokens
     * (integer-exact predicate — no float boundary; C4 itself drops on ANY

@@ -80,6 +80,7 @@ object Bench {
     "q_domain_cap",
     "q_top_words",
     "q_bm25", // integer fixed-point corpus search (stats pass + zero-shuffle scan)
+    "q_phrase_hits", // broadcast Aho-Corasick phrase gate (zero shuffle)
     "q_rare_tokens",
     "q_blocklist",
     "q_recrawl",

@@ -1239,6 +1239,19 @@ object SparkEntry {
     "q_top_words" -> ((s, dir) =>
       TextAnalysis.topWords(documents(s, dir), "text", 100)),
 
+    // Phrase-blocklist hits (TextAnalysis.phraseHits): C4's REAL gate is
+    // phrase-based, not token-based — one broadcast Aho–Corasick pass
+    // counts every (phrase, end-position) occurrence, overlaps included,
+    // in O(chars) per doc regardless of list size. The synthetic corpus
+    // repeats words ("batch batch batch" → two overlapping "batch batch"
+    // hits), so the overlap semantics are load-bearing, and DuckDB
+    // replays the count by probing every start offset with substr —
+    // automaton-independent. Zero shuffle.
+    "q_phrase_hits" -> ((s, dir) =>
+      TextAnalysis.phraseHits(documents(s, dir), "doc_id", "text",
+        Seq("batch batch", "slow join", "window window"))
+        .select(col("id").as("doc_id"), col("n_hits"))),
+
     // BM25 top-k corpus search (TextAnalysis.bm25TopK): the search-based
     // curation primitive, integer fixed-point end to end — idf is the
     // EXACT bit-length log2 (no transcendental), tf saturation and
@@ -2200,6 +2213,16 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_phrase_hits" ->
+      """SELECT doc_id,
+        |  (len(list_filter(range(1, length(text) + 1),
+        |       i -> substr(text, i, 11) = 'batch batch'))
+        | + len(list_filter(range(1, length(text) + 1),
+        |       i -> substr(text, i, 9) = 'slow join'))
+        | + len(list_filter(range(1, length(text) + 1),
+        |       i -> substr(text, i, 13) = 'window window')))::BIGINT AS n_hits
+        |FROM documents""".stripMargin,
 
     "q_bm25" ->
       """WITH base AS (

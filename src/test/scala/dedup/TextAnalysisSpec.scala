@@ -350,6 +350,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._2 > 0L && out(1L)._3 < 1000L, "partial overlap detected")
   }
 
+  test("PhraseAutomaton: overlaps, nested phrases, brute-force equality") {
+    def brute(text: String, phrases: Seq[String]): Long =
+      phrases.map { p =>
+        (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+      }.sum
+    // classic hazards: overlapping self-matches, phrase-inside-phrase,
+    // shared prefixes, fail-link hop mid-match
+    val ac1 = TextAnalysis.PhraseAutomaton(Seq("aa"))
+    assert(ac1.countHits("aaaa") === 3L) // overlaps count
+    val ac2 = TextAnalysis.PhraseAutomaton(Seq("he", "hers", "his", "she"))
+    assert(ac2.countHits("ushers") === 3L) // she, he, hers
+    val ac3 = TextAnalysis.PhraseAutomaton(Seq("abcd", "bc"))
+    assert(ac3.countHits("abcd") === 2L)
+    assert(TextAnalysis.PhraseAutomaton(Seq("x")).countHits("") === 0L)
+    assert(TextAnalysis.PhraseAutomaton(Seq("x")).countHits(null) === 0L)
+    // duplicate phrase in the list counts twice (list semantics)
+    assert(TextAnalysis.PhraseAutomaton(Seq("ab", "ab")).countHits("ab") === 2L)
+    // non-ASCII edges take the wide path
+    assert(TextAnalysis.PhraseAutomaton(Seq("héllo", "é")).countHits("héllo é") === 3L)
+    // randomized brute-force equality over a small alphabet (dense matches)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 50) {
+      val text = Array.fill(200)(('a' + rnd.nextInt(3)).toChar).mkString
+      val phrases = (0 until 5).map(_ =>
+        Array.fill(1 + rnd.nextInt(4))(('a' + rnd.nextInt(3)).toChar).mkString)
+      val ac = TextAnalysis.PhraseAutomaton(phrases)
+      assert(ac.countHits(text) === brute(text, phrases), s"trial $trial $phrases")
+    }
+  }
+
+  test("phraseHits: distributed counts equal the automaton, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "batch batch batch stream"),
+      (2L, "no match here"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = TextAnalysis.phraseHits(docs, "id", "text", Seq("batch batch", "stream"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 3L), (2L, 0L), (3L, 0L))) // 2 overlapping + stream
+    val plan = TextAnalysis.phraseHits(docs, "id", "text", Seq("x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phraseHits must not shuffle:\n$plan")
+  }
+
   test("bm25TopK: hand-computed integer scores, tie-break, partition invariance") {
     import spark.implicits._
     val docs = Seq(
