@@ -38,6 +38,7 @@ import org.apache.spark.sql.functions._
   *     [--embed-weights <weights dir>]
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
   *     [--resolve-recrawls] [--blocklist w1,w2 --block-max-permille 0]
+  *     [--robots <host,txt parquet> [--robots-agent NAME]]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
   *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
@@ -62,6 +63,8 @@ object Pipeline {
       inferLang: Boolean = false,
       resolveRecrawls: Boolean = false,
       blocklist: Seq[String] = Nil,
+      robotsPath: String = "",
+      robotsAgent: String = "graftbot",
       blockMaxPerMille: Int = 0,
       quality: Boolean = false,
       extractHtml: Boolean = false,
@@ -120,6 +123,12 @@ object Pipeline {
         case "--resolve-recrawls" => a = a.copy(resolveRecrawls = true); i += 1
         case "--blocklist" =>
           a = a.copy(blocklist = argv(i + 1).split(",").toSeq.filter(_.nonEmpty)); i += 2
+        // robots-exclusion gate (RFC 9309): a (host, txt) parquet of per-
+        // host robots.txt bodies; pages a crawler with --robots-agent's
+        // product token may not fetch are dropped pre-dedup (fail-open
+        // for hosts with no robots row)
+        case "--robots" => a = a.copy(robotsPath = argv(i + 1)); i += 2
+        case "--robots-agent" => a = a.copy(robotsAgent = argv(i + 1)); i += 2
         case "--block-max-permille" => a = a.copy(blockMaxPerMille = argv(i + 1).toInt); i += 2
         case "--quality" => a = a.copy(quality = true); i += 1
         case "--extract-html" => a = a.copy(extractHtml = true); i += 1
@@ -273,15 +282,22 @@ object Pipeline {
       else TextAnalysis.blocklistFilter(pages1b, "text",
           args.blocklist, args.blockMaxPerMille)
         .where(col("keep")).drop("n_tokens", "n_blocked", "keep")
+    // `--robots <parquet>`: RFC 9309 robots-exclusion gate pre-dedup —
+    // one host-keyed join against the (host, txt) robots table, rules
+    // parsed once per host, fail-open where no robots row exists.
+    val pages2r =
+      if (args.robotsPath.isEmpty) pages2
+      else Robots.filterAllowed(pages2, "url",
+        spark.read.parquet(args.robotsPath), "host", "txt", args.robotsAgent)
     // `--dedup-lines`: CCNet-style boilerplate-line removal BEFORE doc-level
     // dedup (an explicit corpus transform — it rewrites `text`, so the
     // verbatim-text invariant holds from here DOWNSTREAM; opting in means
     // the cleaned text IS the corpus text from this point on, as in CCNet
     // §4.1 where paragraph dedup precedes document dedup).
     val pages3 =
-      if (!args.dedupLines) pages2
+      if (!args.dedupLines) pages2r
       else {
-        val withId = pages2.withColumn("__lid", xxhash64(col("url")))
+        val withId = pages2r.withColumn("__lid", xxhash64(col("url")))
         val cleaned = LineDedup.dedupLines(withId, "__lid", "text")
           .select(col("id").as("__lid"), col("text_clean"))
         withId.drop("text")
@@ -378,6 +394,11 @@ object Pipeline {
         s"+bl${Hashes.xxh64Str(args.blocklist.mkString(","))}p${args.blockMaxPerMille}"
       else "") +
       (if (args.quality) "+qf" else "") +
+      // robots table fingerprint: a re-crawled robots.txt set must
+      // invalidate, not resume (same rule as --input / --embed-weights)
+      (if (args.robotsPath.nonEmpty)
+        s"+rb${CheckpointStore.inputFingerprint(spark, args.robotsPath)}a${Hashes.xxh64Str(args.robotsAgent)}"
+      else "") +
       (if (args.extractHtml) "+hx" else "") +
       (if (args.mainContent) "+mc" else "") +
       (if (args.nfc) "+nfc" else "") +

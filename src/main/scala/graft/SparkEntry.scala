@@ -1239,6 +1239,36 @@ object SparkEntry {
     "q_top_words" -> ((s, dir) =>
       TextAnalysis.topWords(documents(s, dir), "text", 100)),
 
+    // Robots-exclusion gate (Robots.decide, RFC 9309): urls and per-host
+    // robots.txt are synthesized from doc_id arithmetic — hosts divisible
+    // by 3 carry a crawler-SPECIFIC group (which must then beat the *
+    // group entirely), the * group exercises longest-match (Allow
+    // /priv/ok under Disallow /priv) and per-host rule variation
+    // (/tmp disallowed on even hosts only). The engine runs the real
+    // parser + group selection + longest-match on every host; DuckDB
+    // derives the identical verdicts from the arithmetic alone.
+    "q_robots" -> ((s, dir) => {
+      import s.implicits._
+      val seg = col("doc_id") % 4
+      val pages = documents(s, dir).select(col("doc_id"),
+        concat(lit("https://www.site"), (col("doc_id") % 10).cast("string"),
+          lit(".example.com/"),
+          when(seg === 0, "pub").when(seg === 1, "priv")
+            .when(seg === 2, "priv/ok").otherwise("tmp"),
+          lit("/p"), col("doc_id").cast("string")).as("url"))
+      val robots = s.range(10).select(
+        concat(lit("www.site"), col("id").cast("string"),
+          lit(".example.com")).as("host"),
+        concat(
+          when(col("id") % 3 === 0,
+            lit("User-agent: graftbot\nDisallow: /pub\n\n")).otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /priv\nAllow: /priv/ok\n"),
+          when(col("id") % 2 === 0, lit("Disallow: /tmp\n")).otherwise(lit("")))
+          .as("txt"))
+      Robots.decide(pages, "url", robots, "host", "txt", "graftbot")
+        .select(col("doc_id"), col("host"), col("robots_allowed"))
+    }),
+
     // Phrase-blocklist hits (TextAnalysis.phraseHits): C4's REAL gate is
     // phrase-based, not token-based — one broadcast Aho–Corasick pass
     // counts every (phrase, end-position) occurrence, overlaps included,
@@ -2213,6 +2243,19 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY n DESC, word ASC
         |LIMIT 100""".stripMargin,
+
+    "q_robots" ->
+      """SELECT doc_id,
+        |  'www.site' || (doc_id % 10) || '.example.com' AS host,
+        |  CASE WHEN (doc_id % 10) % 3 = 0 THEN doc_id % 4 <> 0
+        |       ELSE CASE doc_id % 4
+        |              WHEN 0 THEN true
+        |              WHEN 1 THEN false
+        |              WHEN 2 THEN true
+        |              ELSE (doc_id % 10) % 2 = 1
+        |            END
+        |  END AS robots_allowed
+        |FROM documents""".stripMargin,
 
     "q_phrase_hits" ->
       """SELECT doc_id,
