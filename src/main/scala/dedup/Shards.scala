@@ -79,4 +79,42 @@ object Shards {
   def shardStats(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("sum_weight"))
+
+  /** Fixed-window training chunks: split each document's whitespace
+    * tokens into windows of `window` tokens advancing by
+    * `window − overlap` (the standard context-length prep — long pages
+    * become several training rows, the overlap preserving cross-boundary
+    * context). The LAST window keeps whatever remains (≥1 token; a
+    * final window fully contained in the previous one is not emitted).
+    * Pure Catalyst — sequence + transform + posexplode, zero shuffle,
+    * whole-stage codegen — and exactly replayable in SQL (the oracle
+    * rebuilds every chunk string by slicing the same token list).
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk). Empty/null docs
+    * yield no rows. */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      overlap: Int = 0): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      "need window > 0 and 0 <= overlap < window")
+    val stride = window - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val n = size(toks)
+    // chunk starts: 0, stride, 2·stride, … while start < n and the
+    // window still adds at least one NEW token (start + overlap < n —
+    // equivalently the previous window did not already reach the end)
+    val nChunks = when(n <= 0, lit(0))
+      .otherwise(greatest(lit(1), ceil((n - lit(overlap)).cast("double") / stride).cast("int")))
+    docs
+      .select(col(idCol).as("id"), toks.as("__toks"), nChunks.as("__nc"))
+      .where(col("__nc") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("__nc") - 1),
+        i => slice(col("__toks"), i * stride + 1, lit(window)))))
+      .select(col("id"), col("pos").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        array_join(col("col"), " ").as("chunk"))
+  }
 }

@@ -330,7 +330,10 @@ object TextAnalysis {
     * cost O(phrases × chars) per doc (400 C4-style phrases = 400 scans),
     * and regex alternation compiles to the same automaton anyway but
     * rebuilds per task. Built once on the driver, broadcast as plain
-    * arrays (int matrix transitions for ASCII, map fallback above). */
+    * arrays (int matrix transitions for ASCII, map fallback above).
+    * Memory is ~512 B per state (state count ≈ total phrase chars): a
+    * 40k-phrase list is a ~0.4 GB broadcast — beyond that, swap the
+    * ASCII matrix for the map-only representation (same interface). */
   final class PhraseAutomaton private (
       asciiNext: Array[Array[Int]], // node -> 128-wide next (-1 = none)
       wideNext: Array[Map[Char, Int]], // non-ASCII edges

@@ -81,11 +81,13 @@ object Bench {
     "q_top_words",
     "q_bm25", // integer fixed-point corpus search (stats pass + zero-shuffle scan)
     "q_phrase_hits", // broadcast Aho-Corasick phrase gate (zero shuffle)
+    "q_robots", // RFC 9309 gate: per-host rule parse + host-keyed join
     "q_rare_tokens",
     "q_blocklist",
     "q_recrawl",
     "q_lang_sample",
     "q_shards",
+    "q_chunk_docs", // fixed-window training chunks (zero-shuffle posexplode)
     "q_decontaminate")
 
   /** (busy, steal) jiffies from /proc/stat — same reader as ScalingBench:

@@ -1356,6 +1356,17 @@ object SparkEntry {
         .select(col("doc_id"), col("weight").as("n_tokens"), col("shard"))
     }),
 
+    // Fixed-window training chunks (Shards.chunkDocs): window 64 tokens,
+    // overlap 16 (stride 48) — the context-length prep that turns long
+    // pages into training rows. Zero-shuffle Catalyst (sequence +
+    // transform + posexplode); DuckDB rebuilds every chunk string by
+    // slicing the same token list, so window boundaries, the short-doc
+    // whole-doc rule, and the no-contained-tail rule are all hash-gated.
+    "q_chunk_docs" -> ((s, dir) => {
+      Shards.chunkDocs(documents(s, dir), "doc_id", "text", 64, 16)
+        .select(col("id"), col("chunk_idx"), col("n_chunk_tokens"), col("chunk"))
+    }),
+
     // Benchmark decontamination (Decontaminate): the "benchmark" is the
     // doc_id % 11 == 3 slice of the corpus itself, n=5 word grams. Every
     // benchmark doc is self-contaminated (planted truth) and the corpus's
@@ -2402,6 +2413,20 @@ object SparkEntry {
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
         |    sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id)::BIGINT AS cum
         |  FROM documents)""".stripMargin,
+
+    // window 64, overlap 16, stride 48: nc = max(1, ceil((n-16)/48));
+    // chunk i covers 1-based tokens [i*48+1, i*48+64] (DuckDB slices
+    // clamp at the list end, matching Spark's slice).
+    "q_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w,
+        |    greatest(1, ceil((len(w) - 16) / 48.0))::BIGINT AS nc
+        |  FROM toks WHERE len(w) > 0),
+        |e AS (SELECT doc_id, w, unnest(range(nc)) AS i FROM p)
+        |SELECT doc_id AS id, i::INT AS chunk_idx,
+        |  len(w[(i*48+1)::INT:(i*48+64)::INT])::BIGINT AS n_chunk_tokens,
+        |  array_to_string(w[(i*48+1)::INT:(i*48+64)::INT], ' ') AS chunk
+        |FROM e""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -96,4 +96,43 @@ class ShardsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global window in plan:\n$plan")
   }
+
+  test("chunkDocs: golden windows, overlap, tail clip, short docs, zero shuffle") {
+    def toks(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    def run(text: String, window: Int, overlap: Int): Seq[(Int, Long, String)] =
+      Shards.chunkDocs(Seq((1L, text)).toDF("id", "text"), "id", "text",
+          window, overlap)
+        .select(col("chunk_idx"), col("n_chunk_tokens"), col("chunk"))
+        .as[(Int, Long, String)].collect().sortBy(_._1).toSeq
+
+    // no overlap: 10 tokens, window 4 → 4+4+2
+    assert(run(toks(10), 4, 0) === Seq(
+      (0, 4L, "w1 w2 w3 w4"), (1, 4L, "w5 w6 w7 w8"), (2, 2L, "w9 w10")))
+    // overlap 2: stride 2 → starts 0,2,4,6
+    assert(run(toks(10), 4, 2).map(_._3) === Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    // doc shorter than the window: one whole-doc chunk
+    assert(run(toks(3), 64, 16) === Seq((0, 3L, "w1 w2 w3")))
+    // doc shorter than the overlap: still one chunk, no dup emission
+    assert(run(toks(2), 8, 4) === Seq((0, 2L, "w1 w2")))
+    // empty and whitespace-only docs vanish
+    assert(run("", 4, 0) === Seq.empty)
+    assert(run("   ", 4, 0) === Seq.empty)
+
+    // coverage + overlap properties on random sizes
+    for (n <- Seq(1, 5, 47, 48, 49, 63, 64, 65, 200)) {
+      val chunks = run(toks(n), 64, 16)
+      val all = chunks.flatMap(_._3.split(" ")).toSet
+      assert(all === (1 to n).map(i => s"w$i").toSet, s"n=$n full coverage")
+      chunks.sliding(2).foreach {
+        case Seq(a, b) =>
+          val at = a._3.split(" ").toSeq; val bt = b._3.split(" ").toSeq
+          assert(at.takeRight(16) === bt.take(16), s"n=$n adjacent overlap = 16")
+        case _ =>
+      }
+    }
+    val plan = Shards.chunkDocs(Seq((1L, toks(10))).toDF("id", "text"),
+        "id", "text", 4, 0).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkDocs must not shuffle:\n$plan")
+  }
 }
