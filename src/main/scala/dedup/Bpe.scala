@@ -153,9 +153,9 @@ object Bpe {
     val rank = rankMap(merges)
     val fn = udf { (s: String) =>
       if (s == null) Array.empty[String]
-      // Locale.ROOT: Spark's lower() (used in training) is
-      // locale-independent; a tr-TR default locale would otherwise emit
-      // symbols ('ı') the merge table never saw
+      // Locale.ROOT: the same closure wordCounts trains with; a tr-TR
+      // default locale would otherwise emit symbols ('ı') the merge
+      // table never saw
       else s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         .flatMap(w => encodeWord(w, rank))
     }

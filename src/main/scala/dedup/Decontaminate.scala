@@ -93,4 +93,35 @@ object Decontaminate {
     flag(docs, textCol, benchmarkIndex(bench, textCol, n), n)
       .where(!col("contaminated"))
       .drop("n_hits", "contaminated")
+
+  /** FRACTIONAL overlap gate (the GPT-3-appendix / Dolma variant of
+    * [[flag]]'s any-hit rule): a doc is kept while its contaminated share
+    * of distinct n-grams stays ≤ `maxPct` percent — one long quote in an
+    * otherwise-original page survives, a wholesale benchmark copy dies.
+    * The predicate is integer-exact (`n_hits·100 ≤ n_grams·maxPct`, no
+    * float boundary), docs too short to have any n-gram are kept, and the
+    * scan shape is identical to [[flag]]: zero shuffle, one broadcast
+    * sorted-index probe per doc. Adds `n_grams`, `n_hits`, `keep`. */
+  def overlapStats(docs: DataFrame, textCol: String, index: Array[Long],
+      n: Int, maxPct: Int): DataFrame = {
+    require(n > 0, s"gram width must be positive, got $n")
+    require(maxPct >= 0 && maxPct <= 100, s"maxPct must be 0..100, got $maxPct")
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val stats = udf { (text: String) =>
+      val idx = bc.value
+      val grams = gramHashes(text, n)
+      var hits = 0L
+      var i = 0
+      while (i < grams.length) {
+        if (java.util.Arrays.binarySearch(idx, grams(i)) >= 0) hits += 1
+        i += 1
+      }
+      (grams.length.toLong, hits)
+    }
+    docs.withColumn("__ov", stats(col(textCol).cast("string")))
+      .withColumn("n_grams", col("__ov._1"))
+      .withColumn("n_hits", col("__ov._2"))
+      .withColumn("keep", col("n_hits") * 100 <= col("n_grams") * maxPct)
+      .drop("__ov")
+  }
 }

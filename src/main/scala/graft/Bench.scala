@@ -88,7 +88,10 @@ object Bench {
     "q_lang_sample",
     "q_shards",
     "q_chunk_docs", // fixed-window training chunks (zero-shuffle posexplode)
-    "q_decontaminate")
+    "q_nb_classifier", // weakly-supervised NB filter (train shuffle + zero-shuffle score)
+    "q_ann_int8", // int8-quantized ANN scan (integer dots, 4x-smaller index)
+    "q_decontaminate",
+    "q_decontaminate_frac") // fractional overlap gate (zero-shuffle probe)
 
   /** (busy, steal) jiffies from /proc/stat — same reader as ScalingBench:
     * hypervisor steal and bandwidth noise swing sf0.1 totals up to ±1.8×

@@ -1381,6 +1381,75 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
     }),
 
+    // FRACTIONAL decontamination (Decontaminate.overlapStats): keep while
+    // ≤50% of a doc's distinct 5-grams hit the benchmark index. Planted
+    // middle ground: docs with doc_id%11==4 get their PREDECESSOR's text
+    // (a benchmark doc, %11==3) appended, contaminating roughly half
+    // their grams — the 50% boundary then splits that class by relative
+    // doc lengths, so the fraction (not just any-hit) is what the hash
+    // gates. Benchmark docs themselves sit at ~100% (dropped), untouched
+    // docs at ~0% (kept). Integer-exact predicate, zero-shuffle probe.
+    "q_decontaminate_frac" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val prev = d.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("ptext"))
+      val corpus = d.join(prev, Seq("doc_id"), "left")
+        .withColumn("text2",
+          when(col("doc_id") % 11 === 4 && col("ptext").isNotNull,
+            concat(col("text"), lit(" "), col("ptext")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text2"))
+      val bench = d.where(col("doc_id") % 11 === 3)
+      val idx = Decontaminate.benchmarkIndex(bench, "text", 5)
+      Decontaminate.overlapStats(corpus, "text2", idx, 5, 50)
+        .select(col("doc_id"), col("n_grams"), col("n_hits"), col("keep"))
+    }),
+
+    // Weakly-supervised NB classifier (NbClassifier): the fasttext-style
+    // "train a linear filter on weak labels, score the whole corpus" move
+    // of CCNet/GPT-3/LLaMA pipelines. The synthetic corpus shares ONE
+    // vocabulary across classes, so the class signal is PLANTED: each doc
+    // gets 20 marker tokens drawn 70/30 ('qposw'/'qnegw') for the
+    // positive class (doc_id%3==0) and 30/70 for the negative — an
+    // overlapping mixture the model must out-weigh against ~200 neutral
+    // base tokens, so both false positives and false negatives occur and
+    // the hash gates a real decision boundary. Training (per-token class
+    // counts), the bit-weight table, OOV weight, and per-doc scores are
+    // ALL integer fixed-point — DuckDB replays the entire train+score
+    // round trip, gating the model itself, not just the plumbing.
+    "q_nb_classifier" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val pos = col("doc_id") % 3 === 0
+      // multiplicative (Knuth) hash per (doc, k) — NOT a modular cycle,
+      // so marker counts vary binomially doc-to-doc and the 70/30 vs
+      // 30/70 mixtures overlap: the trained model misclassifies a few
+      // docs on both sides (checked non-vacuous at sf0.01)
+      val planted = concat_ws(" ", transform(sequence(lit(0), lit(19)),
+        k => when(((col("doc_id") + 1) * (k + 7) * 2654435761L) % 100 <
+            when(pos, lit(70)).otherwise(lit(30)),
+          lit("qposw")).otherwise(lit("qnegw"))))
+      val d2 = d.select(col("doc_id"),
+        concat(col("text"), lit(" "), planted).as("text2"), pos.as("pos"))
+      NbClassifier.trainAndScore(d2, "doc_id", "text2", "pos")
+        .select(col("doc_id"), col("n_tokens"), col("score_bits"), col("pred"))
+    }),
+
+    // Int8-quantized ANN (Ann.quantizeInt8 + int8TopK): the 4×-smaller
+    // index scan. Quantization (floor(v/max|v|·127 + 0.5)) is IEEE-double
+    // on float32 inputs and the dots are exact Longs, so DuckDB replays
+    // quantization, dot products, and (dot desc, id asc) ranking
+    // end-to-end — the hash gates the quantizer's exact rounding.
+    "q_ann_int8" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val qz = Ann.quantizeInt8(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")))
+      val q = qz.where(col("id") % 40 === 0)
+        .select(col("id").as("qid"), col("qvec"))
+      Ann.int8TopK(q, qz.select(col("id"), col("qvec")), 5)
+        .select(col("qid").as("vec_id"), col("rank").cast("long").as("rnk"),
+          col("neighbor_id"), col("sim").cast("long").as("dot_q"))
+    }),
+
     // Corpus similarity profile: histogram of exact trigram-Jaccard over
     // all ≥0.5 pairs, bucketed by integer decile (inter*10 DIV uni — both
     // sides integer-exact, no float boundary ambiguity). This is the
@@ -2440,6 +2509,82 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,
         |  (h.n IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    // replays the predecessor-append plant, distinct-gram counts, and the
+    // integer 50% keep predicate (n_hits*100 <= n_grams*50)
+    "q_decontaminate_frac" ->
+      """WITH d2 AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 11 = 4 AND p.text IS NOT NULL
+        |      THEN d.text || ' ' || p.text ELSE d.text END AS t2
+        |  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+        |toks AS (SELECT doc_id, string_split(t2, ' ') AS w FROM d2),
+        |grams0 AS (SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS g
+        |  FROM toks WHERE len(w) >= 5),
+        |grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+        |ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM grams GROUP BY doc_id),
+        |bgrams AS (SELECT DISTINCT g FROM (
+        |    SELECT unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS g
+        |    FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 11 = 3)
+        |    WHERE len(w) >= 5)),
+        |hits AS (SELECT grams.doc_id, count(*)::BIGINT AS n
+        |  FROM grams JOIN bgrams USING (g) GROUP BY grams.doc_id)
+        |SELECT d2.doc_id, coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(hits.n, 0)::BIGINT AS n_hits,
+        |  coalesce(hits.n, 0) * 100 <= coalesce(ng.n_grams, 0) * 50 AS keep
+        |FROM d2 LEFT JOIN ng USING (doc_id) LEFT JOIN hits USING (doc_id)""".stripMargin,
+
+    // full NB train+score replay: per-token class counts, count clamp 2^22,
+    // scale 2^40, bitLen = length(bin(x)), OOV weight, per-doc bit sums
+    "q_nb_classifier" ->
+      """WITH d2 AS (SELECT doc_id, doc_id % 3 = 0 AS pos,
+        |    text || ' ' || array_to_string(
+        |      [CASE WHEN ((doc_id + 1) * (k + 7) * 2654435761) % 100 <
+        |          (CASE WHEN doc_id % 3 = 0 THEN 70 ELSE 30 END)
+        |        THEN 'qposw' ELSE 'qnegw' END for k in range(20)], ' ') AS t2
+        |  FROM documents),
+        |toks AS (SELECT doc_id, pos, t FROM (
+        |    SELECT doc_id, pos, unnest(string_split(t2, ' ')) AS t
+        |    FROM d2) WHERE t <> ''),
+        |cnt AS (SELECT t,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
+        |  FROM toks GROUP BY t),
+        |vocab AS (SELECT * FROM cnt ORDER BY (cp + cn) DESC, t ASC LIMIT 1048576),
+        |tot AS (SELECT sum(cp) + count(*) AS tpv, sum(cn) + count(*) AS tnv FROM vocab),
+        |w AS (SELECT t,
+        |    length(bin(greatest(1, least(cp + 1, 4194304) * 1099511627776 // tpv)))::BIGINT
+        |  - length(bin(greatest(1, least(cn + 1, 4194304) * 1099511627776 // tnv)))::BIGINT AS w
+        |  FROM vocab, tot),
+        |oov AS (SELECT
+        |    length(bin(greatest(1, 1099511627776 // tpv)))::BIGINT
+        |  - length(bin(greatest(1, 1099511627776 // tnv)))::BIGINT AS w FROM tot),
+        |sc AS (SELECT toks.doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(coalesce(w.w, (SELECT w FROM oov)))::BIGINT AS score_bits
+        |  FROM toks LEFT JOIN w USING (t) GROUP BY toks.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(s.score_bits, 0)::BIGINT AS score_bits,
+        |  coalesce(s.score_bits, 0) > 0 AS pred
+        |FROM d2 d LEFT JOIN sc s USING (doc_id)""".stripMargin,
+
+    // replays int8 quantization (floor(v/max|v|*127 + 0.5), zero vector ->
+    // all zeros), integer dot products, and (dot desc, id asc) top-5
+    "q_ann_int8" ->
+      """WITH mx AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS m FROM embeddings),
+        |qt AS (SELECT e.vec_id,
+        |    CASE WHEN m > 0
+        |      THEN list_transform(e.embedding, x -> floor(x::DOUBLE / m::DOUBLE * 127.0 + 0.5))
+        |      ELSE list_transform(e.embedding, x -> 0.0::DOUBLE) END AS qv
+        |  FROM embeddings e JOIN mx USING (vec_id)),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+        |    list_dot_product(a.qv, b.qv)::BIGINT AS dot
+        |  FROM qt a JOIN qt b ON a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, id, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, id ASC) AS rnk
+        |  FROM d)
+        |SELECT qid AS vec_id, rnk::BIGINT AS rnk, id AS neighbor_id, dot AS dot_q
+        |FROM r WHERE rnk <= 5""".stripMargin,
 
     // Brute-force ≥0.5 pairs, integer-decile histogram (// is DuckDB's
     // integer floordiv, matching Spark's DIV on BIGINT).

@@ -171,4 +171,53 @@ class AnnSpec extends AnyFunSuite {
     assert(assign.values.toSet.size === 1,
       s"expected one duplicate cluster, got components ${assign.values.toSet}")
   }
+
+  test("quantizeInt8: golden rounding, zero vector, scale column") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, -0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Array(-2.0f, 1.0f, 0.999f, -0.5f, 0.004f))).toDF("id", "vec")
+    val out = Ann.quantizeInt8(rows)
+      .as[(Long, Array[Byte], Double)].collect().sortBy(_._1)
+    // id 1: m=1 → q = floor(v·127 + 0.5): 127, floor(-126.5)=-127,
+    // floor(64.0)=64, floor(-31.25)=-32, 0
+    assert(out(0)._2.toSeq === Seq[Byte](127, -127, 64, -32, 0))
+    assert(out(0)._3 === 1.0)
+    assert(out(1)._2.toSeq === Seq[Byte](0, 0, 0, 0, 0))
+    assert(out(1)._3 === 0.0)
+    // id 3: m=2 → 0.999/2·127+0.5 = 63.93… → 63; 0.004/2·127+0.5 = 0.754 → 0
+    assert(out(2)._2.toSeq === Seq[Byte](-127, 64, 63, -32, 0))
+    assert(out(2)._3 === 2.0)
+  }
+
+  test("int8TopK: exact integer dots, (dot desc, id asc) order, no self-pairs") {
+    import spark.implicits._
+    val vs = planted(32).map { case (id, v) => (id, v) }.toDF("id", "vec")
+    val qz = Ann.quantizeInt8(vs)
+    val q = qz.where(col("id") < 10).select(col("id").as("qid"), col("qvec"))
+    val got = Ann.int8TopK(q, qz.select(col("id"), col("qvec")), 4)
+      .as[(Long, Int, Long, Double)].collect()
+    // brute-force oracle over the same quantized bytes
+    val qb = qz.as[(Long, Array[Byte], Double)].collect()
+      .map { case (id, b, _) => id -> b }.toMap
+    def dotq(a: Array[Byte], b: Array[Byte]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }; s
+    }
+    for (qid <- 0L until 10L) {
+      val expect = qb.keys.filter(_ != qid).toSeq
+        .map(id => (id, dotq(qb(qid), qb(id))))
+        .sortBy { case (id, d) => (-d, id) }.take(4)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+        .map(r => (r._3, r._4.toLong)).toSeq
+      assert(mine === expect, s"qid=$qid")
+    }
+    assert(got.forall(r => r._1 != r._3))
+    // int8 ranking approximates float cosine: the quantized top-1 of a
+    // clustered query is one of its 4 true cluster mates
+    val members = (0 until 5).map(_.toLong).toSet
+    val top1 = got.filter(r => r._1 == 0L && r._2 == 1).head._3
+    assert(members.contains(top1), s"top1 $top1 not in cluster of 0")
+  }
 }

@@ -94,4 +94,41 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.count(_._2 > 0) === (1L to 200L).count(_ % 7 == 0))
   }
+
+  test("overlapStats: integer fraction boundary, short docs, zero shuffle") {
+    val bench = Seq("a b c d e f g h i j").toDF("text") // 6 distinct 5-grams
+    val idx = Decontaminate.benchmarkIndex(bench, "text", 5)
+    val corpus = Seq(
+      // 6/6 grams contaminated → 100%
+      (1L, "a b c d e f g h i j"),
+      // own text w x y z v (1 gram) + whole bench appended: grams mixing
+      // the junction are NOT in the index
+      (2L, "w x y z v a b c d e f g h i j"),
+      // exactly at the boundary: craft 50%: 1 bench gram of 2 total
+      (3L, "a b c d e x"), // grams: "a b c d e"(hit), "b c d e x"(miss) → 50%
+      (4L, "no overlap at all here present"),
+      (5L, "tiny"), // < 5 tokens → 0 grams, keep
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Decontaminate.overlapStats(corpus, "text", idx, 5, 50)
+      .select(col("doc_id"), col("n_grams"), col("n_hits"), col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 6L, 6L, false)))
+    val (_, ng2, nh2, _) = out(1)
+    assert(nh2 === 6L && ng2 === 11L) // 15 tokens → 11 grams, 6 bench hits
+    assert(out(1)._4 === false)       // 6/11 > 50%
+    assert(out(2) === ((3L, 2L, 1L, true)))  // exactly 50% → keep (≤)
+    assert(out(3) === ((4L, 2L, 0L, true)))
+    assert(out(4) === ((5L, 0L, 0L, true)))
+    assert(out(5) === ((6L, 0L, 0L, true)))
+    // maxPct 0: any hit kills; maxPct 100: nothing dies (n_hits ≤ n_grams)
+    val strict = Decontaminate.overlapStats(corpus, "text", idx, 5, 0)
+      .where(!col("keep")).select(col("doc_id")).as[Long].collect().sorted
+    assert(strict.toSeq === Seq(1L, 2L, 3L))
+    val lax = Decontaminate.overlapStats(corpus, "text", idx, 5, 100)
+      .where(!col("keep")).count()
+    assert(lax === 0L)
+    val plan = Decontaminate.overlapStats(corpus, "text", idx, 5, 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
