@@ -100,6 +100,26 @@ object NbClassifier {
       tokenWeight(0L, 0L, tpv, tnv))
   }
 
+  /** (n_tokens, score_bits) of one doc against the broadcast arrays. */
+  private def docScore(t: String, hs: Array[Long], ws: Array[Long],
+      oov: Long): (Long, Long) = {
+    var nTok = 0L
+    var s = 0L
+    if (t != null) {
+      val ts = t.split("\\s+")
+      var i = 0
+      while (i < ts.length) {
+        if (ts(i).nonEmpty) {
+          nTok += 1
+          val j = java.util.Arrays.binarySearch(hs, Hashes.xxh64Str(ts(i)))
+          s += (if (j >= 0) ws(j) else oov)
+        }
+        i += 1
+      }
+    }
+    (nTok, s)
+  }
+
   /** Score every doc: `n_tokens`, `score_bits` (Σ per-occurrence
     * bit-weights — positive means "looks like the positive class"), and
     * `pred` (= score_bits > 0). Zero-shuffle broadcast probe. */
@@ -116,24 +136,23 @@ object NbClassifier {
         val hs = bcH.value
         val ws = bcW.value
         it.map { case (id, t) =>
-          var nTok = 0L
-          var s = 0L
-          if (t != null) {
-            val ts = t.split("\\s+")
-            var i = 0
-            while (i < ts.length) {
-              if (ts(i).nonEmpty) {
-                nTok += 1
-                val j = java.util.Arrays.binarySearch(hs, Hashes.xxh64Str(ts(i)))
-                s += (if (j >= 0) ws(j) else oov)
-              }
-              i += 1
-            }
-          }
+          val (nTok, s) = docScore(t, hs, ws, oov)
           (id, nTok, s, s > 0L)
         }
       }
       .toDF(idCol, "n_tokens", "score_bits", "pred")
+  }
+
+  /** Keep the rows the model scores positive — payload schema passes
+    * through untouched (a filtering predicate, not a projection; no id
+    * column needed, no join, zero shuffle). The pipeline's
+    * `--nb-quality` gate. */
+  def keepPositive(docs: DataFrame, textCol: String, model: NbModel): DataFrame = {
+    val bcH = docs.sparkSession.sparkContext.broadcast(model.hashes)
+    val bcW = docs.sparkSession.sparkContext.broadcast(model.weights)
+    val oov = model.oov
+    val positive = udf { (t: String) => docScore(t, bcH.value, bcW.value, oov)._2 > 0L }
+    docs.where(positive(col(textCol).cast("string")))
   }
 
   /** Train-then-score convenience (teacher column consumed, not output). */

@@ -39,6 +39,7 @@ import org.apache.spark.sql.functions._
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
   *     [--resolve-recrawls] [--blocklist w1,w2 --block-max-permille 0]
   *     [--robots <host,txt parquet> [--robots-agent NAME]]
+  *     [--nb-quality [--nb-vocab K]]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
   *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
@@ -67,6 +68,8 @@ object Pipeline {
       robotsAgent: String = "graftbot",
       blockMaxPerMille: Int = 0,
       quality: Boolean = false,
+      nbQuality: Boolean = false,
+      nbVocab: Int = 1 << 20,
       extractHtml: Boolean = false,
       mainContent: Boolean = false,
       nfc: Boolean = false,
@@ -131,6 +134,12 @@ object Pipeline {
         case "--robots-agent" => a = a.copy(robotsAgent = argv(i + 1)); i += 2
         case "--block-max-permille" => a = a.copy(blockMaxPerMille = argv(i + 1).toInt); i += 2
         case "--quality" => a = a.copy(quality = true); i += 1
+        // model-based quality gate: train a Naive-Bayes filter with the
+        // Gopher heuristic gate as weak teacher, keep what the MODEL
+        // scores positive (the CCNet "distill a crisp heuristic into a
+        // smoother learned filter" move)
+        case "--nb-quality" => a = a.copy(nbQuality = true); i += 1
+        case "--nb-vocab" => a = a.copy(nbVocab = argv(i + 1).toInt); i += 2
         case "--extract-html" => a = a.copy(extractHtml = true); i += 1
         case "--main-content" => a = a.copy(mainContent = true); i += 1
         case "--nfc" => a = a.copy(nfc = true); i += 1
@@ -185,6 +194,10 @@ object Pipeline {
       "--embed-weights selects the --semantic encoder; pass --semantic too")
     require(!a.mainContent || a.extractHtml,
       "--main-content modifies the --extract-html fill; pass --extract-html too")
+    require(!(a.quality && a.nbQuality),
+      "--nb-quality REPLACES the --quality hard gate (it trains on the " +
+        "ungated corpus with the heuristic as teacher); pass one, not both")
+    require(a.nbVocab > 0, "--nb-vocab must be positive")
     require(a.exportFormat.isEmpty ||
       Set("jsonl", "jsonl.gz", "orc", "csv").contains(a.exportFormat),
       s"--export-format must be jsonl|jsonl.gz|orc|csv, got ${a.exportFormat}")
@@ -220,7 +233,8 @@ object Pipeline {
   }
 
   /** The full pre-ids SOURCE-PREP chain (extract-html/main-content, nfc,
-    * recrawl resolve, infer-lang, quality gate, blocklist, line dedup,
+    * recrawl resolve, infer-lang, quality gates (heuristic or NB-model),
+    * robots, blocklist, line dedup,
     * incremental modes) — factored out of [[run]] so `--explain-pair`
     * forensics are computed over EXACTLY the corpus text the pipeline
     * dedups, not the raw input. */
@@ -275,11 +289,24 @@ object Pipeline {
       else TextAnalysis.qualityFilter(pages1, "text").where(col("keep"))
         .drop("n_tokens", "ok_len", "ok_word_len", "ok_alpha",
           "ok_digits", "ok_repetition", "keep")
+    // `--nb-quality`: model-based quality gate — train the NB filter on
+    // the UNGATED corpus with the Gopher heuristic as weak teacher, keep
+    // docs the MODEL scores positive. Mutually exclusive with `--quality`
+    // (the model replaces the hard gate; see parse()). Training is one
+    // bounded token shuffle; the gate itself is a zero-shuffle predicate.
+    val pages1c =
+      if (!args.nbQuality) pages1b
+      else {
+        val teacher = TextAnalysis.qualityFilter(pages1, "text")
+          .select(col("text"), col("keep").as("__pos"))
+        val m = NbClassifier.train(teacher, "text", "__pos", args.nbVocab)
+        NbClassifier.keepPositive(pages1b, "text", m)
+      }
     // `--blocklist w1,w2 --block-max-permille N`: C4-style wordlist gate
     // (zero-shuffle projection) alongside the quality gate, pre-dedup.
     val pages2 =
-      if (args.blocklist.isEmpty) pages1b
-      else TextAnalysis.blocklistFilter(pages1b, "text",
+      if (args.blocklist.isEmpty) pages1c
+      else TextAnalysis.blocklistFilter(pages1c, "text",
           args.blocklist, args.blockMaxPerMille)
         .where(col("keep")).drop("n_tokens", "n_blocked", "keep")
     // `--robots <parquet>`: RFC 9309 robots-exclusion gate pre-dedup —
@@ -394,6 +421,7 @@ object Pipeline {
         s"+bl${Hashes.xxh64Str(args.blocklist.mkString(","))}p${args.blockMaxPerMille}"
       else "") +
       (if (args.quality) "+qf" else "") +
+      (if (args.nbQuality) s"+nbq${args.nbVocab}" else "") +
       // robots table fingerprint: a re-crawled robots.txt set must
       // invalidate, not resume (same rule as --input / --embed-weights)
       (if (args.robotsPath.nonEmpty)

@@ -300,6 +300,63 @@ class EndToEndSpec extends AnyFunSuite {
       .contains("http://wire/story"))
   }
 
+  test("--nb-quality: model generalizes the heuristic teacher — spam-vocab " +
+      "doc that PASSES the Gopher gate is dropped; exclusive with --quality") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nbq").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def page(url: String, text: String) = Page(url, ts, null, text, "en")
+    def shuffled(tokens: Seq[String], salt: Long): String =
+      tokens.sortBy(t => Hashes.xxh64Str(s"$t|$salt")).mkString(" ")
+    val spamVocab = (0 until 40).map(k => s"zzspam$k")
+    val goodVocab = (0 until 80).map(k => s"goodword$k")
+    // teacher-negative: 40-token spam docs (fail ok_len < 50); the NB
+    // learns the zzspam vocabulary is negative evidence
+    val spamDocs = (0 until 30).map(i =>
+      page(s"http://spam/$i", shuffled(spamVocab, i)))
+    // teacher-positive: 60-token good docs
+    val goodDocs = (0 until 30).map(i =>
+      page(s"http://good/$i", shuffled(goodVocab.take(50) ++
+        goodVocab.drop(50).take(10).map(t => s"$t$i"), 100L + i)))
+    // the probe: 60 tokens of PURE spam vocabulary — passes every Gopher
+    // rule (len, distinct, alpha, word len), so the heuristic keeps it;
+    // only the learned filter can drop it
+    val probe = page("http://spamlike/pass",
+      shuffled(spamVocab ++ spamVocab.take(20).map(t => s"${t}x"), 999L))
+    (spamDocs ++ goodDocs :+ probe).toDS().toDF()
+      .write.mode("overwrite").parquet(s"$dir/in.parquet")
+
+    // sanity: the probe passes the heuristic gate
+    val probeKeep = TextAnalysis.qualityFilter(
+        Seq(("p", probe.text)).toDF("id", "text"), "text")
+      .select("keep").as[Boolean].head()
+    assert(probeKeep, "probe must pass the Gopher gate for the test to bite")
+
+    val (kept, _) = Pipeline.run(spark, Pipeline.parse(Array(
+      "--input", s"$dir/in.parquet", "--output", s"$dir/out",
+      "--nb-quality", "--num-perm", "64", "--salt", "4")))
+    val keptUrls = kept.select("url").as[String].collect().toSet
+    assert(keptUrls.count(_.startsWith("http://good/")) === 30,
+      "all good docs survive the model gate")
+    assert(!keptUrls.exists(_.startsWith("http://spam/")),
+      "teacher-negative docs are dropped")
+    assert(!keptUrls.contains("http://spamlike/pass"),
+      "the heuristic-passing spam-vocab probe must be dropped by the MODEL")
+
+    // without any quality flag the probe survives (proves the stage acts)
+    val (keptNo, _) = Pipeline.run(spark, Pipeline.parse(Array(
+      "--input", s"$dir/in.parquet", "--output", s"$dir/out_no",
+      "--num-perm", "64", "--salt", "4")))
+    assert(keptNo.select("url").as[String].collect().toSet
+      .contains("http://spamlike/pass"))
+
+    // --quality and --nb-quality are mutually exclusive
+    intercept[IllegalArgumentException] {
+      Pipeline.parse(Array("--input", "x", "--output", "y",
+        "--quality", "--nb-quality"))
+    }
+  }
+
   test("--existing / --dedup-lines / --redact-pii: incremental prefilter, " +
       "line dedup and PII scrub compose through the pipeline") {
     import org.apache.spark.sql.functions._
