@@ -375,4 +375,33 @@ object Ann {
       .select(col("qid"), col("id"), d(col("qv"), col("cv")).cast("double").as("sim"))
     topK(scored, k)
   }
+
+  /** The standard quantized-serving composition: a cheap int8 shortlist
+    * of `shortlist` candidates per query (memory-bound scan over the 4×
+    * smaller index), then EXACT float cosine re-ranking of only those
+    * candidates to the final top-`k` (one equi-join back to the float
+    * vectors — |queries|·shortlist rows, not |queries|·|corpus|). With
+    * shortlist ≫ k the quantization error only has to preserve the
+    * top-k SET inside the top-shortlist, which it does overwhelmingly;
+    * the returned order is pure float cosine (sim desc, id asc). */
+  def int8RerankTopK(
+      vectors: DataFrame, // (id, vec)
+      queryPred: org.apache.spark.sql.Column, // which ids are queries
+      k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val v = vectors.select(col("id").cast("long").as("id"), col("vec"))
+    val qz = quantizeInt8(v)
+    val cand = int8TopK(
+      qz.where(queryPred).select(col("id").as("qid"), col("qvec")),
+      qz.select(col("id"), col("qvec")), shortlist)
+      .select(col("qid"), col("neighbor_id").as("id"))
+    val qv = v.select(col("id").as("qid"), col("vec").as("qvec"),
+      l2norm(col("vec")).as("qn"))
+    val cv = v.select(col("id"), col("vec"), l2norm(col("vec")).as("cn"))
+    val scored = cand.join(qv, "qid").join(cv, "id")
+      .select(col("qid"), col("id"),
+        (dot(col("qvec"), col("vec")) / (col("qn") * col("cn"))).as("sim"))
+    topK(scored, k)
+  }
 }

@@ -90,6 +90,7 @@ object Bench {
     "q_chunk_docs", // fixed-window training chunks (zero-shuffle posexplode)
     "q_nb_classifier", // weakly-supervised NB filter (train shuffle + zero-shuffle score)
     "q_ann_int8", // int8-quantized ANN scan (integer dots, 4x-smaller index)
+    "q_ann_int8_rerank", // quantized shortlist + exact float re-rank
     "q_decontaminate",
     "q_decontaminate_frac") // fractional overlap gate (zero-shuffle probe)
 

@@ -1450,6 +1450,19 @@ object SparkEntry {
           col("neighbor_id"), col("sim").cast("long").as("dot_q"))
     }),
 
+    // Quantized-serving composition (Ann.int8RerankTopK): int8 shortlist
+    // of 12 per query (the 4×-smaller scan), exact float cosine re-rank
+    // to top-3. The oracle replays BOTH stages — integer shortlist
+    // membership and float re-rank order — so the hash gates the
+    // composition, including which candidates the quantized stage admits.
+    "q_ann_int8_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.int8RerankTopK(e, col("id") % 40 === 0, 3, 12)
+        .select(col("qid").as("vec_id"), col("rank").cast("long").as("rnk"),
+          col("neighbor_id"))
+    }),
+
     // Corpus similarity profile: histogram of exact trigram-Jaccard over
     // all ≥0.5 pairs, bucketed by integer decile (inter*10 DIV uni — both
     // sides integer-exact, no float boundary ambiguity). This is the
@@ -2585,6 +2598,32 @@ object SparkEntry {
         |  FROM d)
         |SELECT qid AS vec_id, rnk::BIGINT AS rnk, id AS neighbor_id, dot AS dot_q
         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // int8 shortlist (integer dots, top-12) then float cosine re-rank to 3
+    "q_ann_int8_rerank" ->
+      """WITH mx AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS m FROM embeddings),
+        |qt AS (SELECT e.vec_id,
+        |    CASE WHEN m > 0
+        |      THEN list_transform(e.embedding, x -> floor(x::DOUBLE / m::DOUBLE * 127.0 + 0.5))
+        |      ELSE list_transform(e.embedding, x -> 0.0::DOUBLE) END AS qv
+        |  FROM embeddings e JOIN mx USING (vec_id)),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+        |    list_dot_product(a.qv, b.qv)::BIGINT AS dot
+        |  FROM qt a JOIN qt b ON a.vec_id % 40 = 0 AND a.vec_id <> b.vec_id),
+        |shortlist AS (SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, id ASC) AS r
+        |    FROM d) WHERE r <= 12),
+        |resc AS (SELECT s.qid, s.id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |  FROM shortlist s
+        |  JOIN embeddings a ON a.vec_id = s.qid
+        |  JOIN embeddings b ON b.vec_id = s.id),
+        |r AS (SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rnk
+        |  FROM resc)
+        |SELECT qid AS vec_id, rnk::BIGINT AS rnk, id AS neighbor_id
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     // Brute-force ≥0.5 pairs, integer-decile histogram (// is DuckDB's
     // integer floordiv, matching Spark's DIV on BIGINT).

@@ -220,4 +220,22 @@ class AnnSpec extends AnyFunSuite {
     val top1 = got.filter(r => r._1 == 0L && r._2 == 1).head._3
     assert(members.contains(top1), s"top1 $top1 not in cluster of 0")
   }
+
+  test("int8RerankTopK: generous shortlist recovers the exact float top-k") {
+    import spark.implicits._
+    val vs = planted(32).toDF("id", "vec")
+    val reranked = Ann.int8RerankTopK(vs, col("id") < 20, k = 3, shortlist = 40)
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Ann.bruteForceTopK(
+        vs.where(col("id") < 20).select(col("id").as("qid"), col("vec").as("qvec")),
+        vs.select(col("id"), col("vec")), 3)
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(reranked === exact,
+      "with shortlist >> k the composition must equal exact brute force")
+    intercept[IllegalArgumentException] {
+      Ann.int8RerankTopK(vs, col("id") < 20, k = 5, shortlist = 3)
+    }
+  }
 }
