@@ -153,7 +153,7 @@ object Ann {
   /** Deterministic random hyperplanes: bit b of the bucket = sign of
     * dot(vec, h_b) where h_b[d] derives from xxh64(seed, b, d) — no RNG
     * state, identical at any parallelism. */
-  private def hyperplane(seed: Long, bit: Int, dim: Int): Array[Double] = {
+  private[dedup] def hyperplane(seed: Long, bit: Int, dim: Int): Array[Double] = {
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) {
@@ -171,26 +171,35 @@ object Ann {
     v
   }
 
+  /** The nbits hyperplanes for (seed, dim) — deterministic, closure-safe
+    * (plain arrays; streaming and batch derive identical buckets). */
+  private[dedup] def hyperplanes(seed: Long, nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits)(b => hyperplane(seed, b, dim))
+
+  /** Sign-LSH bucket of one vector against precomputed planes. */
+  private[dedup] def bucketOf(vec: Array[Float], planes: Array[Array[Double]],
+      dim: Int): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var s = 0.0
+      var d = 0
+      val n = math.min(dim, vec.length)
+      while (d < n) { s += vec(d) * p(d); d += 1 }
+      if (s > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** (id, vec) → (id, bucket) random-hyperplane LSH bucket (nbits wide). */
   def signBuckets(vectors: DataFrame, dim: Int, nbits: Int, seed: Long): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val planes = Array.tabulate(nbits)(b => hyperplane(seed, b, dim))
+    val planes = hyperplanes(seed, nbits, dim)
     vectors.select(col("id").cast("long"), col("vec")).as[(Long, Array[Float])]
-      .map { case (id, vec) =>
-        var bucket = 0L
-        var b = 0
-        while (b < nbits) {
-          val p = planes(b)
-          var s = 0.0
-          var d = 0
-          val n = math.min(dim, vec.length)
-          while (d < n) { s += vec(d) * p(d); d += 1 }
-          if (s > 0) bucket |= (1L << b)
-          b += 1
-        }
-        (id, bucket)
-      }
+      .map { case (id, vec) => (id, bucketOf(vec, planes, dim)) }
       .toDF("id", "bucket")
   }
 

@@ -220,4 +220,151 @@ object StreamingDedup {
       .toDF()
       .dropDuplicates("id", "dupOf")
   }
+
+  // ---------------------------------------------------------- semantic
+  /** One (bucket, doc) probe of the semantic stream: `home` is the doc's
+    * own sign-LSH bucket (only home probes may become a bucket's rep —
+    * state stays O(docs), not O(docs·probes)); the vector rides along for
+    * EXACT cosine verification. */
+  case class VecProbe(bucket: Long, home: Long, id: Long,
+      ts: java.sql.Timestamp, vec: Array[Float])
+
+  /** Per-bucket state: first-seen HOME doc and its vector. */
+  case class VecState(repId: Long, repTs: Long, vec: Array[Float])
+
+  /** A flagged semantic near-duplicate: exact cosine vs the rep. */
+  case class SemMatch(id: Long, ts: java.sql.Timestamp, dupOf: Long, cosine: Double)
+
+  private def cosineOf(a: Array[Float], b: Array[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0 else dp / math.sqrt(na * nb)
+  }
+
+  /** Incremental SEMANTIC dedup on a vector stream — completes the
+    * streaming triad (exact = [[exactKept]], fuzzy = [[fuzzyMatches]],
+    * semantic = this). Each (id, ts, vec) row is sign-LSH-bucketed with
+    * the SAME deterministic hyperplanes as the batch paths
+    * ([[Ann.signBuckets]] / `IncrementalDedup.newDocsSemantic`), probes
+    * every bucket within `probeRadius` bits, and is flagged iff exact
+    * cosine vs a bucket's first-seen rep ≥ `threshold` — unlike the
+    * MinHash stream, the full vector is in hand, so verification is
+    * EXACT, not an estimate.
+    *
+    * Rep election is gated on `home == bucket`: only a bucket's own
+    * first-seen member holds its state (one vector per DOC across all
+    * state, not one per probe — at radius 2 and nbits 16 that is a 137×
+    * state saving vs admit-anywhere). Pair recall is preserved because
+    * probing is symmetric in arrival order: whichever of a near-dup pair
+    * arrives second probes the earlier one's home bucket within the
+    * radius, exactly the binomial-tail recall argument of
+    * [[Ann.cosineDedupLsh]]. State expires `ttlMs` after last touch once
+    * the watermark passes (the bounded-state contract of the triad). */
+  def semanticMatches(
+      vectors: DataFrame, // (id, ts, vec)
+      threshold: Double,
+      dim: Int,
+      nbits: Int = 8,
+      seed: Long = 42L,
+      probeRadius: Int = 2,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      ttlMs: Long = 10L * 60L * 1000L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planes = Ann.hyperplanes(seed, nbits, dim)
+    val probes = vectors
+      .select(col("id").cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"), col("vec"))
+      .as[(Long, java.sql.Timestamp, Array[Float])]
+      .flatMap { case (id, ts, vec) =>
+        if (vec == null || ts == null) Iterator.empty
+        else {
+          val home = Ann.bucketOf(vec, planes, dim)
+          Ann.probeSet(home, nbits, probeRadius).iterator
+            .map(b => VecProbe(b, home, id, ts, vec))
+        }
+      }
+      .withWatermark("ts", watermark)
+
+    val matcher =
+      (bucket: Long, rows: Iterator[VecProbe], state: GroupState[VecState]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty[SemMatch] }
+        else {
+          val docs = rows.toArray.sortBy(p => (p.ts.getTime, p.id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemMatch]
+          var st = state.getOption.orNull
+          var maxTs = 0L
+          docs.foreach { p =>
+            if (p.ts.getTime > maxTs) maxTs = p.ts.getTime
+            if (st == null) {
+              if (p.home == bucket) st = VecState(p.id, p.ts.getTime, p.vec)
+            } else if (st.repId != p.id) {
+              val c = cosineOf(p.vec, st.vec)
+              if (c >= threshold) out += SemMatch(p.id, p.ts, st.repId, c)
+            }
+          }
+          if (st != null) {
+            state.update(st)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+          } // else: no home member seen yet — nothing to hold
+          out.iterator
+        }
+      }
+
+    probes
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(matcher)
+      .toDF()
+  }
+
+  /** Batch-mode twin of [[semanticMatches]] (testing/backfill): identical
+    * bucketing, home-gated rep election in (ts, id) order, and exact
+    * cosine matching — same match set as a stream over any event-time
+    * monotonic slicing. */
+  def semanticMatchesBatch(
+      vectors: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nbits: Int = 8,
+      seed: Long = 42L,
+      probeRadius: Int = 2,
+      tsCol: String = "ts"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planes = Ann.hyperplanes(seed, nbits, dim)
+    vectors
+      .select(col("id").cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"), col("vec"))
+      .as[(Long, java.sql.Timestamp, Array[Float])]
+      .flatMap { case (id, ts, vec) =>
+        if (vec == null || ts == null) Iterator.empty
+        else {
+          val home = Ann.bucketOf(vec, planes, dim)
+          Ann.probeSet(home, nbits, probeRadius).iterator
+            .map(b => VecProbe(b, home, id, ts, vec))
+        }
+      }
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket: Long, rows: Iterator[VecProbe]) =>
+        val docs = rows.toArray.sortBy(p => (p.ts.getTime, p.id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SemMatch]
+        var st: VecState = null
+        docs.foreach { p =>
+          if (st == null) {
+            if (p.home == bucket) st = VecState(p.id, p.ts.getTime, p.vec)
+          } else if (st.repId != p.id) {
+            val c = cosineOf(p.vec, st.vec)
+            if (c >= threshold) out += SemMatch(p.id, p.ts, st.repId, c)
+          }
+        }
+        out.iterator
+      }
+      .toDF()
+      .dropDuplicates("id", "dupOf")
+  }
 }

@@ -111,4 +111,75 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(m.head.getAs[Long]("id") === 2L)
     assert(m.head.getAs[Double]("estJaccard") === 1.0)
   }
+
+  // ---- semantic stream: deterministic vectors, near-dups by construction
+  private def svec(seed: Long, dim: Int = 16): Array[Float] =
+    Array.tabulate(dim) { d =>
+      val h = Hashes.xxh64Long(seed * 131 + d, 7L)
+      (((h >>> 20) & 0xFFFF).toFloat / 65535f) - 0.5f
+    }
+  private def nudge(v: Array[Float], seed: Long): Array[Float] = {
+    val n = svec(90000L + seed)
+    Array.tabulate(v.length)(d => v(d) + 0.01f * n(d))
+  }
+
+  test("semanticMatches flags exact-cosine near-dups against the first-seen " +
+      "home rep, across micro-batches; stream == batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val a = svec(1); val b = svec(2)
+    val rows = Seq(
+      (1L, ts(0), a), (2L, ts(0), b), (3L, ts(1), nudge(a, 3)),
+      (4L, ts(2), nudge(b, 11)), (5L, ts(2), svec(55)), (6L, ts(3), nudge(a, 40)))
+    val static = rows.toDF("id", "ts", "vec")
+    val expected = StreamingDedup
+      .semanticMatchesBatch(static, 0.95, dim = 16, nbits = 6, probeRadius = 2)
+      .select("id", "dupOf").as[(Long, Long)].collect().toSet
+    // (6,3) as well: doc 3's nudge shifted one sign bit, so 3 is the
+    // first-seen HOME member of its own bucket — 6 probes both buckets
+    // and is flagged against both earlier near-dups, by design
+    assert(expected === Set(3L -> 1L, 4L -> 2L, 6L -> 1L, 6L -> 3L),
+      s"batch twin truth; got $expected")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    val q = StreamingDedup.semanticMatches(
+        in.toDF().toDF("id", "ts", "vec"), 0.95, dim = 16, nbits = 6,
+        probeRadius = 2)
+      .writeStream.format("memory").queryName("sem_out").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sd-sem").toString)
+      .start()
+    try {
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.slice(3, 5)); q.processAllAvailable()
+      in.addData(rows.drop(5)); q.processAllAvailable()
+      val streamed = spark.table("sem_out")
+        .select("id", "dupOf", "cosine").collect()
+      assert(streamed.map(r => r.getLong(0) -> r.getLong(1)).toSet === expected)
+      assert(streamed.forall(_.getDouble(2) >= 0.95))
+    } finally q.stop()
+  }
+
+  test("semantic rep election is home-gated: a radius probe never becomes " +
+      "rep, so arrival order decides who is flagged") {
+    import spark.implicits._
+    val a = svec(7)
+    // the LATER near-dup is flagged against the EARLIER doc, never vice versa
+    val m1 = StreamingDedup.semanticMatchesBatch(
+        Seq((10L, ts(0), a), (20L, ts(1), nudge(a, 1))).toDF("id", "ts", "vec"),
+        0.95, dim = 16, nbits = 6, probeRadius = 2)
+      .select("id", "dupOf").as[(Long, Long)].collect().toSet
+    assert(m1 === Set(20L -> 10L))
+    val m2 = StreamingDedup.semanticMatchesBatch(
+        Seq((10L, ts(1), a), (20L, ts(0), nudge(a, 1))).toDF("id", "ts", "vec"),
+        0.95, dim = 16, nbits = 6, probeRadius = 2)
+      .select("id", "dupOf").as[(Long, Long)].collect().toSet
+    assert(m2 === Set(10L -> 20L))
+    // dissimilar vectors never match even when buckets collide (exact
+    // cosine verification, not bucket-equality trust)
+    val m3 = StreamingDedup.semanticMatchesBatch(
+        Seq((10L, ts(0), a), (30L, ts(1), svec(777))).toDF("id", "ts", "vec"),
+        0.95, dim = 16, nbits = 6, probeRadius = 2).count()
+    assert(m3 === 0L)
+  }
 }
