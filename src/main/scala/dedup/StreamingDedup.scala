@@ -41,19 +41,80 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     estimator IS the verification, at the reference's own fidelity —
   *     it trusts bucket equality alone, buckets_edges.py:54).
   *
-  * Scale shape: state per bucket = rep id + numPerm ints (~1 KB at 250
-  * perms), keyed state partitioned by bucket hash across executors; the
-  * per-batch shuffle is the same salted-width banding shuffle as batch
-  * (numBands rows per doc). No per-batch collect, no driver state.
+  * Scale shape: state per bucket = rep id + the packed signature (~1 KB
+  * at 250 full 32-bit lanes; `stateBits` < 32 engages b-bit MinHash —
+  * Li & König 2011 — shrinking BOTH the banding shuffle payload and the
+  * state store 32/b×, e.g. 125 B/bucket at b=4, with the estimator
+  * bias-corrected for the 2^−b per-lane false-match rate; band KEYS
+  * still hash full lanes, so bucket recall is unchanged). Keyed state is
+  * partitioned by bucket hash across executors; the per-batch shuffle is
+  * the same salted-width banding shuffle as batch (numBands rows per
+  * doc). No per-batch collect, no driver state.
   */
 object StreamingDedup {
 
-  /** One (bucket, doc) probe: the doc's full signature rides along so the
+  /** One (bucket, doc) probe: the doc's signature rides along — packed to
+    * `stateBits` bits per lane (b-bit MinHash, Li & König 2011) — so the
     * bucket's stateful matcher can estimate Jaccard against the rep. */
-  case class Probe(bucket: Long, id: Long, ts: java.sql.Timestamp, sig: Array[Int])
+  case class Probe(bucket: Long, id: Long, ts: java.sql.Timestamp, sig: Array[Byte])
 
-  /** Per-bucket state: first-seen representative and its signature. */
-  case class BucketState(repId: Long, repTs: Long, sig: Array[Int])
+  /** Per-bucket state: first-seen representative and its packed signature. */
+  case class BucketState(repId: Long, repTs: Long, sig: Array[Byte])
+
+  // ------------------------------------------------ b-bit lane packing
+  /** Pack the lowest `b` bits of each MinHash lane into a dense bit
+    * array (LSB-first within each lane) — b-bit MinHash (Li & König
+    * 2011): at b=4 the 250-lane signature shrinks 1000 B → 125 B in
+    * BOTH the banding shuffle and the keyed state store, at the price of
+    * a 2^−b per-lane false-match rate the estimator corrects for. b=32
+    * is the lossless identity layout. */
+  private[dedup] def packLanes(sig: Array[Int], b: Int): Array[Byte] = {
+    require(b >= 1 && b <= 32, s"stateBits must be 1..32, got $b")
+    val out = new Array[Byte]((sig.length * b + 7) >>> 3)
+    var bit = 0
+    var i = 0
+    while (i < sig.length) {
+      val v = sig(i)
+      var k = 0
+      while (k < b) {
+        if (((v >>> k) & 1) != 0)
+          out(bit >>> 3) = (out(bit >>> 3) | (1 << (bit & 7))).toByte
+        bit += 1; k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Number of lanes whose packed b-bit values are equal. */
+  private[dedup] def matchingLanes(a: Array[Byte], b: Array[Byte],
+      lanes: Int, bBits: Int): Int = {
+    var m = 0
+    var lane = 0
+    while (lane < lanes) {
+      var eq = true
+      val base = lane * bBits
+      var k = 0
+      while (eq && k < bBits) {
+        val bit = base + k
+        if ((((a(bit >>> 3) >>> (bit & 7)) ^ (b(bit >>> 3) >>> (bit & 7))) & 1) != 0)
+          eq = false
+        k += 1
+      }
+      if (eq) m += 1
+      lane += 1
+    }
+    m
+  }
+
+  /** Bias-corrected Jaccard estimate from b-bit lane matches: two lanes
+    * of DIFFERENT minhash values still collide on their lowest b bits
+    * with probability ~2^−b, so Ĵ = (m/n − 2^−b)/(1 − 2^−b), clamped at
+    * 0. Identical signatures estimate exactly 1.0 at any b. */
+  private[dedup] def estimateJ(m: Int, lanes: Int, bBits: Int): Double = {
+    val p = 1.0 / math.pow(2.0, bBits)
+    math.max(0.0, (m.toDouble / lanes - p) / (1.0 - p))
+  }
 
   /** A flagged near-duplicate: `id` arrived after `dupOf` and shares a
     * band bucket with estimated Jaccard ≥ threshold. */
@@ -95,7 +156,8 @@ object StreamingDedup {
       cfg: DedupConfig,
       tsCol: String = "warc_ts",
       watermark: String = "10 minutes",
-      ttlMs: Long = 10L * 60L * 1000L): DataFrame = {
+      ttlMs: Long = 10L * 60L * 1000L,
+      stateBits: Int = 32): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val (nb, r) = cfg.bandsRows
@@ -103,6 +165,8 @@ object StreamingDedup {
     val ngram = cfg.ngram
     val minLen = cfg.minLength
     val threshold = cfg.threshold
+    val lanes = nb * r
+    val bBits = stateBits
 
     val probes = pages
       .select(col(cfg.idCol).cast("long").as("id"),
@@ -117,9 +181,13 @@ object StreamingDedup {
           if (sh.isEmpty || ts == null) Iterator.empty
           else {
             val sig = Lsh.signature(sh, pa, pb)
+            // band keys hash the FULL lanes (bucket recall is unchanged
+            // by packing); only the payload that travels and sits in
+            // state is b-bit packed
+            val packed = packLanes(sig, bBits)
             (0 until nb).iterator.map { band =>
               Probe(Hashes.xxh64Ints(sig, band * r, (band + 1) * r, band.toLong, scratch),
-                id, ts, sig)
+                id, ts, packed)
             }
           }
         }
@@ -139,10 +207,8 @@ object StreamingDedup {
             if (p.ts.getTime > maxTs) maxTs = p.ts.getTime
             if (st == null) st = BucketState(p.id, p.ts.getTime, p.sig)
             else if (st.repId != p.id) {
-              var m = 0; var i = 0
-              val n = math.min(p.sig.length, st.sig.length)
-              while (i < n) { if (p.sig(i) == st.sig(i)) m += 1; i += 1 }
-              val est = m.toDouble / n
+              val m = matchingLanes(p.sig, st.sig, lanes, bBits)
+              val est = estimateJ(m, lanes, bBits)
               if (est >= threshold) out += Match(p.id, p.ts, st.repId, est)
             }
           }
@@ -173,7 +239,8 @@ object StreamingDedup {
   def fuzzyMatchesBatch(
       pages: DataFrame,
       cfg: DedupConfig,
-      tsCol: String = "warc_ts"): DataFrame = {
+      tsCol: String = "warc_ts",
+      stateBits: Int = 32): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val (nb, r) = cfg.bandsRows
@@ -181,6 +248,8 @@ object StreamingDedup {
     val ngram = cfg.ngram
     val minLen = cfg.minLength
     val threshold = cfg.threshold
+    val lanes = nb * r
+    val bBits = stateBits
     pages
       .select(col(cfg.idCol).cast("long").as("id"),
         col(tsCol).cast("timestamp").as("ts"), col(cfg.textCol).as("text"))
@@ -194,9 +263,10 @@ object StreamingDedup {
           if (sh.isEmpty || ts == null) Iterator.empty
           else {
             val sig = Lsh.signature(sh, pa, pb)
+            val packed = packLanes(sig, bBits)
             (0 until nb).iterator.map { band =>
               Probe(Hashes.xxh64Ints(sig, band * r, (band + 1) * r, band.toLong, scratch),
-                id, ts, sig)
+                id, ts, packed)
             }
           }
         }
@@ -208,10 +278,8 @@ object StreamingDedup {
         else {
           val rep = docs.head
           docs.iterator.drop(1).flatMap { p =>
-            var m = 0; var i = 0
-            val n = math.min(p.sig.length, rep.sig.length)
-            while (i < n) { if (p.sig(i) == rep.sig(i)) m += 1; i += 1 }
-            val est = m.toDouble / n
+            val m = matchingLanes(p.sig, rep.sig, lanes, bBits)
+            val est = estimateJ(m, lanes, bBits)
             if (est >= threshold && p.id != rep.id) Some(Match(p.id, p.ts, rep.id, est))
             else None
           }

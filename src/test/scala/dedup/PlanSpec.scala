@@ -75,14 +75,18 @@ class PlanSpec extends AnyFunSuite {
   test("no bench headline plan contains an all-pairs join (VERDICT r2 #4)") {
     // the CORRECTNESS forms of q_simhash_assign / q_suffix_assign carry
     // O(n²) oracle machinery by design; graft.Bench times benchQueries,
-    // whose overrides must plan the production topology. q_ann_topk is the
-    // one sanctioned BroadcastNestedLoopJoin: its broadcast side is a
-    // fixed 50-row query slice, so the join is linear in the corpus.
+    // whose overrides must plan the production topology. The sanctioned
+    // BroadcastNestedLoopJoins are the brute-force ANN scans
+    // (q_ann_topk and the int8 family): their broadcast side is a fixed
+    // few-dozen-row query slice, so the join is linear in the corpus —
+    // the quantized scan IS the product (the scale path composes it with
+    // IVF/LSH bucketing, q_ann_ivf/q_ann_lsh shapes).
+    val sanctionedBnlj = Set("q_ann_topk", "q_ann_int8", "q_ann_int8_rerank")
     val qmap = graft.SparkEntry.benchQueries
     graft.Bench.headline.filter(qmap.contains).foreach { name =>
       val plan = formatted(qmap(name)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
-      if (name != "q_ann_topk")
+      if (!sanctionedBnlj(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"nested-loop join in bench headline $name:\n$plan")
     }

@@ -112,6 +112,53 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(m.head.getAs[Double]("estJaccard") === 1.0)
   }
 
+  test("b-bit packing: golden layout, lane matching, estimator calibration") {
+    // sig [0b1011, 0b0001] at b=4: lane0 LSB-first bits 1,1,0,1 → low
+    // nibble 0xB; lane1 → 0x1 in the high nibble
+    assert(StreamingDedup.packLanes(Array(0xB, 0x1), 4).toSeq === Seq(0x1B.toByte))
+    // b=32 is the identity layout (little-endian ints)
+    assert(StreamingDedup.packLanes(Array(0x01020304), 32).toSeq ===
+      Seq[Byte](0x04, 0x03, 0x02, 0x01))
+    val a = Array(7, 9, -3, 100, 0)
+    val b = Array(7, 8, -3, 116, 0) // lanes 1,3 differ in full ints
+    val pa32 = StreamingDedup.packLanes(a, 32)
+    val pb32 = StreamingDedup.packLanes(b, 32)
+    assert(StreamingDedup.matchingLanes(pa32, pb32, 5, 32) === 3)
+    // at b=4, lane 3 (100=0x64 vs 116=0x74) collides on its low nibble
+    val pa4 = StreamingDedup.packLanes(a, 4)
+    val pb4 = StreamingDedup.packLanes(b, 4)
+    assert(pa4.length === 3 && StreamingDedup.matchingLanes(pa4, pb4, 5, 4) === 4)
+    // estimator: identical → exactly 1.0 at any b; the b=4 false match
+    // is corrected back toward the true 3/5
+    assert(StreamingDedup.estimateJ(5, 5, 4) === 1.0)
+    assert(StreamingDedup.estimateJ(5, 5, 1) === 1.0)
+    val est4 = StreamingDedup.estimateJ(4, 5, 4)
+    assert(est4 < 4.0 / 5 && est4 > 3.0 / 5)
+    // all-collision floor clamps at 0 (m/n == 2^-b on unrelated sigs)
+    assert(StreamingDedup.estimateJ(0, 5, 4) === 0.0)
+  }
+
+  test("b-bit state (stateBits=8) flags the same planted near-dups as full lanes") {
+    import spark.implicits._
+    val a = doc(600); val b = doc(700)
+    val rows = Seq(
+      (1L, ts(0), a), (2L, ts(0), b), (3L, ts(1), mutate(a, 3)),
+      (4L, ts(2), mutate(b, 11)), (5L, ts(2), doc(800)))
+    val static = rows.toDF("id", "warc_ts", "text")
+    val full = StreamingDedup.fuzzyMatchesBatch(static, cfg)
+      .select("id", "dupOf").as[(Long, Long)].collect().toSet
+    val bbit = StreamingDedup.fuzzyMatchesBatch(static, cfg, stateBits = 8)
+      .select("id", "dupOf").as[(Long, Long)].collect().toSet
+    assert(full === Set(3L -> 1L, 4L -> 2L))
+    assert(bbit === full, "8-bit lanes must find the same planted pairs")
+    // estimates stay calibrated: identical docs still read exactly 1.0
+    val ident = StreamingDedup.fuzzyMatchesBatch(
+        Seq((1L, ts(0), a), (2L, ts(1), a)).toDF("id", "warc_ts", "text"),
+        cfg, stateBits = 4)
+      .select("estJaccard").as[Double].head()
+    assert(ident === 1.0)
+  }
+
   // ---- semantic stream: deterministic vectors, near-dups by construction
   private def svec(seed: Long, dim: Int = 16): Array[Float] =
     Array.tabulate(dim) { d =>
