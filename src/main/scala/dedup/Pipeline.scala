@@ -39,6 +39,7 @@ import org.apache.spark.sql.functions._
   *     [--infer-lang] [--by-lang] [--no-collision-check] [--chunk-rows 200000]
   *     [--resolve-recrawls] [--blocklist w1,w2 --block-max-permille 0]
   *     [--robots <host,txt parquet> [--robots-agent NAME]]
+  *     [--decontaminate <bench parquet> [--decon-n 13] [--decon-max-pct 0]]
   *     [--nb-quality [--nb-vocab K]]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
@@ -65,6 +66,9 @@ object Pipeline {
       resolveRecrawls: Boolean = false,
       blocklist: Seq[String] = Nil,
       robotsPath: String = "",
+      deconPath: String = "",
+      deconN: Int = 13,
+      deconMaxPct: Int = 0,
       robotsAgent: String = "graftbot",
       blockMaxPerMille: Int = 0,
       quality: Boolean = false,
@@ -131,6 +135,13 @@ object Pipeline {
         // product token may not fetch are dropped pre-dedup (fail-open
         // for hosts with no robots row)
         case "--robots" => a = a.copy(robotsPath = argv(i + 1)); i += 2
+        // benchmark decontamination gate: drop docs overlapping the
+        // benchmark set's n-grams (GPT-3 appx C uses 13-grams; --decon-max-pct
+        // 0 = any-hit kills, >0 = keep while the contaminated share of
+        // distinct grams stays <= that percent)
+        case "--decontaminate" => a = a.copy(deconPath = argv(i + 1)); i += 2
+        case "--decon-n" => a = a.copy(deconN = argv(i + 1).toInt); i += 2
+        case "--decon-max-pct" => a = a.copy(deconMaxPct = argv(i + 1).toInt); i += 2
         case "--robots-agent" => a = a.copy(robotsAgent = argv(i + 1)); i += 2
         case "--block-max-permille" => a = a.copy(blockMaxPerMille = argv(i + 1).toInt); i += 2
         case "--quality" => a = a.copy(quality = true); i += 1
@@ -198,6 +209,9 @@ object Pipeline {
       "--nb-quality REPLACES the --quality hard gate (it trains on the " +
         "ungated corpus with the heuristic as teacher); pass one, not both")
     require(a.nbVocab > 0, "--nb-vocab must be positive")
+    require(a.deconN > 0, "--decon-n must be positive")
+    require(a.deconMaxPct >= 0 && a.deconMaxPct <= 100,
+      "--decon-max-pct must be in 0..100")
     require(a.exportFormat.isEmpty ||
       Set("jsonl", "jsonl.gz", "orc", "csv").contains(a.exportFormat),
       s"--export-format must be jsonl|jsonl.gz|orc|csv, got ${a.exportFormat}")
@@ -316,15 +330,28 @@ object Pipeline {
       if (args.robotsPath.isEmpty) pages2
       else Robots.filterAllowed(pages2, "url",
         spark.read.parquet(args.robotsPath), "host", "txt", args.robotsAgent)
+    // `--decontaminate <bench parquet>`: drop pages overlapping the
+    // benchmark set's n-grams (the small side by definition — its distinct
+    // gram hashes broadcast; the corpus pays one zero-shuffle probe).
+    // --decon-max-pct 0 = any shared gram kills (GPT-3 appx C);
+    // >0 = fractional gate (quotes survive, wholesale copies die).
+    val pages2d =
+      if (args.deconPath.isEmpty) pages2r
+      else {
+        val bench = spark.read.parquet(args.deconPath)
+        val idx = Decontaminate.benchmarkIndex(bench, "text", args.deconN)
+        Decontaminate.overlapStats(pages2r, "text", idx, args.deconN, args.deconMaxPct)
+          .where(col("keep")).drop("n_grams", "n_hits", "keep")
+      }
     // `--dedup-lines`: CCNet-style boilerplate-line removal BEFORE doc-level
     // dedup (an explicit corpus transform — it rewrites `text`, so the
     // verbatim-text invariant holds from here DOWNSTREAM; opting in means
     // the cleaned text IS the corpus text from this point on, as in CCNet
     // §4.1 where paragraph dedup precedes document dedup).
     val pages3 =
-      if (!args.dedupLines) pages2r
+      if (!args.dedupLines) pages2d
       else {
-        val withId = pages2r.withColumn("__lid", xxhash64(col("url")))
+        val withId = pages2d.withColumn("__lid", xxhash64(col("url")))
         val cleaned = LineDedup.dedupLines(withId, "__lid", "text")
           .select(col("id").as("__lid"), col("text_clean"))
         withId.drop("text")
@@ -426,6 +453,11 @@ object Pipeline {
       // invalidate, not resume (same rule as --input / --embed-weights)
       (if (args.robotsPath.nonEmpty)
         s"+rb${CheckpointStore.inputFingerprint(spark, args.robotsPath)}a${Hashes.xxh64Str(args.robotsAgent)}"
+      else "") +
+      // benchmark-table fingerprint: a changed benchmark set must
+      // invalidate, not resume (same rule as --robots / --input)
+      (if (args.deconPath.nonEmpty)
+        s"+dc${CheckpointStore.inputFingerprint(spark, args.deconPath)}n${args.deconN}p${args.deconMaxPct}"
       else "") +
       (if (args.extractHtml) "+hx" else "") +
       (if (args.mainContent) "+mc" else "") +

@@ -357,6 +357,42 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("--decontaminate: benchmark-overlap pages dropped pre-dedup; " +
+      "fractional gate spares the partial quote") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def page(url: String, text: String) = Page(url, ts, null, text, "en")
+    val benchText = (0 until 40).map(k => s"bench$k").mkString(" ")
+    Seq(("b1", benchText)).toDF("name", "text")
+      .write.mode("overwrite").parquet(s"$dir/bench.parquet")
+    val own = (0 until 120).map(k => s"own$k").mkString(" ")
+    Seq(
+      page("http://copy/of-bench", benchText),               // wholesale copy
+      page("http://quote/partial", s"$own $benchText"),      // ~25% quote
+      page("http://clean/page", (0 until 60).map(k => s"c$k").mkString(" ")))
+      .toDS().toDF().write.mode("overwrite").parquet(s"$dir/in.parquet")
+    // strict any-hit gate (GPT-3 appx C): both overlapping pages die
+    val (strict, _) = Pipeline.run(spark, Pipeline.parse(Array(
+      "--input", s"$dir/in.parquet", "--output", s"$dir/out_strict",
+      "--decontaminate", s"$dir/bench.parquet", "--decon-n", "5",
+      "--num-perm", "64", "--salt", "4")))
+    assert(strict.select("url").as[String].collect().toSet ===
+      Set("http://clean/page"))
+    // fractional gate at 50%: the partial quote (~25% of grams) survives,
+    // the wholesale copy still dies
+    val (frac, _) = Pipeline.run(spark, Pipeline.parse(Array(
+      "--input", s"$dir/in.parquet", "--output", s"$dir/out_frac",
+      "--decontaminate", s"$dir/bench.parquet", "--decon-n", "5",
+      "--decon-max-pct", "50", "--num-perm", "64", "--salt", "4")))
+    assert(frac.select("url").as[String].collect().toSet ===
+      Set("http://clean/page", "http://quote/partial"))
+    intercept[IllegalArgumentException] {
+      Pipeline.parse(Array("--input", "x", "--output", "y",
+        "--decontaminate", "b", "--decon-max-pct", "101"))
+    }
+  }
+
   test("--existing / --dedup-lines / --redact-pii: incremental prefilter, " +
       "line dedup and PII scrub compose through the pipeline") {
     import org.apache.spark.sql.functions._
