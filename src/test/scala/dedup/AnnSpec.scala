@@ -221,6 +221,28 @@ class AnnSpec extends AnyFunSuite {
     assert(members.contains(top1), s"top1 $top1 not in cluster of 0")
   }
 
+  test("quantizeInt8: dequantization error bounded by half a step") {
+    import spark.implicits._
+    val vs = planted(32).toDF("id", "vec")
+    val rows = Ann.quantizeInt8(vs).as[(Long, Array[Byte], Double)].collect()
+    val orig = planted(32).toMap
+    rows.foreach { case (id, q, m) =>
+      val v = orig(id)
+      if (m == 0.0) assert(v.forall(_ == 0f))
+      else {
+        var d = 0
+        while (d < v.length) {
+          val deq = q(d).toDouble * m / 127.0
+          // |v − q·m/127| ≤ (m/127)/2 (floor(x+0.5) rounds to nearest,
+          // ties up) plus float→double slack
+          assert(math.abs(v(d).toDouble - deq) <= m / 254.0 + 1e-9,
+            s"id=$id dim=$d v=${v(d)} deq=$deq m=$m")
+          d += 1
+        }
+      }
+    }
+  }
+
   test("int8RerankTopK: generous shortlist recovers the exact float top-k") {
     import spark.implicits._
     val vs = planted(32).toDF("id", "vec")

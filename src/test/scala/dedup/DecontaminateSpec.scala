@@ -130,5 +130,14 @@ class DecontaminateSpec extends AnyFunSuite {
     val plan = Decontaminate.overlapStats(corpus, "text", idx, 5, 50)
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("exchange"), s"unexpected shuffle:\n$plan")
+    // keep set grows monotonically with maxPct
+    val keptAt = (0 to 100 by 25).map { pct =>
+      Decontaminate.overlapStats(corpus, "text", idx, 5, pct)
+        .where(col("keep")).select(col("doc_id")).as[Long].collect().toSet
+    }
+    keptAt.sliding(2).foreach {
+      case Seq(lo, hi) => assert(lo.subsetOf(hi), "keep monotone in maxPct")
+      case _ =>
+    }
   }
 }

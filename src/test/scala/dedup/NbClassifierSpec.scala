@@ -82,6 +82,23 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(java.util.Arrays.binarySearch(m.hashes, Hashes.xxh64Str("cc")) < 0)
   }
 
+  test("training is partition-layout invariant") {
+    val rows = (0 until 300).map { i =>
+      val pos = i % 3 == 0
+      val t = (0 until 20).map(k =>
+        if ((i * 31 + k * 7) % 5 < (if (pos) 3 else 1)) s"p${k % 6}" else s"n${k % 7}")
+        .mkString(" ")
+      (i.toLong, t, pos)
+    }
+    val m1 = NbClassifier.train(
+      rows.toDF("id", "text", "pos").repartition(1), "text", "pos")
+    val m13 = NbClassifier.train(
+      rows.toDF("id", "text", "pos").repartition(13), "text", "pos")
+    assert(m1.hashes.toSeq === m13.hashes.toSeq)
+    assert(m1.weights.toSeq === m13.weights.toSeq)
+    assert(m1.oov === m13.oov)
+  }
+
   test("scoring plan is zero-shuffle") {
     val docs = Seq((1L, "aa", true)).toDF("id", "text", "pos")
     val m = NbClassifier.train(docs, "text", "pos")
