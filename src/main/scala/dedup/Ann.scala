@@ -398,12 +398,29 @@ object Ann {
       queryPred: org.apache.spark.sql.Column, // which ids are queries
       k: Int,
       shortlist: Int): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val v = vectors.select(col("id").cast("long").as("id"), col("vec"))
     val qz = quantizeInt8(v)
+    int8RerankTopKIndexed(v, qz,
+      qz.where(queryPred).select(col("id")), k, shortlist)
+  }
+
+  /** [[int8RerankTopK]] against a PREBUILT quantized index (`quantized` =
+    * [[quantizeInt8]] output, persisted once, queried many times —
+    * [[AnnTool]]'s `topk` mode). `queryIds` is any (id) frame naming the
+    * query vectors. */
+  def int8RerankTopKIndexed(
+      vectors: DataFrame,   // (id, vec) float vectors, for the re-rank
+      quantized: DataFrame, // (id, qvec) int8 index, for the shortlist
+      queryIds: DataFrame,  // (id) which vectors are queries
+      k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val v = vectors.select(col("id").cast("long").as("id"), col("vec"))
+    val qz = quantized.select(col("id").cast("long").as("id"), col("qvec"))
+    val qids = queryIds.select(col("id").cast("long").as("id")).distinct()
     val cand = int8TopK(
-      qz.where(queryPred).select(col("id").as("qid"), col("qvec")),
-      qz.select(col("id"), col("qvec")), shortlist)
+      qz.join(qids, "id").select(col("id").as("qid"), col("qvec")),
+      qz, shortlist)
       .select(col("qid"), col("neighbor_id").as("id"))
     val qv = v.select(col("id").as("qid"), col("vec").as("qvec"),
       l2norm(col("vec")).as("qn"))
