@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *   - `dedup`: embedding near-dup components at `--threshold` via
   *     multi-probe sign-LSH + exact cosine verify + connected components
   *     ([[Ann.cosineDedupLsh]]); writes `(id, component)`.
+  *   - `explain --pair a,b`: semantic pair forensics
+  *     ([[Audit.explainVecPair]]) — exact cosine, sign-LSH buckets, and
+  *     whether the pair is reachable at `--probe` radius; prints the
+  *     report instead of writing parquet.
   *
   * Usage:
   *   spark-submit --class dedup.AnnTool <jar> \
@@ -44,7 +48,8 @@ object AnnTool {
       threshold: Double = 0.95,
       nbits: Int = 8,
       probe: Int = 2,
-      bucketCap: Int = 4096)
+      bucketCap: Int = 4096,
+      pair: Option[(Long, Long)] = None)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -65,15 +70,22 @@ object AnnTool {
         case "--nbits" => a = a.copy(nbits = argv(i + 1).toInt); i += 2
         case "--probe" => a = a.copy(probe = argv(i + 1).toInt); i += 2
         case "--bucket-cap" => a = a.copy(bucketCap = argv(i + 1).toInt); i += 2
+        case "--pair" =>
+          val parts = argv(i + 1).split(",")
+          require(parts.length == 2 && parts.forall(_.matches("-?\\d+")),
+            s"--pair wants 'a,b' (two ids), got '${argv(i + 1)}'")
+          a = a.copy(pair = Some((parts(0).toLong, parts(1).toLong))); i += 2
         case other => throw new IllegalArgumentException(s"unknown argument: $other")
       }
     }
-    require(Set("index", "topk", "dedup")(a.mode),
-      "--mode must be index, topk or dedup")
+    require(Set("index", "topk", "dedup", "explain")(a.mode),
+      "--mode must be index, topk, dedup or explain")
     require(a.vectors.nonEmpty, "--vectors is required")
-    require(a.output.nonEmpty, "--output is required")
+    require(a.output.nonEmpty || a.mode == "explain", "--output is required")
     require(a.mode != "topk" || a.queryPath.nonEmpty,
       "--mode topk needs --query-path (parquet with an `id` column)")
+    require(a.mode != "explain" || a.pair.nonEmpty,
+      "--mode explain needs --pair a,b")
     require(a.shortlist >= a.k, "--shortlist must be >= --k")
     a
   }
@@ -98,6 +110,14 @@ object AnnTool {
         a.nbits, seed = 42L, a.probe, a.bucketCap)
   }
 
+  /** The explain mode's report (separate from [[run]]: it returns a
+    * scalar report, not a DataFrame). */
+  def explain(spark: SparkSession, a: Args): Audit.VecPairReport = {
+    val (x, y) = a.pair.get
+    Audit.explainVecPair(loadVectors(spark, a), x, y,
+      a.threshold, a.dim, a.nbits, seed = 42L, a.probe)
+  }
+
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)
     // spark-submit injects spark.master; standalone runs fall back to local
@@ -113,12 +133,14 @@ object AnnTool {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val out = run(spark, a)
-    out.write.mode("overwrite").parquet(a.output)
-    val n = spark.read.parquet(a.output).count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    println(f"mode=${a.mode} rows=$n wall=$wall%.1fs -> ${a.output}")
+    if (a.mode == "explain") println(Audit.render(explain(spark, a)))
+    else {
+      val t0 = System.nanoTime()
+      run(spark, a).write.mode("overwrite").parquet(a.output)
+      val n = spark.read.parquet(a.output).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"mode=${a.mode} rows=$n wall=$wall%.1fs -> ${a.output}")
+    }
     spark.stop()
   }
 }

@@ -76,4 +76,59 @@ object Audit {
     f"pair(${r.idA},${r.idB}): jaccard=${r.jaccardPermille / 1000.0}%.3f " +
       f"(${r.inter}/${r.uni}) ${if (r.aboveThreshold) ">=" else "<"} threshold; " +
       f"bands ${r.sharedBands}/${r.totalBands} shared; simhash hamming ${r.hamming}"
+
+  /** Semantic-pair forensics — the embedding-space twin of [[PairReport]],
+    * engine-true via the same [[Ann]] primitives the semantic paths run.
+    *
+    * @param cosine          exact double cosine (what the verify stage
+    *                        compares against the threshold)
+    * @param bucketHamming   sign-LSH bucket distance in bits — candidates
+    *                        are generated iff ≤ probeRadius, so
+    *                        `reachable` says whether the LSH path could
+    *                        have found this pair at all
+    */
+  case class VecPairReport(
+      idA: Long, idB: Long,
+      cosine: Double, aboveThreshold: Boolean,
+      bucketA: Long, bucketB: Long, bucketHamming: Int,
+      probeRadius: Int, reachable: Boolean)
+
+  def explainVecPair(vectors: DataFrame, a: Long, b: Long,
+      threshold: Double, dim: Int, nbits: Int = 8, seed: Long = 42L,
+      probeRadius: Int = 2): VecPairReport = {
+    require(a != b, "explainVecPair needs two distinct ids")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = vectors
+      .select(col("id").cast("long").as("id"), col("vec"))
+      .where(col("id").isin(a, b))
+      .as[(Long, Array[Float])].collect().toMap
+    require(rows.contains(a) && rows.contains(b),
+      s"both vectors must exist; found ids: ${rows.keySet.toSeq.sorted.mkString(",")}")
+    val planes = Ann.hyperplanes(seed, nbits, dim)
+    val ba = Ann.bucketOf(rows(a), planes, dim)
+    val bb = Ann.bucketOf(rows(b), planes, dim)
+    val ham = java.lang.Long.bitCount(ba ^ bb)
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    val va = rows(a); val vb = rows(b)
+    val n = math.min(va.length, vb.length)
+    var i = 0
+    while (i < n) {
+      dp += va(i).toDouble * vb(i); na += va(i).toDouble * va(i)
+      nb += vb(i).toDouble * vb(i); i += 1
+    }
+    val cos = if (na == 0.0 || nb == 0.0) -1.0 else dp / math.sqrt(na * nb)
+    VecPairReport(
+      idA = math.min(a, b), idB = math.max(a, b),
+      cosine = cos, aboveThreshold = cos >= threshold,
+      bucketA = ba, bucketB = bb, bucketHamming = ham,
+      probeRadius = probeRadius, reachable = ham <= probeRadius)
+  }
+
+  /** Pretty one-liner for the semantic report. */
+  def render(r: VecPairReport): String =
+    f"vecpair(${r.idA},${r.idB}): cosine=${r.cosine}%.4f " +
+      f"${if (r.aboveThreshold) ">=" else "<"} threshold; " +
+      f"buckets ${r.bucketA}%x vs ${r.bucketB}%x (hamming ${r.bucketHamming}, " +
+      f"probe radius ${r.probeRadius} -> ${if (r.reachable) "reachable" else "NOT reachable"})"
 }

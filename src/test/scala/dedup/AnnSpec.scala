@@ -260,4 +260,26 @@ class AnnSpec extends AnyFunSuite {
       Ann.int8RerankTopK(vs, col("id") < 20, k = 5, shortlist = 3)
     }
   }
+
+  test("int8 shortlist recall curve: quantified, monotone, near-1 at 4k") {
+    import spark.implicits._
+    val vs = planted(32).toDF("id", "vec")
+    val exact = Ann.bruteForceTopK(
+        vs.where(col("id") < 30).select(col("id").as("qid"), col("vec").as("qvec")),
+        vs.select(col("id"), col("vec")), 3)
+      .select(col("qid"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recallAt(shortlist: Int): Double = {
+      val got = Ann.int8RerankTopK(vs, col("id") < 30, k = 3, shortlist = shortlist)
+        .select(col("qid"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val hits = exact.map { case (q, t) => (t & got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val r3 = recallAt(3)
+    val r12 = recallAt(12)
+    assert(r12 >= r3, f"recall must not drop with a larger shortlist: $r3%.3f -> $r12%.3f")
+    assert(r12 >= 0.95, f"shortlist=4k should recover >=95%% of the exact top-k, got $r12%.3f")
+    assert(r3 >= 0.8, f"even shortlist=k keeps most of the top-k on this corpus, got $r3%.3f")
+  }
 }

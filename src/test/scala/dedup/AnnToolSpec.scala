@@ -28,6 +28,30 @@ class AnnToolSpec extends AnyFunSuite {
     val a = AnnTool.parse(Array("--mode", "dedup", "--vectors", "v",
       "--output", "o", "--threshold", "0.9", "--dim", "32"))
     assert(a.threshold === 0.9 && a.dim === 32)
+    intercept[IllegalArgumentException] { AnnTool.parse(Array("--mode", "explain",
+      "--vectors", "v")) } // missing --pair
+    intercept[IllegalArgumentException] { AnnTool.parse(Array("--mode", "explain",
+      "--vectors", "v", "--pair", "1;2")) }
+    val e = AnnTool.parse(Array("--mode", "explain", "--vectors", "v",
+      "--pair", "3,9", "--dim", "16"))
+    assert(e.pair === Some((3L, 9L)))
+  }
+
+  test("explain mode reports the engine-true semantic verdict") {
+    val dir = java.nio.file.Files.createTempDirectory("anntool-ex").toString
+    val base = vec(42)
+    Seq((1L, base),
+      (2L, Array.tabulate(16)(d => base(d) + 0.004f * vec(5)(d))),
+      (3L, vec(911))).toDF("id", "vec")
+      .write.mode("overwrite").parquet(s"$dir/v.parquet")
+    val r = AnnTool.explain(spark, AnnTool.parse(Array("--mode", "explain",
+      "--vectors", s"$dir/v.parquet", "--pair", "1,2",
+      "--threshold", "0.95", "--dim", "16")))
+    assert(r.aboveThreshold && r.reachable)
+    val r2 = AnnTool.explain(spark, AnnTool.parse(Array("--mode", "explain",
+      "--vectors", s"$dir/v.parquet", "--pair", "1,3",
+      "--threshold", "0.95", "--dim", "16")))
+    assert(!r2.aboveThreshold)
   }
 
   test("index → topk → dedup modes run end-to-end; indexed == on-the-fly") {

@@ -1,6 +1,7 @@
 package dedup
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 class AuditSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.spark
@@ -67,5 +68,36 @@ class AuditSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("eligible ids found: 1"))
     intercept[IllegalArgumentException] { Audit.explainPair(d, 1L, 99L, cfg) }
     intercept[IllegalArgumentException] { Audit.explainPair(d, 1L, 1L, cfg) }
+  }
+
+  test("explainVecPair: engine-true cosine, buckets, and reachability verdict") {
+    import spark.implicits._
+    def v(seed: Long): Array[Float] = Array.tabulate(16) { d =>
+      val h = Hashes.xxh64Long(seed * 313 + d, 5L)
+      (((h >>> 22) & 0xFFFF).toFloat / 65535f) - 0.5f
+    }
+    val a = v(1)
+    val near = Array.tabulate(16)(d => a(d) + 0.005f * v(99)(d))
+    val far = v(777)
+    val vecs = Seq((1L, a), (2L, near), (3L, far), (4L, a.map(_ => 0f)))
+      .toDF("id", "vec")
+    val rNear = Audit.explainVecPair(vecs, 1L, 2L, 0.95, dim = 16, nbits = 8)
+    assert(rNear.aboveThreshold && rNear.cosine > 0.99)
+    assert(rNear.reachable, "near-identical pair must be within probe radius")
+    // report agrees with the engine's own bucketing
+    val buckets = Ann.signBuckets(vecs.where(col("id").isin(1L, 2L)), 16, 8, 42L)
+      .as[(Long, Long)].collect().toMap
+    assert(rNear.bucketA === buckets(1L) && rNear.bucketB === buckets(2L))
+    assert(rNear.bucketHamming ===
+      java.lang.Long.bitCount(buckets(1L) ^ buckets(2L)))
+    val rFar = Audit.explainVecPair(vecs, 1L, 3L, 0.95, dim = 16, nbits = 8)
+    assert(!rFar.aboveThreshold)
+    // zero vector: cosine undefined -> -1, never above threshold
+    val rZero = Audit.explainVecPair(vecs, 1L, 4L, 0.95, dim = 16, nbits = 8)
+    assert(rZero.cosine === -1.0 && !rZero.aboveThreshold)
+    intercept[IllegalArgumentException] {
+      Audit.explainVecPair(vecs, 1L, 99L, 0.95, dim = 16)
+    }
+    assert(Audit.render(rNear).contains("reachable"))
   }
 }
