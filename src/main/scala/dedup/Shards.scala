@@ -80,6 +80,58 @@ object Shards {
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("sum_weight"))
 
+  /** Quality-STRATIFIED shard assignment: rank documents by
+    * (quality desc, id asc) and deal them round-robin — `shard = rank %
+    * nShards` — so every shard receives an (almost) equal count AND the
+    * same quality mix (head, middle and tail of the distribution in equal
+    * measure). This is the training-order prep that prevents per-shard
+    * quality drift: a reader consuming shards in any order sees a
+    * stationary quality distribution ([[assignByBudget]] balances token
+    * BUDGETS; this balances the quality marginal).
+    *
+    * Scale shape: the naive `row_number() OVER (ORDER BY quality)` is a
+    * single-partition window; this is the same two-pass fix as
+    * [[Ids.orderedIds]] — range partition by (quality desc, id),
+    * per-partition counts (O(partitions) driver rows), broadcast
+    * exclusive offsets, one mapPartitions rank pass. Deterministic for
+    * any partition layout; exactly SQL-replayable
+    * (row_number − 1 mod nShards). Output: (id, qrank, shard). */
+  def stratifiedShards(
+      df: DataFrame,
+      idCol: String,
+      quality: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = math.max(1, spark.sparkContext.defaultParallelism)
+    // localCheckpoint pins the range boundaries (same reason as
+    // Ids.orderedIds: a re-planned exchange would re-sample them)
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"), quality.cast("long").as("q"))
+      .repartitionByRange(p, col("q").desc, col("id"))
+      .sortWithinPartitions(col("q").desc, col("id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = new Array[Long](counts.map(_._1).maxOption.getOrElse(-1) + 2)
+    var acc = 0L
+    counts.foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val n = nShards.toLong
+    sorted.select(col("id"), col("pid")).as[(Long, Int)]
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { case (id, pid) =>
+          val r = bc.value(pid) + i
+          i += 1
+          (id, r, r % n)
+        }
+      }
+      .toDF(idCol, "qrank", "shard")
+  }
+
   /** Fixed-window training chunks: split each document's whitespace
     * tokens into windows of `window` tokens advancing by
     * `window − overlap` (the standard context-length prep — long pages

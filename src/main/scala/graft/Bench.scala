@@ -87,6 +87,7 @@ object Bench {
     "q_recrawl",
     "q_lang_sample",
     "q_shards",
+    "q_stratified_shards", // quality-balanced round-robin (two-pass rank, no window)
     "q_chunk_docs", // fixed-window training chunks (zero-shuffle posexplode)
     "q_nb_classifier", // weakly-supervised NB filter (train shuffle + zero-shuffle score)
     "q_ann_int8", // int8-quantized ANN scan (integer dots, 4x-smaller index)

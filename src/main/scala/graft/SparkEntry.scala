@@ -1356,6 +1356,16 @@ object SparkEntry {
         .select(col("doc_id"), col("weight").as("n_tokens"), col("shard"))
     }),
 
+    // Quality-stratified shards (Shards.stratifiedShards): rank by
+    // (n_chars desc, doc_id asc), deal round-robin into 8 shards — every
+    // shard gets the same count ±1 AND the same quality mix. The oracle
+    // replays the exact rank and modulus, so the hash gates the entire
+    // assignment (the scale shape avoids the global window the SQL uses).
+    "q_stratified_shards" -> ((s, dir) => {
+      Shards.stratifiedShards(documents(s, dir), "doc_id", col("n_chars"), 8)
+        .select(col("doc_id"), col("qrank"), col("shard"))
+    }),
+
     // Fixed-window training chunks (Shards.chunkDocs): window 64 tokens,
     // overlap 16 (stride 48) — the context-length prep that turns long
     // pages into training rows. Zero-shuffle Catalyst (sequence +
@@ -2495,6 +2505,13 @@ object SparkEntry {
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
         |    sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id)::BIGINT AS cum
         |  FROM documents)""".stripMargin,
+
+    "q_stratified_shards" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS qrank
+        |  FROM documents)
+        |SELECT doc_id, qrank::BIGINT AS qrank, (qrank % 8)::BIGINT AS shard
+        |FROM r""".stripMargin,
 
     // window 64, overlap 16, stride 48: nc = max(1, ceil((n-16)/48));
     // chunk i covers 1-based tokens [i*48+1, i*48+64] (DuckDB slices

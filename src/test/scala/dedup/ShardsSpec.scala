@@ -97,6 +97,34 @@ class ShardsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"global window in plan:\n$plan")
   }
 
+  test("stratifiedShards: round-robin by quality rank, balanced counts, " +
+      "stationary quality mix, partition invariance, no global window") {
+    val rows = (1L to 103L).map(i => (i, (i * 37) % 101)) // quality 0..100
+    def run(parts: Int): Map[Long, (Long, Long)] =
+      Shards.stratifiedShards(
+          rows.toDF("id", "q").repartition(parts), "id", col("q"), 4)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val got = run(7)
+    // golden: rank = position in (q desc, id asc) order, shard = rank % 4
+    val expected = rows.sortBy { case (id, q) => (-q, id) }.zipWithIndex
+      .map { case ((id, _), r) => id -> (r.toLong, r.toLong % 4) }.toMap
+    assert(got === expected)
+    assert(run(1) === got, "partition-layout invariant")
+    // balanced: 103 rows over 4 shards -> counts 26/26/26/25
+    val sizes = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.toSeq.sorted === Seq(25, 26, 26, 26))
+    // stationary quality mix: per-shard mean quality within 5 of global
+    val qOf = rows.toMap
+    val gmean = rows.map(_._2).sum.toDouble / rows.length
+    got.toSeq.groupBy(_._2._2).foreach { case (s, m) =>
+      val mean = m.map(x => qOf(x._1)).sum.toDouble / m.size
+      assert(math.abs(mean - gmean) < 5.0, s"shard $s mean $mean vs $gmean")
+    }
+    val plan = Shards.stratifiedShards(rows.toDF("id", "q"), "id", col("q"), 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+  }
+
   test("chunkDocs: golden windows, overlap, tail clip, short docs, zero shuffle") {
     def toks(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
     def run(text: String, window: Int, overlap: Int): Seq[(Int, Long, String)] =
