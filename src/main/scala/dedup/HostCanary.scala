@@ -72,6 +72,17 @@ object HostCanary {
     (bytes.get(), wall)
   }
 
+  /** One-number canary for embedding in bench outputs: aggregate
+    * L1/L2-resident hash throughput (MB/s) at `threads` workers over
+    * ~`targetMs`. Deterministic work, zero coordination — the ratio of
+    * two runs' canaries is the host-speed ratio between their windows,
+    * letting cross-round bench totals be normalized instead of guessed
+    * at (the ±1.8× host-window problem VERDICT r3 flagged). */
+  def quickMbps(threads: Int, targetMs: Long = 500L): Double = {
+    val (bytes, ns) = measure(threads, 64 << 10, targetMs)
+    bytes / 1e6 / (ns / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val counts =
       if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 4, 8, 16, 32)
