@@ -62,6 +62,10 @@ class CheckpointStore(
   /** Stage names committed (or reused) so far, in order — the lineage. */
   private var committed: List[String] = Nil
 
+  /** Stages that RESUMED from a valid prior snapshot this run (vs
+    * recomputed) — summary metadata only. */
+  private var reused: Set[String] = Set.empty
+
   private def readManifest(name: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val p = manifestPath(name)
     if (!fs.exists(p)) None
@@ -133,6 +137,7 @@ class CheckpointStore(
       chunkMinPartitions: Int = 256)(compute: => DataFrame): DataFrame = {
     if (isCommitted(name)) {
       committed = committed :+ name
+      reused = reused + name
       return spark.read.parquet(dataPath(name)).drop("__pid__")
     }
     val t0 = System.nanoTime()
@@ -275,6 +280,42 @@ class CheckpointStore(
     }
     rows.toDF("stage", "snapshot_id", "config_hash", "rows", "files",
       "bytes", "wall_sec", "lineage")
+  }
+
+  /** Write `<root>/SUMMARY.json`: this RUN's lineage in execution order —
+    * per stage (rows, bytes, wall_sec, snapshot id, sequence, and whether
+    * it RESUMED from a prior snapshot or recomputed) plus any caller
+    * totals (docs/kept/removed) — the "what did this run do" artifact,
+    * assembled from the committed manifests with no data scan. Rerunning
+    * a fully-checkpointed job writes the same stages with every
+    * `resumed` flag true and near-zero walls, which is itself the resume
+    * audit. */
+  def writeRunSummary(extra: Map[String, Long] = Map.empty): Unit = {
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("config_hash", effectiveHash)
+    rootNode.put("written_at_ms", System.currentTimeMillis())
+    extra.toSeq.sortBy(_._1).foreach { case (k, v) => rootNode.put(k, v) }
+    val arr = rootNode.putArray("stages")
+    committed.foreach { name =>
+      readManifest(name).foreach { m =>
+        val o = arr.addObject()
+        o.put("stage", name)
+        o.put("rows", m.get("rows").asLong())
+        o.put("bytes",
+          if (m.has("data_files"))
+            m.get("data_files").properties().asScala.map(_.getValue.asLong()).sum
+          else -1L)
+        o.put("wall_sec",
+          if (m.has("wall_sec")) m.get("wall_sec").asDouble() else -1.0)
+        o.put("snapshot_id", m.get("snapshot_id").asText())
+        o.put("sequence_number",
+          if (m.has("sequence_number")) m.get("sequence_number").asLong() else -1L)
+        o.put("resumed", reused(name))
+      }
+    }
+    val out = fs.create(new Path(s"$root/SUMMARY.json"), true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+    out.close()
   }
 
   /** Snapshot HISTORY of one stage — the Iceberg `snapshots` metadata

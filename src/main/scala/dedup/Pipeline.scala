@@ -685,6 +685,10 @@ object Pipeline {
       }
     }
 
+    // run-summary artifact: per-stage rows/bytes/wall + resumed flags in
+    // lineage order, plus headline totals — <outRoot>/SUMMARY.json
+    store.writeRunSummary()
+
     (kept, assignments)
   }
 

@@ -290,8 +290,29 @@ class EndToEndSpec extends AnyFunSuite {
     assert(keptUrls.count(_.startsWith("http://big/")) === 1)
     // the stage checkpointed and the rerun resumes to identical output
     assert(new java.io.File(s"$dir/out/contain_drops/_MANIFEST.json").exists())
+    // run-summary artifact: first run computed everything
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sum1 = om.readTree(new java.io.File(s"$dir/out/SUMMARY.json"))
+    val stages1 = sum1.get("stages").elements()
+    var sawKept = false
+    while (stages1.hasNext) {
+      val s = stages1.next()
+      assert(!s.get("resumed").asBoolean(), s"first run must compute ${s.get("stage")}")
+      if (s.get("stage").asText() == "kept") {
+        sawKept = true
+        assert(s.get("rows").asLong() === keptUrls.size.toLong)
+      }
+    }
+    assert(sawKept, "SUMMARY.json must include the kept stage")
     val (kept2, _) = Pipeline.run(spark, Pipeline.parse(argv))
     assert(kept2.select("url").as[String].collect().toSet === keptUrls)
+    // rerun summary: every stage resumed (the resume audit in one file)
+    val sum2 = om.readTree(new java.io.File(s"$dir/out/SUMMARY.json"))
+    val stages2 = sum2.get("stages").elements()
+    while (stages2.hasNext) {
+      val s = stages2.next()
+      assert(s.get("resumed").asBoolean(), s"rerun must resume ${s.get("stage")}")
+    }
     // without --contain the quote survives (proves the stage does the work)
     val (keptNo, _) = Pipeline.run(spark, Pipeline.parse(
       Array("--input", s"$dir/in.parquet", "--output", s"$dir/out_nc",
