@@ -44,6 +44,10 @@ object Multimodal {
              bytes(6) == 'y' && bytes(7) == 'p') "mp4" // ISO-BMFF (mp4/mov/m4a)
     else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
              bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "webm" // EBML (webm/mkv)
+    else if (bytes(0) == 'I' && bytes(1) == 'I' &&
+             bytes(2) == 0x2A.toByte && bytes(3) == 0) "tiff" // little-endian
+    else if (bytes(0) == 'M' && bytes(1) == 'M' &&
+             bytes(2) == 0 && bytes(3) == 0x2A.toByte) "tiff" // big-endian
     else {
       val head = new String(bytes, 0, math.min(bytes.length, 64),
         java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
@@ -57,6 +61,7 @@ object Multimodal {
     *   PNG  — IHDR width/height, big-endian u32 at bytes 16/20 (spec §11.2.2)
     *   GIF  — logical screen descriptor, little-endian u16 at bytes 6/8
     *   BMP  — BITMAPINFOHEADER, little-endian i32 at bytes 18/22
+    *   TIFF — IFD0 walk (both byte orders), tags 256/257, SHORT or LONG
     *   JPEG — scan segments for SOF0..SOF15 (not DHT/JPG/DAC), height/width
     *          big-endian u16 at marker+5/+7
     * Returns None for truncated or non-image bytes — never throws. */
@@ -74,6 +79,38 @@ object Multimodal {
         Some((le16(6), le16(8)))
       case "bmp" if bytes.length >= 26 =>
         Some((le32(18), math.abs(le32(22)))) // height may be negative (top-down)
+      case "tiff" if bytes.length >= 8 =>
+        // TIFF 6.0 §2: IFD0 offset at byte 4 (endian per magic); each
+        // 12-byte entry = tag u16, type u16, count u32, value u32 —
+        // values are LEFT-justified in the 4-byte field, so a SHORT
+        // reads at entry+8 in either endianness. Tags 256/257 =
+        // ImageWidth/ImageLength, types SHORT(3) or LONG(4).
+        val le = bytes(0) == 'I'
+        def u16e(i: Int) = if (le) le16(i) else be16(i)
+        def u32e(i: Int) = if (le) le32(i) else be32(i)
+        val ifd = u32e(4)
+        if (ifd < 8 || ifd + 2 > bytes.length) None
+        else {
+          val n = u16e(ifd)
+          var w = -1
+          var h = -1
+          var e = 0
+          while (e < n && ifd + 2 + 12 * (e + 1) <= bytes.length) {
+            val off = ifd + 2 + 12 * e
+            val v = u16e(off + 2) match {
+              case 3 => u16e(off + 8) // SHORT
+              case 4 => u32e(off + 8) // LONG
+              case _ => -1
+            }
+            u16e(off) match {
+              case 256 => w = v
+              case 257 => h = v
+              case _ =>
+            }
+            e += 1
+          }
+          if (w > 0 && h > 0) Some((w, h)) else None
+        }
       case "jpeg" =>
         // walk the segment chain: FF marker, 2-byte big-endian length
         var i = 2
@@ -119,6 +156,34 @@ object Multimodal {
     putBe32(20, h)
     out(24) = 8 // bit depth (truncated chunk: enough for header parsing)
     out
+  }
+
+  /** Minimal TIFF header + IFD0 for (w, h) in either byte order — the
+    * fixture dual of the [[imageDims]] TIFF case (TIFF 6.0 §2 layout:
+    * 8-byte header, entry-count, two LONG entries for tags 256/257,
+    * zero next-IFD pointer). Same both-sides-pinned test discipline as
+    * [[pngHeader]]. */
+  def tiffHeader(w: Int, h: Int, bigEndian: Boolean = false): Array[Byte] = {
+    val b = new Array[Byte](38)
+    def put16(i: Int, v: Int): Unit =
+      if (bigEndian) { b(i) = (v >>> 8).toByte; b(i + 1) = v.toByte }
+      else { b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte }
+    def put32(i: Int, v: Int): Unit =
+      if (bigEndian) {
+        b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+        b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+      } else {
+        b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+        b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+      }
+    if (bigEndian) { b(0) = 'M'; b(1) = 'M'; b(2) = 0; b(3) = 0x2A }
+    else { b(0) = 'I'; b(1) = 'I'; b(2) = 0x2A; b(3) = 0 }
+    put32(4, 8)   // IFD0 directly after the header
+    put16(8, 2)   // two entries
+    put16(10, 256); put16(12, 4); put32(14, 1); put32(18, w)
+    put16(22, 257); put16(24, 4); put32(26, 1); put32(30, h)
+    put32(34, 0)  // no next IFD
+    b
   }
 
   /** REAL WAV (RIFF) audio metadata by chunk-walk — no codec:

@@ -77,6 +77,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(null) === None)
   }
 
+  test("TIFF dims: both byte orders, SHORT and LONG types, ImageIO " +
+      "cross-validation, truncation") {
+    // fixture roundtrip in both endians
+    assert(Multimodal.sniffMagic(Multimodal.tiffHeader(9, 4)) === "tiff")
+    assert(Multimodal.sniffMagic(Multimodal.tiffHeader(9, 4, bigEndian = true)) === "tiff")
+    assert(Multimodal.imageDims(Multimodal.tiffHeader(800, 600)) === Some((800, 600)))
+    assert(Multimodal.imageDims(Multimodal.tiffHeader(800, 600, bigEndian = true))
+      === Some((800, 600)))
+    // byte-offset golden, little-endian: IFD at 8, entry 0 tag 256 LONG
+    val le = Multimodal.tiffHeader(0x0102, 0x0304)
+    assert(le.slice(0, 4).toSeq === Seq[Byte]('I', 'I', 0x2A, 0))
+    assert(le.slice(10, 12).toSeq === Seq[Byte](0x00, 0x01)) // tag 256 LE
+    assert(le.slice(18, 22).toSeq === Seq[Byte](0x02, 0x01, 0, 0)) // w LE
+    assert(le.slice(30, 34).toSeq === Seq[Byte](0x04, 0x03, 0, 0)) // h LE
+    // SHORT-typed entries (type 3, value left-justified) parse too
+    val short = Multimodal.tiffHeader(77, 55)
+    short(12) = 3; short(24) = 3 // LONG -> SHORT (LE type field low byte)
+    assert(Multimodal.imageDims(short) === Some((77, 55)))
+    // a REAL TIFF written by the JDK's own ImageIO TIFF writer
+    val img = new java.awt.image.BufferedImage(31, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos),
+      "JDK must provide a TIFF writer")
+    val real = bos.toByteArray
+    assert(Multimodal.sniffMagic(real) === "tiff")
+    assert(Multimodal.imageDims(real) === Some((31, 17)))
+    // truncation / corruption never throws
+    assert(Multimodal.imageDims(Multimodal.tiffHeader(8, 8).take(9)) === None)
+    assert(Multimodal.imageDims(Multimodal.tiffHeader(8, 8).take(20)) === None)
+  }
+
   test("pngHeader: byte-offset golden (spec layout) and parser roundtrip") {
     val b = Multimodal.pngHeader(0x01020304, 0x0A0B0C0D)
     // PNG spec: width big-endian u32 at offset 16, height at 20
