@@ -1107,8 +1107,19 @@ object SparkEntry {
       import s.implicits._
       val d = documents(s, dir).select(col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
+      // three header formats by id arithmetic: PNG, TIFF little-endian,
+      // TIFF big-endian — the oracle replays magic+dims from doc_id
+      // alone, so a bit-packing bug in ANY of the three constructors or
+      // parsers fails the hash
       val bin = d.mapPartitions(_.map { case (id, nc) =>
-        (id, Multimodal.pngHeader((id % 1000L + 1L).toInt, (nc % 800L + 1L).toInt))
+        val w = (id % 1000L + 1L).toInt
+        val h = (nc % 800L + 1L).toInt
+        val blob = id % 4L match {
+          case 1L => Multimodal.tiffHeader(w, h)
+          case 2L => Multimodal.tiffHeader(w, h, bigEndian = true)
+          case _ => Multimodal.pngHeader(w, h)
+        }
+        (id, blob)
       }).toDF("doc_id", "bin")
       Multimodal.mediaMeta(bin, "doc_id", "bin")
         .select(col("id").as("doc_id"), col("magic"),
@@ -1835,7 +1846,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_media_meta" ->
-      """SELECT doc_id, 'png' AS magic,
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 4 IN (1, 2) THEN 'tiff' ELSE 'png' END AS magic,
         |       (doc_id % 1000) + 1 AS width,
         |       (n_chars % 800) + 1 AS height
         |FROM documents""".stripMargin,
