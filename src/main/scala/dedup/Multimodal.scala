@@ -655,6 +655,176 @@ object Multimodal {
     Some((rate, ch, out))
   }
 
+  /** IMA/DVI ADPCM step-size table (IMA ADPCM reference algorithm,
+    * "Recommended Practices for Enhancing Digital Audio Compatibility",
+    * IMA Digital Audio Focus Group 1992 — the table every decoder ships
+    * verbatim). 89 entries, ~1.1× geometric growth. */
+  private val imaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adaptation per 4-bit code (same IMA reference). */
+  private val imaIndexAdjust: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM decode step: returns the new predictor, mutating
+    * nothing — callers thread (predictor, index) explicitly. */
+  @inline private def imaDecodeStep(nibble: Int, predictor: Int, step: Int): Int = {
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p = if ((nibble & 8) != 0) predictor - diff else predictor + diff
+    if (p > 32767) 32767 else if (p < -32768) -32768 else p
+  }
+
+  /** REAL IMA ADPCM WAV decode (format tag 0x11 — the 4-bits-per-sample
+    * telephony/game-audio codec). Block layout per channel: a 4-byte
+    * header (initial 16-bit predictor, step index, reserved), then the
+    * channels' nibble data interleaved in 4-byte groups, LOW nibble
+    * first. Pure integer state machine — no codec library. Returns
+    * (sampleRate, channels, samples interleaved, normalized to [-1,1]);
+    * None for anything malformed (never throws). */
+  def decodeWavImaAdpcm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 44 || sniffMagic(bytes) != "riff") return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    def le32(i: Int) = ((u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)).toLong & 0xFFFFFFFFL
+    def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(8) != "WAVE") return None
+    var i = 12
+    var fmt = 0; var rate = 0; var ch = 0; var blockAlign = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= bytes.length) {
+      val id = tag(i); val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmt = le16(i + 8); ch = le16(i + 10); rate = le32(i + 12).toInt
+        blockAlign = le16(i + 20)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = i + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
+      }
+      val next = i + 8L + size + (size & 1L)
+      i = if (next > bytes.length) bytes.length else next.toInt
+    }
+    if (fmt != 0x11 || rate <= 0 || ch <= 0 || ch > 8 || dataOff < 0) return None
+    if (blockAlign < 4 * ch || (blockAlign - 4 * ch) % (4 * ch) != 0) return None
+    val samplesPerBlock = (blockAlign - 4 * ch) * 2 / ch + 1
+    val nBlocks = dataLen / blockAlign
+    if (nBlocks <= 0 || nBlocks.toLong * samplesPerBlock * ch > (1L << 26)) return None
+    val out = new Array[Float](nBlocks * samplesPerBlock * ch)
+    val pred = new Array[Int](ch); val idx = new Array[Int](ch)
+    var b = 0
+    while (b < nBlocks) {
+      val base = dataOff + b * blockAlign
+      val outBase = b * samplesPerBlock * ch
+      var c = 0
+      while (c < ch) { // per-channel 4-byte block header
+        val h = base + c * 4
+        pred(c) = ((u8(h + 1) << 8) | u8(h)).toShort.toInt
+        idx(c) = math.min(88, math.max(0, u8(h + 2)))
+        out(outBase + c) = pred(c) / 32768f // header predictor IS sample 0
+        c += 1
+      }
+      // nibble data: 4-byte groups per channel, round-robin across channels
+      val dataStart = base + 4 * ch
+      val groupsPerChannel = (blockAlign - 4 * ch) / (4 * ch)
+      var g = 0
+      while (g < groupsPerChannel) {
+        c = 0
+        while (c < ch) {
+          val off = dataStart + (g * ch + c) * 4
+          var k = 0
+          while (k < 8) { // 8 nibbles per 4-byte group, low nibble first
+            val byte = u8(off + (k >> 1))
+            val nib = if ((k & 1) == 0) byte & 0x0F else (byte >> 4) & 0x0F
+            pred(c) = imaDecodeStep(nib, pred(c), imaStep(idx(c)))
+            idx(c) = math.min(88, math.max(0, idx(c) + imaIndexAdjust(nib)))
+            val s = 1 + g * 8 + k // sample index within block (0 = header)
+            if (s < samplesPerBlock) out(outBase + s * ch + c) = pred(c) / 32768f
+            k += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      b += 1
+    }
+    Some((rate, ch, out))
+  }
+
+  /** IMA ADPCM WAV ENCODER (mono) — the fixture/export twin of
+    * [[decodeWavImaAdpcm]], same role as [[encodeWavG711]]: quantizes each
+    * delta against the adaptive step (sign + 3 magnitude bits), then runs
+    * the DECODER's update so encoder and decoder predictors stay locked
+    * (the standard IMA closed loop). `blockSamples` must be 1 + a
+    * multiple of 8. */
+  def encodeWavImaAdpcm(sampleRate: Int, samples: Array[Short],
+                        blockSamples: Int = 505): Array[Byte] = {
+    require(blockSamples > 1 && (blockSamples - 1) % 8 == 0,
+      s"blockSamples must be 1+8k, got $blockSamples")
+    val blockAlign = 4 + (blockSamples - 1) / 2
+    val nBlocks = (samples.length + blockSamples - 1) / blockSamples
+    val data = new Array[Byte](nBlocks * blockAlign)
+    var pred = 0; var idx = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * blockAlign
+      val s0 = b * blockSamples
+      pred = if (s0 < samples.length) samples(s0).toInt else 0
+      data(base) = (pred & 0xFF).toByte
+      data(base + 1) = ((pred >> 8) & 0xFF).toByte
+      data(base + 2) = idx.toByte
+      var k = 0
+      while (k < blockSamples - 1) {
+        val si = s0 + 1 + k
+        val sample = if (si < samples.length) samples(si).toInt else pred
+        val step = imaStep(idx)
+        var delta = sample - pred
+        var nib = 0
+        if (delta < 0) { nib = 8; delta = -delta }
+        if (delta >= step) { nib |= 4; delta -= step }
+        if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+        if (delta >= (step >> 2)) { nib |= 1 }
+        pred = imaDecodeStep(nib, pred, step)
+        idx = math.min(88, math.max(0, idx + imaIndexAdjust(nib)))
+        val off = base + 4 + (k >> 1)
+        if ((k & 1) == 0) data(off) = (data(off) & 0xF0 | nib).toByte
+        else data(off) = (data(off) & 0x0F | (nib << 4)).toByte
+        k += 1
+      }
+      b += 1
+    }
+    // RIFF wrapper: fmt tag 0x11, 4 bits/sample, cbSize=2 + samplesPerBlock
+    val out = new Array[Byte](60 + data.length)
+    def putLe32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    def tag(i: Int, s: String): Unit =
+      System.arraycopy(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, out, i, 4)
+    tag(0, "RIFF"); putLe32(4, out.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); putLe32(16, 20)
+    putLe16(20, 0x11); putLe16(22, 1); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * blockAlign / blockSamples) // avg byte rate
+    putLe16(32, blockAlign); putLe16(34, 4)
+    putLe16(36, 2); putLe16(38, blockSamples) // cbSize, samplesPerBlock
+    tag(40, "fact"); putLe32(44, 4) // fact chunk: total samples (informative)
+    // fact payload lives at 48..51; data chunk header follows
+    putLe32(48, samples.length)
+    tag(52, "data"); putLe32(56, data.length)
+    System.arraycopy(data, 0, out, 60, data.length)
+    out
+  }
+
   /** 16-dim image features from REAL decoded pixels: 12-bin luminance
     * histogram (Rec.601 luma, normalized), mean R/G/B in [0,1], and
     * aspect ratio w/h. Deterministic, codec-free. */
@@ -1205,9 +1375,200 @@ object Multimodal {
     * compression is implementable without media libraries (PNG via the
     * JDK's Inflater, GIF via LZW, baseline AND progressive JPEG via
     * [[Jpeg.decode]] — canonical Huffman + 8×8 DCT, ITU-T T.81). */
+  /** PackBits run-length decoding (TIFF 6.0 §9, the Apple RLE scheme):
+    * control byte n in 0..127 → copy n+1 literals; n in -127..-1 → repeat
+    * next byte 1-n times; -128 → no-op. None when output overruns
+    * `expect` or input truncates. */
+  private[dedup] def unpackBits(in: Array[Byte], off: Int, len: Int,
+                                expect: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expect)
+    var i = off; var o = 0
+    val end = off + len
+    while (i < end && o < expect) {
+      val n = in(i); i += 1
+      if (n >= 0) {
+        val run = n + 1
+        if (i + run > end || o + run > expect) return None
+        System.arraycopy(in, i, out, o, run)
+        i += run; o += run
+      } else if (n != -128) {
+        val run = 1 - n
+        if (i >= end || o + run > expect) return None
+        java.util.Arrays.fill(out, o, o + run, in(i))
+        i += 1; o += run
+      }
+    }
+    if (o == expect) Some(out) else None
+  }
+
+  /** REAL baseline-TIFF pixel decode (TIFF 6.0): both byte orders,
+    * strip-organized 8-bit grayscale (photometric 0/1) and RGB
+    * (photometric 2), Compression 1 (none) or 32773 (PackBits) — the
+    * codec-free corners of the spec, matching the repo's
+    * no-media-library rule. Handles inline vs offset-stored tag values
+    * (count×size > 4 indirects), multi-strip images, and WhiteIsZero
+    * inversion. Returns (w, h, RGB row-major); None on LZW/JPEG-in-TIFF,
+    * tiled layout, non-8-bit samples, or any malformation — never
+    * throws. Raster capped at 256 MiB like the other decoders. */
+  def decodeTiff(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (bytes == null || bytes.length < 8 || sniffMagic(bytes) != "tiff") return None
+    val le = bytes(0) == 'I'
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16(i: Int) = if (le) (u8(i + 1) << 8) | u8(i) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (if (le) (u8(i + 3).toLong << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+       else (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    val ifd = u32(4).toInt
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd)
+    var w = -1; var h = -1; var compression = 1; var photometric = -1
+    var spp = 1; var rowsPerStrip = Int.MaxValue; var bitsOk = true
+    var stripOffs: Array[Long] = null; var stripLens: Array[Long] = null
+    /** all `count` values of an entry, honoring inline-vs-offset. */
+    def values(off: Int): Option[Array[Long]] = {
+      val tpe = u16(off + 2); val count = u32(off + 4)
+      val size = tpe match { case 1 => 1; case 3 => 2; case 4 => 4; case _ => return None }
+      if (count > (1L << 20)) return None
+      val total = count * size
+      val base = if (total <= 4) off + 8 else u32(off + 8).toInt
+      if (base < 0 || base + total > bytes.length) return None
+      Some(Array.tabulate(count.toInt) { k =>
+        size match {
+          case 1 => u8(base + k).toLong
+          case 2 => u16(base + k * 2).toLong
+          case _ => u32(base + k * 4)
+        }
+      })
+    }
+    var e = 0
+    while (e < n && ifd + 2 + 12 * (e + 1) <= bytes.length) {
+      val off = ifd + 2 + 12 * e
+      u16(off) match {
+        case 256 => w = values(off).flatMap(_.headOption).getOrElse(-1L).toInt
+        case 257 => h = values(off).flatMap(_.headOption).getOrElse(-1L).toInt
+        case 258 => bitsOk = values(off).exists(_.forall(_ == 8L))
+        case 259 => compression = values(off).flatMap(_.headOption).getOrElse(1L).toInt
+        case 262 => photometric = values(off).flatMap(_.headOption).getOrElse(-1L).toInt
+        case 273 => stripOffs = values(off).orNull
+        case 277 => spp = values(off).flatMap(_.headOption).getOrElse(1L).toInt
+        case 278 => rowsPerStrip = math.min(values(off)
+          .flatMap(_.headOption).getOrElse(Int.MaxValue.toLong), Int.MaxValue.toLong).toInt
+        case 279 => stripLens = values(off).orNull
+        case _ =>
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || !bitsOk || stripOffs == null || stripLens == null) return None
+    if (stripOffs.length != stripLens.length || rowsPerStrip <= 0) return None
+    if (compression != 1 && compression != 32773) return None
+    val gray = photometric == 0 || photometric == 1
+    if (!gray && photometric != 2) return None
+    if (gray && spp != 1) return None
+    if (!gray && spp != 3) return None
+    if (w.toLong * h * 3 > (256L << 20)) return None
+    // clamp BEFORE the ceiling-divide: the spec's "rows-per-strip absent
+    // = 2^32-1" default would overflow h + rowsPerStrip - 1 in Int
+    if (rowsPerStrip > h) rowsPerStrip = h
+    val expectedStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    if (stripOffs.length < expectedStrips) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var strip = 0
+    while (strip < expectedStrips) {
+      val rows = math.min(rowsPerStrip, h - strip * rowsPerStrip)
+      val rawLen = rows * w * spp
+      val sOff = stripOffs(strip); val sLen = stripLens(strip)
+      if (sOff < 0 || sOff + sLen > bytes.length) return None
+      val data: Array[Byte] =
+        if (compression == 1) {
+          if (sLen < rawLen) return None
+          java.util.Arrays.copyOfRange(bytes, sOff.toInt, sOff.toInt + rawLen)
+        } else unpackBits(bytes, sOff.toInt, sLen.toInt, rawLen).getOrElse(return None)
+      var p = 0
+      val outBase = strip * rowsPerStrip * w * 3
+      while (p < rows * w) {
+        if (gray) {
+          val v0 = data(p) & 0xFF
+          val v = if (photometric == 0) 255 - v0 else v0 // WhiteIsZero inverts
+          rgb(outBase + p * 3) = v.toByte
+          rgb(outBase + p * 3 + 1) = v.toByte
+          rgb(outBase + p * 3 + 2) = v.toByte
+        } else {
+          rgb(outBase + p * 3) = data(p * 3)
+          rgb(outBase + p * 3 + 1) = data(p * 3 + 1)
+          rgb(outBase + p * 3 + 2) = data(p * 3 + 2)
+        }
+        p += 1
+      }
+      strip += 1
+    }
+    Some((w, h, rgb))
+  } catch { case _: Exception => None }
+
+  /** Baseline-TIFF ENCODER — the fixture dual of [[decodeTiff]] (same
+    * role as [[encodeBmp]]/[[encodePng]]): single-strip 8-bit RGB, either
+    * byte order, Compression 1 or PackBits (literal-only runs — valid
+    * PackBits, exercises the decode path without an optimizing packer). */
+  def encodeTiff(w: Int, h: Int, rgb: Array[Byte], bigEndian: Boolean = false,
+                 packBits: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3, "rgb must be w*h*3")
+    val pix: Array[Byte] =
+      if (!packBits) rgb
+      else { // literal PackBits runs of ≤128 bytes
+        val out = new java.io.ByteArrayOutputStream(rgb.length + rgb.length / 128 + 1)
+        var i = 0
+        while (i < rgb.length) {
+          val run = math.min(128, rgb.length - i)
+          out.write(run - 1)
+          out.write(rgb, i, run)
+          i += run
+        }
+        out.toByteArray
+      }
+    val nEntries = 8
+    val ifdOff = 8
+    val ifdSize = 2 + nEntries * 12 + 4
+    val bpsOff = ifdOff + ifdSize          // 3 SHORTs (6 bytes) stored out of line
+    val pixOff = bpsOff + 6
+    val out = new Array[Byte](pixOff + pix.length)
+    def put16(i: Int, v: Int): Unit =
+      if (bigEndian) { out(i) = (v >>> 8).toByte; out(i + 1) = v.toByte }
+      else { out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte }
+    def put32(i: Int, v: Int): Unit =
+      if (bigEndian) {
+        out(i) = (v >>> 24).toByte; out(i + 1) = (v >>> 16).toByte
+        out(i + 2) = (v >>> 8).toByte; out(i + 3) = v.toByte
+      } else {
+        out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+        out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+      }
+    if (bigEndian) { out(0) = 'M'; out(1) = 'M'; out(2) = 0; out(3) = 0x2A }
+    else { out(0) = 'I'; out(1) = 'I'; out(2) = 0x2A; out(3) = 0 }
+    put32(4, ifdOff)
+    put16(ifdOff, nEntries)
+    var eo = ifdOff + 2
+    def entry(tag: Int, tpe: Int, count: Int, value: Int): Unit = {
+      put16(eo, tag); put16(eo + 2, tpe); put32(eo + 4, count)
+      if (tpe == 3 && count == 1) { put16(eo + 8, value); put16(eo + 10, 0) }
+      else put32(eo + 8, value)
+      eo += 12
+    }
+    entry(256, 4, 1, w)            // ImageWidth
+    entry(257, 4, 1, h)            // ImageLength
+    entry(258, 3, 3, bpsOff)       // BitsPerSample → out-of-line [8,8,8]
+    entry(259, 3, 1, if (packBits) 32773 else 1)
+    entry(262, 3, 1, 2)            // RGB
+    entry(273, 4, 1, pixOff)       // StripOffsets (single strip)
+    entry(277, 3, 1, 3)            // SamplesPerPixel
+    entry(279, 4, 1, pix.length)   // StripByteCounts
+    put32(eo, 0)                   // no next IFD
+    put16(bpsOff, 8); put16(bpsOff + 2, 8); put16(bpsOff + 4, 8)
+    System.arraycopy(pix, 0, out, pixOff, pix.length)
+    out
+  }
+
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeBmp(bytes).orElse(decodePng(bytes)).orElse(decodeGif(bytes))
-      .orElse(Jpeg.decode(bytes))
+      .orElse(decodeTiff(bytes)).orElse(Jpeg.decode(bytes))
 
   // -------------------------------------------- perceptual image hashing
   /** dHash: the standard difference-hash perceptual image fingerprint —
@@ -1418,7 +1779,7 @@ object Multimodal {
     * ([[Flac.decode]] — Rice codes + integer predictors, lossless). The
     * audio twin of [[decodeImage]]. */
   def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
-    decodeWavPcm(bytes).orElse(Flac.decode(bytes))
+    decodeWavPcm(bytes).orElse(decodeWavImaAdpcm(bytes)).orElse(Flac.decode(bytes))
 
   /** Binary audio column → (id, sample_rate, n_samples, afp) fingerprints,
     * one typed mapPartitions pass (decode once per blob). Undecodable

@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   spark-submit --class dedup.Pipeline <jar> \
   *     --input <pages parquet> --output <checkpoint root> \
+  *     [--input-warc <warc dir|glob>] [--input-wet <wet dir|glob>]
   *     [--threshold 0.7] [--ngram 5] [--min-length 5] [--num-perm 250]
   *     [--seed 42] [--salt 16] [--bands-per-pass 0] [--no-verify]
   *     [--simhash] [--suffix]
@@ -53,6 +54,7 @@ object Pipeline {
   case class Args(
       input: String = "",
       inputWarc: String = "",
+      inputWet: String = "",
       output: String = "",
       synth: Long = 0L,
       simhash: Boolean = false,
@@ -104,6 +106,7 @@ object Pipeline {
       argv(i) match {
         case "--input" => a = a.copy(input = argv(i + 1)); i += 2
         case "--input-warc" => a = a.copy(inputWarc = argv(i + 1)); i += 2
+        case "--input-wet" => a = a.copy(inputWet = argv(i + 1)); i += 2
         case "--output" => a = a.copy(output = argv(i + 1)); i += 2
         case "--synth" => a = a.copy(synth = argv(i + 1).toLong); i += 2
         case "--threshold" => a = a.copy(cfg = a.cfg.copy(threshold = argv(i + 1).toDouble)); i += 2
@@ -195,8 +198,11 @@ object Pipeline {
     }
     require(a.output.nonEmpty || a.explainPair.isDefined,
       "--output is required") // forensics-only runs write nothing
-    require(a.input.nonEmpty || a.inputWarc.nonEmpty || a.synth > 0,
-      "--input, --input-warc or --synth is required")
+    require(a.input.nonEmpty || a.inputWarc.nonEmpty || a.inputWet.nonEmpty ||
+      a.synth > 0,
+      "--input, --input-warc, --input-wet or --synth is required")
+    require(!a.extractHtml || a.inputWet.isEmpty,
+      "--extract-html is meaningless for WET input (text is pre-extracted)")
     require(!a.existingFuzzy || a.existing.nonEmpty,
       "--existing-fuzzy requires --existing <pages parquet>")
     require(a.sampleTarget <= 1.0, "--sample-target must be in (0, 1]")
@@ -221,12 +227,15 @@ object Pipeline {
   private def loadPages(spark: SparkSession, args: Args): DataFrame =
     if (args.synth > 0) Synth.pages(spark, args.synth, args.cfg.seed).toDF()
     else if (args.inputWarc.nonEmpty) Warc.pages(spark, args.inputWarc)
+    else if (args.inputWet.nonEmpty) Warc.wetPages(spark, args.inputWet)
     else spark.read.schema(Page.schema).parquet(args.input)
 
   private def sourceFingerprint(spark: SparkSession, args: Args): String =
     if (args.synth > 0) s"synth${args.synth}s${args.cfg.seed}"
     else if (args.inputWarc.nonEmpty)
       "warc" + CheckpointStore.inputFingerprint(spark, args.inputWarc)
+    else if (args.inputWet.nonEmpty)
+      "wet" + CheckpointStore.inputFingerprint(spark, args.inputWet)
     else CheckpointStore.inputFingerprint(spark, args.input)
 
   /** `--infer-lang`: fill null `lang` values from the page text with a

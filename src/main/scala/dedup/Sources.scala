@@ -65,6 +65,82 @@ object Sources {
       .select("url", "warc_ts", "html", "text", "lang", "_corrupt_record")
   }
 
+  /** Avro page table. Spark's `format("avro")` lives in the separate
+    * spark-avro module, but the Avro CORE library ships with Spark itself
+    * — so this reads Avro Object Container Files directly with
+    * `DataFileStream` + `GenericDatumReader` in a per-file mapPartitions
+    * pass (the same sanctioned imperative-source shape as [[Warc.pages]]:
+    * streamed, one record in memory at a time, schema projected by NAME
+    * onto the Page contract). Field mapping is tolerant of the common
+    * wire spellings: `url`/`text`/`lang` as string or Avro `Utf8`,
+    * `html` as bytes or fixed, `warc_ts` as ISO-8601 string or
+    * epoch millis/micros long (Avro's two standard timestamp logical
+    * types). Missing fields land as typed nulls. Malformed FILES are
+    * skipped (corrupt container header); a malformed RECORD ends that
+    * file's stream early — never a task failure. */
+  def pagesAvro(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (_, pds) =>
+        val recs = scala.collection.mutable.ArrayBuffer.empty[Page]
+        try {
+          val reader = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+            pds.open(),
+            new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+          try {
+            val schema = reader.getSchema
+            def has(f: String) = schema.getField(f) != null
+            def str(r: org.apache.avro.generic.GenericRecord, f: String): String =
+              if (!has(f) || r.get(f) == null) null else r.get(f).toString
+            def bin(r: org.apache.avro.generic.GenericRecord, f: String): Array[Byte] =
+              if (!has(f)) null else r.get(f) match {
+                case null => null
+                case bb: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+                case fx: org.apache.avro.generic.GenericFixed => fx.bytes()
+                case _ => null
+              }
+            def ts(r: org.apache.avro.generic.GenericRecord, f: String): java.sql.Timestamp =
+              if (!has(f)) null else r.get(f) match {
+                case null => null
+                case l: java.lang.Long =>
+                  // timestamp-millis vs -micros per the field's logical type;
+                  // bare longs default to millis (the Avro spec default)
+                  val lt = schema.getField(f).schema() match {
+                    case s if s.getLogicalType != null => s.getLogicalType.getName
+                    case s if s.getType == org.apache.avro.Schema.Type.UNION =>
+                      var name = "timestamp-millis"
+                      val it = s.getTypes.iterator()
+                      while (it.hasNext) {
+                        val t = it.next()
+                        if (t.getLogicalType != null) name = t.getLogicalType.getName
+                      }
+                      name
+                    case _ => "timestamp-millis"
+                  }
+                  if (lt == "timestamp-micros")
+                    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                      l / 1000000L, (l % 1000000L) * 1000L))
+                  else new java.sql.Timestamp(l)
+                case other =>
+                  try java.sql.Timestamp.from(java.time.Instant.parse(other.toString))
+                  catch { case _: Exception => null }
+              }
+            while (reader.hasNext) {
+              val r = reader.next()
+              recs += Page(str(r, "url"), ts(r, "warc_ts"), bin(r, "html"),
+                str(r, "text"), str(r, "lang"))
+            }
+          } finally reader.close()
+        } catch { case _: Exception => } // corrupt container/record: keep what we have
+        recs.iterator
+      }
+      .toDS()
+      .toDF()
+  }
+
   /** Text-file fallback (S3, fuzzy_spark.py:279-281): one line = one doc;
     * url is synthesized from the content hash (stable across reruns). */
   def pagesText(spark: SparkSession, path: String): DataFrame =

@@ -33,6 +33,11 @@ object Warc {
   /** One parsed response record. */
   private[dedup] final case class Rec(url: String, ts: java.sql.Timestamp, html: Array[Byte])
 
+  /** One raw record of ANY WARC-Type, block verbatim (no HTTP-body
+    * stripping) — the shared substrate for the WARC/WET/WAT readers. */
+  private[dedup] final case class RawRec(
+      tpe: String, url: String, ts: java.sql.Timestamp, block: Array[Byte])
+
   /** CRLF-terminated line as ISO-8859-1 (WARC headers are octets);
     * returns null at EOF. */
   private def readLine(in: InputStream): String = {
@@ -146,12 +151,14 @@ object Warc {
     try java.sql.Timestamp.from(java.time.Instant.parse(s))
     catch { case _: Exception => null }
 
-  /** Stream-parse WARC records; emits one Rec per well-formed
-    * `WARC-Type: response` record, skips everything else (warcinfo,
-    * request, metadata, malformed tails). */
-  private[dedup] def records(raw: InputStream): Iterator[Rec] = new Iterator[Rec] {
+  /** Stream-parse WARC records of ANY type (blocks verbatim); emits one
+    * RawRec per record that has a Target-URI and a parseable
+    * Content-Length, skips malformed tails. The version-line seek makes
+    * the parser self-resynchronizing: a record with a garbled
+    * Content-Length drops THAT record only, not the archive tail. */
+  private[dedup] def rawRecords(raw: InputStream): Iterator[RawRec] = new Iterator[RawRec] {
     private val in = new BufferedInputStream(raw, 1 << 16)
-    private var nextRec: Rec = _
+    private var nextRec: RawRec = _
     private var done = false
 
     private def advance(): Unit = {
@@ -191,8 +198,8 @@ object Warc {
           } else {
             val block = readFully(in, len)
             // trailing CRLF CRLF separator (tolerated if absent at EOF)
-            if (tpe != null && tpe.equalsIgnoreCase("response") && uri != null)
-              nextRec = Rec(uri, parseTs(date), httpBody(block))
+            if (tpe != null && uri != null)
+              nextRec = RawRec(tpe, uri, parseTs(date), block)
           }
         } catch {
           case _: EOFException => done = true // truncated tail: keep what we have
@@ -201,18 +208,34 @@ object Warc {
     }
 
     override def hasNext: Boolean = { advance(); nextRec != null }
-    override def next(): Rec = {
+    override def next(): RawRec = {
       advance()
       if (nextRec == null) throw new NoSuchElementException
       val r = nextRec; nextRec = null; r
     }
   }
 
+  /** `WARC-Type: response` records only, HTTP body stripped — the
+    * html-bearing record stream behind [[pages]]. */
+  private[dedup] def records(raw: InputStream): Iterator[Rec] =
+    rawRecords(raw).collect {
+      case RawRec(tpe, url, ts, block) if tpe.equalsIgnoreCase("response") =>
+        Rec(url, ts, httpBody(block))
+    }
+
   private def isGzip(in: BufferedInputStream): Boolean = {
     in.mark(2)
     val a = in.read(); val b = in.read()
     in.reset()
     a == 0x1F && b == 0x8B
+  }
+
+  /** Buffered, gzip-sniffed stream over one archive (multi-member gzip
+    * handled natively by GZIPInputStream). */
+  private def openArchive(pds: org.apache.spark.input.PortableDataStream): InputStream = {
+    val base = new BufferedInputStream(pds.open(), 1 << 16)
+    if (isGzip(base)) new java.util.zip.GZIPInputStream(base, 1 << 16)
+    else base
   }
 
   /** WARC archive(s) → page table. `path` accepts a file, directory, or
@@ -223,13 +246,65 @@ object Warc {
              else spark.sparkContext.defaultParallelism
     spark.sparkContext.binaryFiles(path, mp)
       .flatMap { case (_, pds) =>
-        val base = new BufferedInputStream(pds.open(), 1 << 16)
-        val in: InputStream =
-          if (isGzip(base)) new java.util.zip.GZIPInputStream(base, 1 << 16)
-          else base
-        records(in).map(r => Page(r.url, r.ts, r.html, null, null))
+        records(openArchive(pds)).map(r => Page(r.url, r.ts, r.html, null, null))
       }
       .toDS()
       .toDF()
+  }
+
+  /** WET archive(s) → page table with the TEXT column populated.
+    *
+    * WET is Common Crawl's pre-extracted-text companion format: the same
+    * ISO 28500 container, but records are `WARC-Type: conversion` and the
+    * block is the extracted UTF-8 text directly (no HTTP framing, nothing
+    * to de-chunk). A corpus that arrives as WET skips `--extract-html`
+    * entirely — this reader lands it straight in the
+    * `(url, warc_ts, html=null, text, lang=null)` shape the pipeline's
+    * text stages consume. Same streaming scale shape as [[pages]]: one
+    * record's block in memory per task at a time.
+    *
+    * The per-file `warcinfo` header record (which has no Target-URI in
+    * some writers, a metadata URI in others) is excluded by the
+    * conversion-type filter, not by URI heuristics. */
+  def wetPages(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (_, pds) =>
+        rawRecords(openArchive(pds)).collect {
+          case RawRec(tpe, url, ts, block) if tpe.equalsIgnoreCase("conversion") =>
+            Page(url, ts, null,
+              new String(block, java.nio.charset.StandardCharsets.UTF_8), null)
+        }
+      }
+      .toDS()
+      .toDF()
+  }
+
+  /** WAT archive(s) → `(url, warc_ts, json)` metadata rows.
+    *
+    * WAT is Common Crawl's metadata companion: `WARC-Type: metadata`
+    * records whose block is a JSON envelope (headers, link lists, title,
+    * server fields) describing one record of the underlying WARC. The
+    * JSON is returned VERBATIM as a string column — downstream parsing
+    * belongs in Catalyst (`from_json` with the caller's schema of
+    * interest, or `get_json_object` for point lookups), which keeps this
+    * reader schema-agnostic across the several WAT envelope dialects in
+    * the wild. Rows whose block is not a JSON object (defensive: some
+    * writers emit text preambles) are dropped. */
+  def watRecords(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (_, pds) =>
+        rawRecords(openArchive(pds)).collect {
+          case RawRec(tpe, url, ts, block) if tpe.equalsIgnoreCase("metadata") =>
+            (url, ts, new String(block, java.nio.charset.StandardCharsets.UTF_8).trim)
+        }
+      }
+      .filter(_._3.startsWith("{"))
+      .toDF("url", "warc_ts", "json")
   }
 }

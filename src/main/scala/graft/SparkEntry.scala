@@ -668,6 +668,79 @@ object SparkEntry {
         }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
     }),
 
+    // REAL baseline-TIFF decode gate (Multimodal.encodeTiff →
+    // decodeImage → decodeTiff): planted pixel formula, alternating byte
+    // order by id parity and PackBits compression by id%3 — the oracle
+    // replays the formula alone, so a wire-variant-dependent mis-decode
+    // (endian swap, bad RLE) breaks the hash. Zero shuffle.
+    "q_tiff_decode" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val d = id % 37
+            val w = 19; val h = 11
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((d * 29 + x * 5 + y * 17) % 256).toByte
+                rgb(p + 1) = ((d * 13 + x * 9 + y * 7) % 256).toByte
+                rgb(p + 2) = ((d * 19 + x * 3 + y * 11) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val tif = Multimodal.encodeTiff(w, h, rgb,
+              bigEndian = id % 2 == 1, packBits = id % 3 == 0)
+            Multimodal.decodeImage(tif) match {
+              case Some((dw, dh, px)) =>
+                var sum = 0L
+                var i = 0
+                while (i < dw * dh) {
+                  sum += ((px(i * 3) & 0xFF) * 3L + (px(i * 3 + 1) & 0xFF) * 5L +
+                    (px(i * 3 + 2) & 0xFF) * 7L) * (i + 1)
+                  i += 1
+                }
+                (id, dw, dh, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "w", "h", "pix_sum")
+    }),
+
+    // REAL IMA-ADPCM decode gate (Multimodal.encodeWavImaAdpcm →
+    // decodeAudio): two constant-amplitude blocks — the codec's lossless
+    // corner (zero deltas quantize to nibble 0 at the minimum step, and
+    // each block header re-anchors the predictor exactly), so DuckDB can
+    // replay the decoded samples in closed form while the adaptive-step
+    // math is suite-gated (roundtrip SNR + hand-computed goldens).
+    "q_adpcm_decode" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val v1 = ((id * 53) % 2048).toInt - 1024
+            val v2 = ((id * 29) % 2048).toInt - 1024
+            val samples = Array.fill(33)(v1.toShort) ++ Array.fill(33)(v2.toShort)
+            val wav = Multimodal.encodeWavImaAdpcm(8000, samples, blockSamples = 33)
+            Multimodal.decodeAudio(wav) match {
+              case Some((rate, _, dec)) =>
+                var sum = 0L
+                var i = 0
+                while (i < dec.length) {
+                  sum += math.round(dec(i) * 32768f).toLong * (i + 1)
+                  i += 1
+                }
+                (id, rate, dec.length, sum)
+              case None => (id, -1, -1, -1L)
+            }
+          }
+        }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
+    }),
+
     // REAL MJPEG-AVI video gate (Avi.encodeMjpeg → Avi.decodeFrames):
     // 3-frame videos whose frames are constant-8×8-block JPEGs (the
     // lossless corner again), decoded through the RIFF movi walk + the
@@ -2032,6 +2105,24 @@ object SparkEntry {
         |SELECT doc_id, 18 AS w, 16 AS h,
         |  sum((r*3 + g*5 + b*7) * (y*18 + x + 1))::BIGINT AS pix_sum
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_tiff_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, y.y AS y, x.x AS x,
+        |    ((d.doc_id % 37)*29 + x.x*5 + y.y*17) % 256 AS r,
+        |    ((d.doc_id % 37)*13 + x.x*9 + y.y*7) % 256 AS g,
+        |    ((d.doc_id % 37)*19 + x.x*3 + y.y*11) % 256 AS b
+        |  FROM documents d, generate_series(0,18) x(x), generate_series(0,10) y(y)
+        |)
+        |SELECT doc_id, 19 AS w, 11 AS h,
+        |  sum((r*3 + g*5 + b*7) * (y*19 + x + 1))::BIGINT AS pix_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_adpcm_decode" ->
+      """SELECT doc_id, 8000 AS sample_rate, 66 AS n_samples,
+        |  (((doc_id*53) % 2048) - 1024) * 561
+        |    + (((doc_id*29) % 2048) - 1024) * 1650 AS sample_sum
+        |FROM documents""".stripMargin,
 
     "q_gif_decode" ->
       """WITH px AS (

@@ -488,6 +488,68 @@ class MultimodalSpec extends AnyFunSuite {
       === Some((8000, 1, 8, 64 * 1000L / 8000)))
   }
 
+  test("IMA ADPCM: hand-computed first step, closed-loop roundtrip SNR, block chaining") {
+    // golden: pred=0 idx=0 step=7; encoding sample 10 → delta 10 ≥ 7
+    // (bit4, rem 3) ≥ 3 (bit2, rem 0) < 1 → nibble 6; decode diff =
+    // 7>>3 + 7 + 3 = 10 → predictor 10. Header carries sample 0 exactly.
+    val tiny = Array[Short](0, 10, 0, 0, 0, 0, 0, 0, 0)
+    val Some((r0, c0, s0)) =
+      Multimodal.decodeWavImaAdpcm(Multimodal.encodeWavImaAdpcm(8000, tiny, 9))
+    assert(r0 === 8000 && c0 === 1)
+    assert(math.round(s0(0) * 32768f) === 0)
+    assert(math.round(s0(1) * 32768f) === 10)
+    // closed-loop roundtrip on a smooth signal spanning many blocks: the
+    // encoder runs the decoder's own update, so error never accumulates —
+    // relative RMS stays under the adaptive-step quantization floor
+    val n = 2000
+    val sine = Array.tabulate(n)(i =>
+      (8000 * math.sin(i * 0.07) + 3000 * math.sin(i * 0.011)).toShort)
+    val Some((_, _, dec)) =
+      Multimodal.decodeWavImaAdpcm(Multimodal.encodeWavImaAdpcm(16000, sine, 505))
+    assert(dec.length >= n)
+    var errSq = 0.0; var sigSq = 0.0
+    for (i <- 0 until n) {
+      val e = dec(i) * 32768f - sine(i)
+      errSq += e * e; sigSq += sine(i).toDouble * sine(i)
+    }
+    val relRms = math.sqrt(errSq / sigSq)
+    assert(relRms < 0.05, f"ADPCM roundtrip rel RMS $relRms%.4f too high")
+    // sample 505 opens block 2: its header predictor must equal the
+    // source sample exactly (encoder re-anchors each block header)
+    assert(math.round(dec(505) * 32768f) === sine(505).toInt)
+    // decodeAudio dispatches ADPCM to the real decoder, not the stub
+    assert(Multimodal.decodeAudio(
+      Multimodal.encodeWavImaAdpcm(16000, sine, 505)).isDefined)
+  }
+
+  test("IMA ADPCM stereo: per-channel state machines, 4-byte group interleave") {
+    // hand-built 2-channel file: blockAlign 16 = 2×4B headers + one
+    // 4-byte nibble group per channel; ch0 all-zero nibbles hold at +100,
+    // ch1 all-8 nibbles (sign bit, zero magnitude) hold at -200
+    val bb = java.nio.ByteBuffer.allocate(44 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(52); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(0x11); bb.putShort(2); bb.putInt(8000)
+    bb.putInt(8000); bb.putShort(16); bb.putShort(4)
+    bb.put("data".getBytes); bb.putInt(16)
+    bb.putShort(100); bb.put(0.toByte); bb.put(0.toByte)      // ch0 header
+    bb.putShort(-200); bb.put(0.toByte); bb.put(0.toByte)     // ch1 header
+    for (_ <- 0 until 4) bb.put(0x00.toByte)                  // ch0 nibbles
+    for (_ <- 0 until 4) bb.put(0x88.toByte)                  // ch1 nibbles
+    val Some((rate, ch, samples)) = Multimodal.decodeWavImaAdpcm(bb.array())
+    assert(rate === 8000 && ch === 2)
+    assert(samples.length === 9 * 2) // samplesPerBlock = (16-8)*2/2+1 = 9
+    for (s <- 0 until 9) {
+      assert(math.round(samples(s * 2) * 32768f) === 100, s"ch0 sample $s")
+      assert(math.round(samples(s * 2 + 1) * 32768f) === -200, s"ch1 sample $s")
+    }
+    // malformed: blockAlign not a whole nibble-group multiple → None
+    val bad = bb.array().clone()
+    bad(32) = 14 // blockAlign 14: (14-8) % 8 != 0
+    assert(Multimodal.decodeWavImaAdpcm(bad) === None)
+  }
+
   test("decodeFeatures: real paths for BMP/WAV, stub only for codec formats") {
     val rows = Seq(
       Seq((255, 0, 0), (0, 255, 0)),
@@ -709,6 +771,83 @@ class MultimodalSpec extends AnyFunSuite {
         assert(one.map(_._3.toSeq) === Some(rgb.toSeq), s"filter $f at ${w}x$h")
       }
     }
+  }
+
+  test("decodeTiff: both byte orders, PackBits, multi-strip, WhiteIsZero; " +
+      "golden vs the JDK's own TIFF codec both directions") {
+    val w = 21; val h = 13
+    val rgb = testPixels(w, h, 5)
+    // our encoder -> our decoder, all four (endian × compression) corners
+    for (be <- Seq(false, true); pb <- Seq(false, true)) {
+      val Some((w1, h1, back)) =
+        Multimodal.decodeTiff(Multimodal.encodeTiff(w, h, rgb, be, pb))
+      assert((w1, h1) === ((w, h)), s"be=$be pb=$pb")
+      assert(back.toSeq === rgb.toSeq, s"pixels be=$be pb=$pb")
+    }
+    // our encoder -> JDK decoder (JDK 9+ ships a TIFF ImageIO plugin)
+    for (pb <- Seq(false, true)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeTiff(w, h, rgb, packBits = pb)))
+      assert(img != null && img.getWidth === w && img.getHeight === h, s"pb=$pb")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y); val p = (y * w + x) * 3
+        assert(((argb >> 16) & 0xFF) === (rgb(p) & 0xFF), s"R $x,$y pb=$pb")
+        assert(((argb >> 8) & 0xFF) === (rgb(p + 1) & 0xFF), s"G $x,$y pb=$pb")
+        assert((argb & 0xFF) === (rgb(p + 2) & 0xFF), s"B $x,$y pb=$pb")
+      }
+    }
+    // JDK encoder -> our decoder (RGB and gray rasters)
+    for (imgType <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)) {
+      val src = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        src.setRGB(x, y, 0xFF000000 | ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, "tiff", buf), "JDK must write TIFF")
+      val Some((w2, h2, back)) = Multimodal.decodeTiff(buf.toByteArray)
+      assert((w2, h2) === ((w, h)), s"dims type $imgType")
+      val gray = imgType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        if (gray) {
+          val s = src.getRaster.getSample(x, y, 0)
+          assert((back(p) & 0xFF) === s, s"gray $x,$y")
+        } else {
+          val argb = src.getRGB(x, y)
+          assert((back(p) & 0xFF) === ((argb >> 16) & 0xFF), s"R $x,$y")
+          assert((back(p + 1) & 0xFF) === ((argb >> 8) & 0xFF), s"G $x,$y")
+          assert((back(p + 2) & 0xFF) === (argb & 0xFF), s"B $x,$y")
+        }
+      }
+    }
+    // WhiteIsZero: photometric 0 inverts — patch a hand-built gray file
+    val g = Array.tabulate(16)(i => (i * 16).toByte)
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 8 * 12 + 4 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(8)
+    def ent(tag: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(tpe.toShort); bb.putInt(cnt); bb.putInt(v)
+    }
+    val pixOff = 8 + 2 + 8 * 12 + 4
+    ent(256, 4, 1, 4); ent(257, 4, 1, 4); ent(258, 3, 1, 8)
+    ent(259, 3, 1, 1); ent(262, 3, 1, 0) // WhiteIsZero
+    ent(273, 4, 1, pixOff); ent(277, 3, 1, 1); ent(279, 4, 1, 16)
+    bb.putInt(0); bb.put(g)
+    val Some((_, _, inv)) = Multimodal.decodeTiff(bb.array())
+    for (i <- 0 until 16)
+      assert((inv(i * 3) & 0xFF) === 255 - (g(i) & 0xFF), s"invert $i")
+    // imageDHash routes TIFF through the real decoder (format-agnostic)
+    assert(Multimodal.decodeImage(Multimodal.encodeTiff(w, h, rgb)).isDefined)
+    // corrupt: truncated strip and LZW compression reject as None
+    val lzw = Multimodal.encodeTiff(4, 4, new Array[Byte](48))
+    lzw(8 + 2 + 3 * 12 + 8) = 5 // Compression entry (index 3) value -> 5 (LZW)
+    assert(Multimodal.decodeTiff(lzw) === None)
+    assert(Multimodal.decodeTiff(
+      Multimodal.encodeTiff(w, h, rgb).dropRight(50)) === None)
   }
 
   test("decodePng golden vs the JDK's own codec (ImageIO), both directions") {

@@ -52,6 +52,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("pagesAvro: container files via the Avro core lib — strings, bytes, " +
+      "both timestamp logical types, missing fields, corrupt file skipped") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val dir = Files.createTempDirectory("avro")
+    // file 1: full schema, timestamp-micros logical type, binary html
+    val s1: Schema = SchemaBuilder.record("page").fields()
+      .optionalString("url")
+      .name("warc_ts").`type`(org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))).noDefault()
+      .optionalBytes("html")
+      .optionalString("text")
+      .optionalString("lang")
+      .endRecord()
+    val w1 = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s1))
+    w1.create(s1, dir.resolve("p1.avro").toFile)
+    val r1 = new GenericData.Record(s1)
+    r1.put("url", "https://a/1")
+    r1.put("warc_ts", 1709633130000000L) // 2024-03-05T10:05:30Z in micros
+    r1.put("html", java.nio.ByteBuffer.wrap("<p>hi</p>".getBytes("UTF-8")))
+    r1.put("text", "hello from avro")
+    r1.put("lang", "en")
+    w1.append(r1)
+    val r2 = new GenericData.Record(s1)
+    r2.put("url", "https://a/2"); r2.put("warc_ts", 0L)
+    w1.append(r2) // nulls for html/text/lang
+    w1.close()
+    // file 2: partial schema (no html/lang), ISO-string timestamp
+    val s2: Schema = SchemaBuilder.record("page").fields()
+      .optionalString("url").optionalString("warc_ts").optionalString("text")
+      .endRecord()
+    val w2 = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s2))
+    w2.create(s2, dir.resolve("p2.avro").toFile)
+    val r3 = new GenericData.Record(s2)
+    r3.put("url", "https://b/1"); r3.put("warc_ts", "2024-06-01T00:00:00Z")
+    r3.put("text", "string-timestamp row")
+    w2.append(r3); w2.close()
+    // file 3: not avro at all — skipped, not thrown
+    Files.write(dir.resolve("junk.avro"), "Obj_not_really".getBytes)
+    val df = Sources.pagesAvro(spark, dir.toString)
+    assert(df.schema.map(f => (f.name, f.dataType)) ===
+      Page.schema.map(f => (f.name, f.dataType)))
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("https://a/1", "https://a/2", "https://b/1"))
+    assert(new String(rows("https://a/1").getAs[Array[Byte]]("html"), "UTF-8") === "<p>hi</p>")
+    assert(rows("https://a/1").getAs[java.sql.Timestamp]("warc_ts").toInstant
+      === java.time.Instant.parse("2024-03-05T10:05:30Z"))
+    assert(rows("https://a/1").getAs[String]("text") === "hello from avro")
+    assert(rows("https://a/2").getAs[String]("text") === null)
+    assert(rows("https://b/1").getAs[java.sql.Timestamp]("warc_ts").toInstant
+      === java.time.Instant.parse("2024-06-01T00:00:00Z"))
+    assert(rows("https://b/1").getAs[Array[Byte]]("html") === null)
+  }
+
   test("pagesCsv: quoted multiline text, typed null html, corrupt-record surfacing") {
     val dir = Files.createTempDirectory("csv")
     val f = dir.resolve("pages.csv")

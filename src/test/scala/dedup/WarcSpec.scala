@@ -166,4 +166,80 @@ class WarcSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(texts("http://a.example/1") === "page one")
   }
+
+  test("wetPages: conversion records -> text column; warcinfo/request excluded; UTF-8") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wet")
+    // a WET file: warcinfo header record + conversion records whose block
+    // IS the extracted text (no HTTP framing) — non-ASCII exercises UTF-8
+    val wet =
+      record("warcinfo", null, "2024-01-01T00:00:00Z",
+        "software: wet-synth\r\n".getBytes) ++
+      record("conversion", "http://a.example/1", "2024-03-05T10:20:30Z",
+        "Extraits de texte — déjà extraits.\nSecond line.".getBytes("UTF-8")) ++
+      record("conversion", "<http://b.example/2>", "2024-03-05T11:00:00Z",
+        "plain ascii text".getBytes("UTF-8")) ++
+      record("response", "http://c.example/skip", "2024-03-05T12:00:00Z",
+        httpResponse("<p>an html record in the wrong file</p>"))
+    java.nio.file.Files.write(dir.resolve("chunk.warc.wet"), wet)
+    // gz member layout works identically to pages()
+    java.nio.file.Files.write(dir.resolve("chunk2.warc.wet.gz"), gzipMembers(Seq(
+      record("conversion", "http://d.example/3", "2024-04-01T00:00:00Z",
+        "gz member text".getBytes("UTF-8")))))
+    val df = Warc.wetPages(spark, dir.toString)
+    assert(df.schema.map(f => (f.name, f.dataType)) ===
+      Page.schema.map(f => (f.name, f.dataType)))
+    val rows = df.select(col("url"), col("text"), col("html")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2))).toList
+    assert(rows.map(_._1).toSet === Set("http://a.example/1",
+      "http://b.example/2", "http://d.example/3"))
+    assert(rows.forall(_._3 == null), "WET rows carry no html")
+    assert(rows.find(_._1 == "http://a.example/1").get._2
+      === "Extraits de texte — déjà extraits.\nSecond line.")
+    // --input-wet feeds the pipeline with pre-extracted text directly
+    val out = java.nio.file.Files.createTempDirectory("wetout").toString
+    val args = Pipeline.parse(Array(
+      "--input-wet", dir.toString, "--output", out,
+      "--num-perm", "64", "--salt", "4", "--min-length", "1"))
+    val (kept, assigns) = Pipeline.run(spark, args)
+    assert(assigns.count() === 3L && kept.count() === 3L)
+    // --extract-html is rejected for WET (text is already extracted)
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.parse(Array("--input-wet", dir.toString, "--output", out,
+        "--extract-html"))
+    }
+    assert(ex.getMessage.contains("WET"))
+  }
+
+  test("watRecords: metadata records -> verbatim json; Catalyst parses downstream") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wat")
+    val env1 = """{"Envelope":{"WARC-Header-Metadata":{"WARC-Type":"response"},""" +
+      """"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
+      """{"Head":{"Title":"Page One"},"Links":[{"url":"http://x.example/"}]}}}}}"""
+    val env2 = """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":""" +
+      """{"HTML-Metadata":{"Head":{"Title":"Page Two"}}}}}}"""
+    val wat =
+      record("warcinfo", null, "2024-01-01T00:00:00Z",
+        "software: wat-synth\r\n".getBytes) ++
+      record("metadata", "http://a.example/1", "2024-03-05T10:20:30Z",
+        env1.getBytes("UTF-8")) ++
+      record("metadata", "http://b.example/2", "2024-03-05T11:00:00Z",
+        env2.getBytes("UTF-8")) ++
+      // defensive: a non-JSON metadata block is dropped, not surfaced
+      record("metadata", "http://c.example/3", "2024-03-05T12:00:00Z",
+        "not json at all".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("chunk.warc.wat"), wat)
+    val df = Warc.watRecords(spark, dir.toString)
+    assert(df.columns.toSeq === Seq("url", "warc_ts", "json"))
+    val titles = df
+      .select(col("url"),
+        get_json_object(col("json"),
+          "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata'].Head.Title").as("title"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(titles === Map(
+      "http://a.example/1" -> "Page One",
+      "http://b.example/2" -> "Page Two"))
+  }
 }
