@@ -898,6 +898,55 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeTiff/decodeWavImaAdpcm fuzz: truncations and bit flips never throw; " +
+      "giant-dim and hostile-header bombs rejected") {
+    val w = 13; val h = 9
+    val rgb = testPixels(w, h, 7)
+    for (pb <- Seq(false, true)) {
+      val good = Multimodal.encodeTiff(w, h, rgb, packBits = pb)
+      for (cut <- Seq(4, 9, 30, 80, good.length / 2, good.length - 7))
+        Multimodal.decodeTiff(good.take(cut)) // Option either way — no throw
+      for (i <- good.indices by 5) {
+        val bad = good.clone; bad(i) = (bad(i) ^ 0x55).toByte
+        Multimodal.decodeTiff(bad)
+      }
+    }
+    // decompression-bomb guard: claimed 66k×66k raster from a 200-byte file
+    val bomb = Multimodal.encodeTiff(4, 4, new Array[Byte](48))
+    // ImageWidth entry (index 0) LONG value at 10+8=18; ImageLength at 10+12+8=30
+    def putLe32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >>> 8).toByte
+      a(i + 2) = (v >>> 16).toByte; a(i + 3) = (v >>> 24).toByte
+    }
+    putLe32(bomb, 18, 66000); putLe32(bomb, 30, 66000)
+    assert(Multimodal.decodeTiff(bomb) === None, "256 MiB raster cap")
+    // hostile strip offset pointing past EOF
+    val oob = Multimodal.encodeTiff(4, 4, new Array[Byte](48))
+    putLe32(oob, 10 + 5 * 12 + 8, 1 << 28) // StripOffsets entry (index 5)
+    assert(Multimodal.decodeTiff(oob) === None, "strip offset out of bounds")
+    // ADPCM: same discipline
+    val sine = Array.tabulate(400)(i => (6000 * math.sin(i * 0.1)).toShort)
+    val wav = Multimodal.encodeWavImaAdpcm(8000, sine, 33)
+    for (cut <- Seq(10, 43, 59, wav.length / 2))
+      Multimodal.decodeWavImaAdpcm(wav.take(cut))
+    for (i <- wav.indices by 5) {
+      val bad = wav.clone; bad(i) = (bad(i) ^ 0x55).toByte
+      Multimodal.decodeWavImaAdpcm(bad) // step indexes are clamped — no throw
+    }
+    // hostile blockAlign claiming 2^26+ samples from a tiny data chunk:
+    // the nBlocks×samplesPerBlock cap must reject, not allocate
+    val hostile = wav.clone
+    hostile(32) = 0xFF.toByte; hostile(33) = 0x7F.toByte // blockAlign 32767
+    Multimodal.decodeWavImaAdpcm(hostile) // None or tiny — must not throw
+    // unpackBits goldens: literal+repeat runs, -128 noop, overrun/underrun None
+    assert(Multimodal.unpackBits(Array[Byte](2, 10, 20, 30, -2, 7), 0, 6, 6)
+      .map(_.toSeq) === Some(Seq[Byte](10, 20, 30, 7, 7, 7)))
+    assert(Multimodal.unpackBits(Array[Byte](-128, 1, 65, 66), 0, 4, 2)
+      .map(_.toSeq) === Some(Seq[Byte](65, 66)))
+    assert(Multimodal.unpackBits(Array[Byte](127, 1, 2), 0, 3, 200) === None)
+    assert(Multimodal.unpackBits(Array[Byte](-5, 7), 0, 2, 2) === None)
+  }
+
   test("decodePng: truncated/corrupt/interlaced/16-bit rejected as None, never thrown") {
     val good = Multimodal.encodePng(9, 8, testPixels(9, 8))
     // cuts that damage the raster data reject; a trailer-only cut (IDAT
