@@ -189,7 +189,32 @@ object Multimodal {
   /** REAL WAV (RIFF) audio metadata by chunk-walk — no codec:
     * (sampleRate, channels, bitsPerSample, durationMs). The fmt chunk
     * carries the format fields; duration = data-chunk bytes / byteRate. */
-  def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def wavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    riffWalk(bytes).flatMap { w =>
+      if (w.rate <= 0 || w.channels <= 0 || w.dataDeclared < 0) None
+      else Some((w.rate, w.channels, w.bits,
+        if (w.byteRate > 0) w.dataDeclared * 1000L / w.byteRate else 0L))
+    }
+
+  /** The fmt/fact/data fields of one RIFF-WAVE chunk walk. `dataDeclared`
+    * is the data chunk's header size (duration math uses the claim even
+    * when the payload truncates); `dataLen` is clamped to the bytes
+    * actually present (decoders read only this). `samplesPerBlock` is 0
+    * unless a fmt extension (cbSize ≥ 2) declares one; `factSamples` is
+    * 0 when no fact chunk exists. */
+  private[dedup] final case class RiffWav(
+      fmt: Int, channels: Int, rate: Int, byteRate: Long, blockAlign: Int,
+      bits: Int, samplesPerBlock: Int, factSamples: Long,
+      dataOff: Int, dataDeclared: Long, dataLen: Int)
+
+  /** The ONE RIFF chunk walk behind [[wavMeta]], [[decodeWavPcm]] and
+    * [[decodeWavImaAdpcm]] — the unsigned-chunk-size wrap hazard (a
+    * corrupt size ≥ 2³¹ would step the cursor zero or negative →
+    * infinite loop / negative index inside a task) is handled in exactly
+    * one place: advance in Long, clamp to EOF. First data chunk wins.
+    * Returns None only for bytes that are not a RIFF-WAVE container at
+    * all; field validation belongs to each caller. */
+  private[dedup] def riffWalk(bytes: Array[Byte]): Option[RiffWav] = {
     if (bytes == null || bytes.length < 44 || sniffMagic(bytes) != "riff") return None
     def u8(i: Int) = bytes(i) & 0xFF
     def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
@@ -197,23 +222,30 @@ object Multimodal {
     def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (tag(8) != "WAVE") return None
     var i = 12
-    var rate = 0; var ch = 0; var bits = 0; var byteRate = 0L; var dataLen = -1L
+    var fmt = 0; var ch = 0; var rate = 0; var byteRate = 0L; var blockAlign = 0
+    var bits = 0; var spb = 0; var fact = 0L
+    var dataOff = -1; var dataDeclared = -1L; var dataLen = 0
     while (i + 8 <= bytes.length) {
       val id = tag(i); val size = le32(i + 4)
       if (id == "fmt " && i + 24 <= bytes.length) {
-        ch = le16(i + 10); rate = le32(i + 12).toInt
-        byteRate = le32(i + 16); bits = le16(i + 22)
-      } else if (id == "data") {
-        dataLen = size
+        fmt = le16(i + 8); ch = le16(i + 10); rate = le32(i + 12).toInt
+        byteRate = le32(i + 16); blockAlign = le16(i + 20); bits = le16(i + 22)
+        // fmt extension: cbSize at payload offset 16, samplesPerBlock at 18
+        // (the compressed-format field ADPCM wires carry)
+        if (size >= 20 && i + 28 <= bytes.length && le16(i + 24) >= 2)
+          spb = le16(i + 26)
+      } else if (id == "fact" && size >= 4 && i + 12 <= bytes.length) {
+        fact = le32(i + 8)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = i + 8
+        dataDeclared = size
+        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
       }
-      // chunks are word-aligned; size is UNSIGNED 32-bit — advance in Long
-      // and clamp, or a corrupt size ≥ 2³¹ wraps the cursor to a zero or
-      // negative step (infinite loop / negative index) inside a task
       val next = i + 8L + size + (size & 1L)
       i = if (next > bytes.length) bytes.length else next.toInt
     }
-    if (rate <= 0 || ch <= 0 || dataLen < 0) None
-    else Some((rate, ch, bits, if (byteRate > 0) dataLen * 1000L / byteRate else 0L))
+    Some(RiffWav(fmt, ch, rate, byteRate, blockAlign, bits, spb, fact,
+      dataOff, dataDeclared, dataLen))
   }
 
   /** REAL FLAC audio metadata — STREAMINFO block parse, no codec:
@@ -600,30 +632,12 @@ object Multimodal {
     * Returns (sampleRate, channels, samples). None for float PCM, ADPCM,
     * odd bit widths, or truncated chunks. */
   def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-    if (bytes == null || bytes.length < 44 || sniffMagic(bytes) != "riff") return None
-    def u8(i: Int) = bytes(i) & 0xFF
-    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
-    def le32(i: Int) = ((u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)).toLong & 0xFFFFFFFFL
-    def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (tag(8) != "WAVE") return None
-    var i = 12
-    var fmt = 0; var rate = 0; var ch = 0; var bits = 0
-    var dataOff = -1; var dataLen = 0
-    while (i + 8 <= bytes.length) {
-      val id = tag(i); val size = le32(i + 4)
-      if (id == "fmt " && i + 24 <= bytes.length) {
-        fmt = le16(i + 8); ch = le16(i + 10); rate = le32(i + 12).toInt
-        bits = le16(i + 22)
-      } else if (id == "data" && dataOff < 0) {
-        dataOff = i + 8
-        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
-      }
-      // unsigned-size-safe advance — same wrap hazard as wavMeta's walk
-      val next = i + 8L + size + (size & 1L)
-      i = if (next > bytes.length) bytes.length else next.toInt
-    }
+    val w = riffWalk(bytes).getOrElse(return None)
+    val fmt = w.fmt; val rate = w.rate; val ch = w.channels; val bits = w.bits
+    val dataOff = w.dataOff; val dataLen = w.dataLen
     if ((fmt != 1 && fmt != 6 && fmt != 7) || rate <= 0 || ch <= 0 || dataOff < 0)
       return None
+    def u8(i: Int) = bytes(i) & 0xFF
     if (fmt != 1) { // G.711: always one byte per sample
       if (bits != 8) return None
       val out = new Array[Float](dataLen)
@@ -691,33 +705,28 @@ object Multimodal {
     * (sampleRate, channels, samples interleaved, normalized to [-1,1]);
     * None for anything malformed (never throws). */
   def decodeWavImaAdpcm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-    if (bytes == null || bytes.length < 44 || sniffMagic(bytes) != "riff") return None
+    val w = riffWalk(bytes).getOrElse(return None)
+    val rate = w.rate; val ch = w.channels; val blockAlign = w.blockAlign
+    val dataOff = w.dataOff; val dataLen = w.dataLen
     def u8(i: Int) = bytes(i) & 0xFF
-    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
-    def le32(i: Int) = ((u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)).toLong & 0xFFFFFFFFL
-    def tag(i: Int) = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (tag(8) != "WAVE") return None
-    var i = 12
-    var fmt = 0; var rate = 0; var ch = 0; var blockAlign = 0
-    var dataOff = -1; var dataLen = 0
-    while (i + 8 <= bytes.length) {
-      val id = tag(i); val size = le32(i + 4)
-      if (id == "fmt " && i + 24 <= bytes.length) {
-        fmt = le16(i + 8); ch = le16(i + 10); rate = le32(i + 12).toInt
-        blockAlign = le16(i + 20)
-      } else if (id == "data" && dataOff < 0) {
-        dataOff = i + 8
-        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
-      }
-      val next = i + 8L + size + (size & 1L)
-      i = if (next > bytes.length) bytes.length else next.toInt
-    }
-    if (fmt != 0x11 || rate <= 0 || ch <= 0 || ch > 8 || dataOff < 0) return None
+    if (w.fmt != 0x11 || rate <= 0 || ch <= 0 || ch > 8 || dataOff < 0) return None
     if (blockAlign < 4 * ch || (blockAlign - 4 * ch) % (4 * ch) != 0) return None
-    val samplesPerBlock = (blockAlign - 4 * ch) * 2 / ch + 1
+    // the fmt extension's samplesPerBlock governs when it is consistent
+    // with the wire (≤ what the block geometry can carry): a final block's
+    // trailing nibbles beyond it are PADDING, not audio
+    val derived = (blockAlign - 4 * ch) * 2 / ch + 1
+    val samplesPerBlock =
+      if (w.samplesPerBlock >= 1 && w.samplesPerBlock <= derived) w.samplesPerBlock
+      else derived
     val nBlocks = dataLen / blockAlign
     if (nBlocks <= 0 || nBlocks.toLong * samplesPerBlock * ch > (1L << 26)) return None
-    val out = new Array[Float](nBlocks * samplesPerBlock * ch)
+    // the fact chunk declares total per-channel samples — trim the padded
+    // final block to it when plausible
+    val totalPerCh =
+      if (w.factSamples > 0 && w.factSamples <= nBlocks.toLong * samplesPerBlock)
+        w.factSamples.toInt
+      else nBlocks * samplesPerBlock
+    val out = new Array[Float](totalPerCh * ch)
     val pred = new Array[Int](ch); val idx = new Array[Int](ch)
     var b = 0
     while (b < nBlocks) {
@@ -728,7 +737,8 @@ object Multimodal {
         val h = base + c * 4
         pred(c) = ((u8(h + 1) << 8) | u8(h)).toShort.toInt
         idx(c) = math.min(88, math.max(0, u8(h + 2)))
-        out(outBase + c) = pred(c) / 32768f // header predictor IS sample 0
+        if (outBase + c < out.length)
+          out(outBase + c) = pred(c) / 32768f // header predictor IS sample 0
         c += 1
       }
       // nibble data: 4-byte groups per channel, round-robin across channels
@@ -746,7 +756,8 @@ object Multimodal {
             pred(c) = imaDecodeStep(nib, pred(c), imaStep(idx(c)))
             idx(c) = math.min(88, math.max(0, idx(c) + imaIndexAdjust(nib)))
             val s = 1 + g * 8 + k // sample index within block (0 = header)
-            if (s < samplesPerBlock) out(outBase + s * ch + c) = pred(c) / 32768f
+            val oi = outBase + s * ch + c // fact-trimmed final block: skip pad
+            if (s < samplesPerBlock && oi < out.length) out(oi) = pred(c) / 32768f
             k += 1
           }
           c += 1

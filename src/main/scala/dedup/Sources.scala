@@ -84,13 +84,24 @@ object Sources {
              else spark.sparkContext.defaultParallelism
     spark.sparkContext.binaryFiles(path, mp)
       .flatMap { case (_, pds) =>
-        val recs = scala.collection.mutable.ArrayBuffer.empty[Page]
-        try {
-          val reader = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
-            pds.open(),
-            new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
-          try {
-            val schema = reader.getSchema
+        // STREAMED, like Warc.pages: one record in memory at a time — a
+        // multi-GB container must not buffer into a task-local list. The
+        // raw stream is closed on every path (corrupt header included).
+        val rawIn = try pds.open() catch { case _: Exception => null }
+        val reader: org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord] =
+          if (rawIn == null) null
+          else try {
+            new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+              rawIn,
+              new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+          } catch { // not an Avro container: skip the FILE, release the handle
+            case _: Exception =>
+              try rawIn.close() catch { case _: Exception => }
+              null
+          }
+        if (reader == null) Iterator.empty
+        else {
+          val schema = reader.getSchema
             def has(f: String) = schema.getField(f) != null
             def str(r: org.apache.avro.generic.GenericRecord, f: String): String =
               if (!has(f) || r.get(f) == null) null else r.get(f).toString
@@ -128,14 +139,33 @@ object Sources {
                   try java.sql.Timestamp.from(java.time.Instant.parse(other.toString))
                   catch { case _: Exception => null }
               }
-            while (reader.hasNext) {
-              val r = reader.next()
-              recs += Page(str(r, "url"), ts(r, "warc_ts"), bin(r, "html"),
-                str(r, "text"), str(r, "lang"))
+          new Iterator[Page] {
+            private var nextPage: Page = _
+            private var closed = false
+            private def closeQuietly(): Unit = if (!closed) {
+              closed = true
+              try reader.close() catch { case _: Exception => } // closes rawIn too
             }
-          } finally reader.close()
-        } catch { case _: Exception => } // corrupt container/record: keep what we have
-        recs.iterator
+            private def advance(): Unit =
+              if (nextPage == null && !closed) {
+                try {
+                  if (reader.hasNext) {
+                    val r = reader.next()
+                    nextPage = Page(str(r, "url"), ts(r, "warc_ts"), bin(r, "html"),
+                      str(r, "text"), str(r, "lang"))
+                  } else closeQuietly()
+                } catch { // malformed record: keep the prefix, end this file
+                  case _: Exception => closeQuietly()
+                }
+              }
+            override def hasNext: Boolean = { advance(); nextPage != null }
+            override def next(): Page = {
+              advance()
+              if (nextPage == null) throw new NoSuchElementException
+              val p = nextPage; nextPage = null; p
+            }
+          }
+        }
       }
       .toDS()
       .toDF()

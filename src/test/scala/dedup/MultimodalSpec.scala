@@ -520,6 +520,12 @@ class MultimodalSpec extends AnyFunSuite {
     // decodeAudio dispatches ADPCM to the real decoder, not the stub
     assert(Multimodal.decodeAudio(
       Multimodal.encodeWavImaAdpcm(16000, sine, 505)).isDefined)
+    // a final block shorter than samplesPerBlock: the fact chunk trims the
+    // pad nibbles, so the decoded count equals the source count exactly
+    val short = Array.tabulate(500)(i => (3000 * math.sin(i * 0.05)).toShort)
+    val Some((_, _, trimmed)) =
+      Multimodal.decodeWavImaAdpcm(Multimodal.encodeWavImaAdpcm(8000, short, 505))
+    assert(trimmed.length === 500, "fact chunk must trim block padding")
   }
 
   test("IMA ADPCM stereo: per-channel state machines, 4-byte group interleave") {
