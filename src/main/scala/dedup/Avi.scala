@@ -85,17 +85,41 @@ object Avi {
     out.toSeq
   } catch { case _: Throwable => Seq.empty }
 
-  /** Decode every `stride`-th MJPEG frame to (w, h, rgb) rasters via
-    * [[Jpeg.decode]] — REAL sampled-frame extraction (the contract
-    * `Multimodal.sampleChunks` stubs for codec-bound containers).
-    * Undecodable frames are skipped, never thrown. */
+  /** A bare DIB frame (uncompressed `00db` chunk: BITMAPINFOHEADER +
+    * pixels, NO 14-byte BMP file header) re-wrapped as a BMP file so
+    * [[Multimodal.decodeBmp]]'s validated path decodes it — the data
+    * offset accounts for the declared palette (biClrUsed × 4). None for
+    * payloads that are not a 40-byte-header DIB. */
+  private[dedup] def dibToBmp(p: Array[Byte]): Option[Array[Byte]] = {
+    if (p == null || p.length < 40 || le32(p, 0) != 40L) return None
+    val clrUsed = le32(p, 32)
+    if (clrUsed > 256) return None
+    val out = new Array[Byte](14 + p.length)
+    out(0) = 'B'; out(1) = 'M'
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    putLe32(2, out.length.toLong)
+    putLe32(10, 14L + 40L + clrUsed * 4) // pixel data offset
+    System.arraycopy(p, 0, out, 14, p.length)
+    Some(out)
+  }
+
+  /** Decode every `stride`-th frame to (w, h, rgb) rasters — MJPEG
+    * (`00dc` baseline JPEGs via [[Jpeg.decode]]) AND uncompressed DIB
+    * (`00db` raw rasters via [[dibToBmp]] + the BMP decoder) — REAL
+    * sampled-frame extraction (the contract `Multimodal.sampleChunks`
+    * stubs for codec-bound containers). Undecodable frames are skipped,
+    * never thrown. */
   def decodeFrames(
       bytes: Array[Byte], stride: Int = 1,
       maxFrames: Int = 64): Seq[(Int, Int, Array[Byte])] = {
     val step = math.max(1, stride)
     framePayloads(bytes, math.min(maxFrames.toLong * step, 4096L).toInt)
       .grouped(step).map(_.head).take(maxFrames)
-      .flatMap(p => Multimodal.decodeImage(p))
+      .flatMap(p => Multimodal.decodeImage(p)
+        .orElse(dibToBmp(p).flatMap(Multimodal.decodeBmp)))
       .toSeq
   }
 
@@ -152,8 +176,20 @@ object Avi {
   /** MJPEG AVI writer — fixture dual of the reader (the
     * [[Multimodal.encodeBmp]] pattern: synthetic video whose frames have
     * integer-formula provenance). `frames` are complete JPEG blobs. */
-  def encodeMjpeg(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
-    require(w > 0 && h > 0 && fps > 0 && frames.nonEmpty, "bad mjpeg args")
+  def encodeMjpeg(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] =
+    encodeAvi(w, h, fps, frames, "MJPG", "00dc")
+
+  /** Uncompressed-DIB AVI writer — the fixture dual of the `00db` decode
+    * path: each frame is an RGB top-down raster, stored as the BMP
+    * encoder's pixel layout minus the 14-byte file header (exactly what
+    * real uncompressed AVIs carry). */
+  def encodeDib(w: Int, h: Int, fps: Int, rgbFrames: Seq[Array[Byte]]): Array[Byte] =
+    encodeAvi(w, h, fps,
+      rgbFrames.map(f => Multimodal.encodeBmp(w, h, f).drop(14)), "DIB ", "00db")
+
+  private def encodeAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]],
+      fourcc: String, chunkId: String): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0 && frames.nonEmpty, "bad avi args")
     val out = new java.io.ByteArrayOutputStream()
     def putLe32(v: Long): Unit = {
       out.write((v & 0xFF).toInt); out.write(((v >>> 8) & 0xFF).toInt)
@@ -181,7 +217,7 @@ object Avi {
     putLe32(0); putLe32(0); putLe32(0); putLe32(0) // reserved
     putTag("LIST"); putLe32(strlSize); putTag("strl")
     putTag("strh"); putLe32(56)
-    putTag("vids"); putTag("MJPG")
+    putTag("vids"); putTag(fourcc)
     putLe32(0) // flags
     putLe32(0) // priority + language
     putLe32(0) // initial frames
@@ -196,12 +232,12 @@ object Avi {
     putTag("strf"); putLe32(40)
     putLe32(40); putLe32(w); putLe32(h)
     putLe32((24 << 16) | 1) // planes=1, bitcount=24
-    putTag("MJPG")
+    putTag(fourcc)
     putLe32(w.toLong * h * 3) // sizeImage
     putLe32(0); putLe32(0); putLe32(0); putLe32(0) // ppm + colors
     putTag("LIST"); putLe32(moviSize); putTag("movi")
     frames.foreach { f =>
-      putTag("00dc"); putLe32(f.length)
+      putTag(chunkId); putLe32(f.length)
       out.write(f, 0, f.length)
       if ((f.length & 1) == 1) out.write(0) // word alignment
     }

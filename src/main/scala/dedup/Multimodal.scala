@@ -1412,15 +1412,112 @@ object Multimodal {
     if (o == expect) Some(out) else None
   }
 
+  /** TIFF LZW decompression (TIFF 6.0 §13) — NOT the GIF variant:
+    * MSB-first bit packing, roots are raw bytes, Clear=256, EOI=257,
+    * first table code 258, 9→12-bit widths with the spec's EARLY change
+    * (width grows one code sooner than GIF: at next-code 511/1023/2047).
+    * Returns exactly `expect` bytes or None. */
+  private[dedup] def tiffLzwDecode(data: Array[Byte], off: Int, len: Int,
+      expect: Int): Option[Array[Byte]] = {
+    val ClearCode = 256; val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var tableSize = 258
+    var codeWidth = 9
+    val out = new Array[Byte](expect)
+    var outN = 0
+    var bitPos = off.toLong * 8
+    val totalBits = (off + len).toLong * 8
+    var prev = -1
+    val scratch = new Array[Byte](4096)
+    def readCode(): Int = {
+      if (bitPos + codeWidth > totalBits) return -1
+      var v = 0; var b = 0
+      while (b < codeWidth) { // MSB-first
+        val p = bitPos + b
+        v <<= 1
+        if ((data((p >> 3).toInt) & (0x80 >> (p & 7))) != 0) v |= 1
+        b += 1
+      }
+      bitPos += codeWidth
+      v
+    }
+    /** write code's string (+ optional repeat of its first byte); returns
+      * the first byte, or -1 on overrun/corrupt link. */
+    def expand(code: Int, extra: Boolean): Int = {
+      var n = 0
+      var c = code
+      while (c >= 258) {
+        if (n >= scratch.length) return -1
+        scratch(n) = suffix(c); n += 1; c = prefix(c)
+      }
+      if (c >= 256) return -1 // ClearCode/Eoi can never be a string root
+      scratch(n) = c.toByte; n += 1
+      if (outN + n + (if (extra) 1 else 0) > expect) return -1
+      var k = n - 1
+      while (k >= 0) { out(outN) = scratch(k); outN += 1; k -= 1 }
+      if (extra) { out(outN) = scratch(n - 1); outN += 1 }
+      scratch(n - 1) & 0xFF
+    }
+    def bumpWidth(): Unit = // TIFF early change: grow one code EARLY
+      if (tableSize + 1 >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+    while (outN < expect) {
+      val code = readCode()
+      if (code < 0 || code == Eoi) return if (outN == expect) Some(out) else None
+      if (code == ClearCode) {
+        tableSize = 258; codeWidth = 9; prev = -1
+      } else if (prev < 0) {
+        if (code >= 256) return None // first code after Clear must be a root
+        if (expand(code, extra = false) < 0) return None
+        prev = code
+      } else if (code < tableSize) {
+        val first = expand(code, extra = false)
+        if (first < 0) return None
+        if (tableSize < 4096) {
+          prefix(tableSize) = prev; suffix(tableSize) = first.toByte; tableSize += 1
+          bumpWidth()
+        }
+        prev = code
+      } else if (code == tableSize && tableSize < 4096) {
+        val first = expand(prev, extra = true) // KwKwK
+        if (first < 0) return None
+        prefix(tableSize) = prev; suffix(tableSize) = first.toByte; tableSize += 1
+        bumpWidth()
+        prev = code
+      } else return None
+    }
+    Some(out)
+  }
+
+  /** zlib/deflate strip decompression (TIFF Compression 8 "Adobe Deflate"
+    * and legacy 32946): the PNG machinery's Inflater, bounded to
+    * `expect`. */
+  private def tiffInflate(data: Array[Byte], off: Int, len: Int,
+      expect: Int): Option[Array[Byte]] = try {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data, off, len)
+    val out = new Array[Byte](expect)
+    var o = 0
+    while (o < expect && !inf.finished()) {
+      val r = inf.inflate(out, o, expect - o)
+      if (r == 0 && inf.needsInput()) { inf.end(); return None }
+      o += r
+    }
+    inf.end()
+    if (o == expect) Some(out) else None
+  } catch { case _: Exception => None }
+
   /** REAL baseline-TIFF pixel decode (TIFF 6.0): both byte orders,
     * strip-organized 8-bit grayscale (photometric 0/1) and RGB
-    * (photometric 2), Compression 1 (none) or 32773 (PackBits) — the
-    * codec-free corners of the spec, matching the repo's
-    * no-media-library rule. Handles inline vs offset-stored tag values
-    * (count×size > 4 indirects), multi-strip images, and WhiteIsZero
-    * inversion. Returns (w, h, RGB row-major); None on LZW/JPEG-in-TIFF,
-    * tiled layout, non-8-bit samples, or any malformation — never
-    * throws. Raster capped at 256 MiB like the other decoders. */
+    * (photometric 2), Compression 1 (none), 5 (LZW — the spec's own
+    * MSB-first early-change variant, [[tiffLzwDecode]]), 8/32946
+    * (Deflate) or 32773 (PackBits), with Predictor 2 (horizontal
+    * differencing) undone per row. Handles inline vs offset-stored tag
+    * values (count×size > 4 indirects), multi-strip images, and
+    * WhiteIsZero inversion. Returns (w, h, RGB row-major); None on
+    * JPEG-in-TIFF, tiled layout, non-8-bit samples, or any malformation
+    * — never throws. Raster capped at 256 MiB like the other
+    * decoders. */
   def decodeTiff(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
     if (bytes == null || bytes.length < 8 || sniffMagic(bytes) != "tiff") return None
     val le = bytes(0) == 'I'
@@ -1434,6 +1531,7 @@ object Multimodal {
     val n = u16(ifd)
     var w = -1; var h = -1; var compression = 1; var photometric = -1
     var spp = 1; var rowsPerStrip = Int.MaxValue; var bitsOk = true
+    var predictor = 1
     var stripOffs: Array[Long] = null; var stripLens: Array[Long] = null
     /** all `count` values of an entry, honoring inline-vs-offset. */
     def values(off: Int): Option[Array[Long]] = {
@@ -1465,13 +1563,16 @@ object Multimodal {
         case 278 => rowsPerStrip = math.min(values(off)
           .flatMap(_.headOption).getOrElse(Int.MaxValue.toLong), Int.MaxValue.toLong).toInt
         case 279 => stripLens = values(off).orNull
+        case 317 => predictor = values(off).flatMap(_.headOption).getOrElse(1L).toInt
         case _ =>
       }
       e += 1
     }
     if (w <= 0 || h <= 0 || !bitsOk || stripOffs == null || stripLens == null) return None
     if (stripOffs.length != stripLens.length || rowsPerStrip <= 0) return None
-    if (compression != 1 && compression != 32773) return None
+    if (compression != 1 && compression != 5 && compression != 8 &&
+        compression != 32773 && compression != 32946) return None
+    if (predictor != 1 && predictor != 2) return None
     val gray = photometric == 0 || photometric == 1
     if (!gray && photometric != 2) return None
     if (gray && spp != 1) return None
@@ -1489,11 +1590,26 @@ object Multimodal {
       val rawLen = rows * w * spp
       val sOff = stripOffs(strip); val sLen = stripLens(strip)
       if (sOff < 0 || sOff + sLen > bytes.length) return None
-      val data: Array[Byte] =
-        if (compression == 1) {
-          if (sLen < rawLen) return None
-          java.util.Arrays.copyOfRange(bytes, sOff.toInt, sOff.toInt + rawLen)
-        } else unpackBits(bytes, sOff.toInt, sLen.toInt, rawLen).getOrElse(return None)
+      val data: Array[Byte] = (compression match {
+        case 1 =>
+          if (sLen < rawLen) None
+          else Some(java.util.Arrays.copyOfRange(bytes, sOff.toInt, sOff.toInt + rawLen))
+        case 5 => tiffLzwDecode(bytes, sOff.toInt, sLen.toInt, rawLen)
+        case 8 | 32946 => tiffInflate(bytes, sOff.toInt, sLen.toInt, rawLen)
+        case _ => unpackBits(bytes, sOff.toInt, sLen.toInt, rawLen)
+      }).getOrElse(return None)
+      if (predictor == 2) { // undo horizontal differencing, per row/channel
+        var row = 0
+        while (row < rows) {
+          val rb = row * w * spp
+          var x = spp
+          while (x < w * spp) {
+            data(rb + x) = (data(rb + x) + data(rb + x - spp)).toByte
+            x += 1
+          }
+          row += 1
+        }
+      }
       var p = 0
       val outBase = strip * rowsPerStrip * w * 3
       while (p < rows * w) {
@@ -1515,15 +1631,62 @@ object Multimodal {
     Some((w, h, rgb))
   } catch { case _: Exception => None }
 
+  /** TIFF LZW ENCODER — the wire dual of [[tiffLzwDecode]]: MSB-first
+    * packing, Clear/EOI 256/257, 9→12-bit widths with the spec's early
+    * change (encoder bumps when the table reaches 2^width, i.e. one code
+    * before GIF would), Clear at 4094 so codes never exceed 12 bits. */
+  private[dedup] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var acc = 0L; var accN = 0
+    var codeWidth = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << codeWidth) | code
+      accN += codeWidth
+      while (accN >= 8) { out.write(((acc >>> (accN - 8)) & 0xFF).toInt); accN -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var tableSize = 258
+    emit(256) // streams begin with Clear
+    if (data.nonEmpty) {
+      var prev = data(0) & 0xFF
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xFF
+        val key = Integer.valueOf((prev << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          emit(prev)
+          dict.put(key, Integer.valueOf(tableSize))
+          tableSize += 1
+          if (tableSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          if (tableSize >= 4094) { // re-Clear before codes outgrow 12 bits
+            emit(256)
+            dict.clear(); tableSize = 258; codeWidth = 9
+          }
+          prev = k
+        }
+        i += 1
+      }
+      emit(prev)
+    }
+    emit(257) // EOI
+    if (accN > 0) out.write(((acc << (8 - accN)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
   /** Baseline-TIFF ENCODER — the fixture dual of [[decodeTiff]] (same
     * role as [[encodeBmp]]/[[encodePng]]): single-strip 8-bit RGB, either
-    * byte order, Compression 1 or PackBits (literal-only runs — valid
-    * PackBits, exercises the decode path without an optimizing packer). */
+    * byte order, Compression 1, PackBits (literal-only runs — valid
+    * PackBits, exercises the decode path without an optimizing packer) or
+    * real LZW ([[tiffLzwEncode]]). */
   def encodeTiff(w: Int, h: Int, rgb: Array[Byte], bigEndian: Boolean = false,
-                 packBits: Boolean = false): Array[Byte] = {
+                 packBits: Boolean = false, lzw: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == w * h * 3, "rgb must be w*h*3")
+    require(!(packBits && lzw), "pick one compression")
     val pix: Array[Byte] =
-      if (!packBits) rgb
+      if (lzw) tiffLzwEncode(rgb)
+      else if (!packBits) rgb
       else { // literal PackBits runs of ≤128 bytes
         val out = new java.io.ByteArrayOutputStream(rgb.length + rgb.length / 128 + 1)
         var i = 0
@@ -1566,7 +1729,7 @@ object Multimodal {
     entry(256, 4, 1, w)            // ImageWidth
     entry(257, 4, 1, h)            // ImageLength
     entry(258, 3, 3, bpsOff)       // BitsPerSample → out-of-line [8,8,8]
-    entry(259, 3, 1, if (packBits) 32773 else 1)
+    entry(259, 3, 1, if (lzw) 5 else if (packBits) 32773 else 1)
     entry(262, 3, 1, 2)            // RGB
     entry(273, 4, 1, pixOff)       // StripOffsets (single strip)
     entry(277, 3, 1, 3)            // SamplesPerPixel

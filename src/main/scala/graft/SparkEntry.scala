@@ -670,9 +670,10 @@ object SparkEntry {
 
     // REAL baseline-TIFF decode gate (Multimodal.encodeTiff →
     // decodeImage → decodeTiff): planted pixel formula, alternating byte
-    // order by id parity and PackBits compression by id%3 — the oracle
-    // replays the formula alone, so a wire-variant-dependent mis-decode
-    // (endian swap, bad RLE) breaks the hash. Zero shuffle.
+    // order by id parity and compression by id%3 (PackBits / real LZW /
+    // none) — the oracle replays the formula alone, so a wire-variant-
+    // dependent mis-decode (endian swap, bad RLE, LZW width slip) breaks
+    // the hash. Zero shuffle.
     "q_tiff_decode" -> ((s, dir) => {
       import s.implicits._
       documents(s, dir).select(col("doc_id").cast("long")).as[Long]
@@ -694,7 +695,7 @@ object SparkEntry {
               y += 1
             }
             val tif = Multimodal.encodeTiff(w, h, rgb,
-              bigEndian = id % 2 == 1, packBits = id % 3 == 0)
+              bigEndian = id % 2 == 1, packBits = id % 3 == 0, lzw = id % 3 == 1)
             Multimodal.decodeImage(tif) match {
               case Some((dw, dh, px)) =>
                 var sum = 0L

@@ -108,4 +108,29 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.framePayloads("RIFFxxxxWAVE".getBytes).isEmpty) // wav is not avi
     assert(Avi.videoHash(Array.emptyByteArray).isEmpty)
   }
+
+  test("uncompressed DIB (00db) frames: exact pixels, no JPEG involved") {
+    val w = 10; val h = 6
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => ((seed * 31 + i * 7) % 256).toByte)
+    val frames = Seq(frame(1), frame(2), frame(3))
+    val avi = Avi.encodeDib(w, h, 10, frames)
+    // metadata reflects the DIB fourcc
+    val Some((mw, mh, _, nf, fourcc)) = Avi.aviMeta(avi)
+    assert((mw, mh, nf, fourcc) === ((w, h, 3L, "DIB ")))
+    // pixels come back EXACTLY (no DCT anywhere on this path)
+    val dec = Avi.decodeFrames(avi)
+    assert(dec.length === 3)
+    for ((f, k) <- dec.zipWithIndex) {
+      assert((f._1, f._2) === ((w, h)), s"frame $k dims")
+      assert(f._3.toSeq === frames(k).toSeq, s"frame $k pixels")
+    }
+    // fingerprints work over DIB video; identical videos collide
+    assert(Avi.videoHash(avi) === Avi.videoHash(Avi.encodeDib(w, h, 10, frames)))
+    // a hostile palette count in a 00db payload rejects, never throws
+    val bad = frame(1)
+    val dib = Multimodal.encodeBmp(w, h, bad).drop(14)
+    dib(32) = 0xFF.toByte; dib(33) = 0x7F.toByte // biClrUsed = 32767
+    assert(Avi.dibToBmp(dib).isEmpty)
+  }
 }

@@ -783,12 +783,27 @@ class MultimodalSpec extends AnyFunSuite {
       "golden vs the JDK's own TIFF codec both directions") {
     val w = 21; val h = 13
     val rgb = testPixels(w, h, 5)
-    // our encoder -> our decoder, all four (endian × compression) corners
-    for (be <- Seq(false, true); pb <- Seq(false, true)) {
-      val Some((w1, h1, back)) =
-        Multimodal.decodeTiff(Multimodal.encodeTiff(w, h, rgb, be, pb))
-      assert((w1, h1) === ((w, h)), s"be=$be pb=$pb")
-      assert(back.toSeq === rgb.toSeq, s"pixels be=$be pb=$pb")
+    // our encoder -> our decoder, all (endian × compression) corners
+    for (be <- Seq(false, true); comp <- Seq("none", "pb", "lzw")) {
+      val Some((w1, h1, back)) = Multimodal.decodeTiff(Multimodal.encodeTiff(
+        w, h, rgb, be, packBits = comp == "pb", lzw = comp == "lzw"))
+      assert((w1, h1) === ((w, h)), s"be=$be comp=$comp")
+      assert(back.toSeq === rgb.toSeq, s"pixels be=$be comp=$comp")
+    }
+    // our LZW wire read by the JDK's decoder (width-change alignment is
+    // the classic cross-implementation trap); a long repetitive raster
+    // pushes the table past the 511/1023 early-change points
+    val bigW = 64; val bigH = 48
+    val bigRgb = Array.tabulate(bigW * bigH * 3)(i => ((i / 7) % 251).toByte)
+    val ourLzw = Multimodal.encodeTiff(bigW, bigH, bigRgb, lzw = true)
+    assert(Multimodal.decodeTiff(ourLzw).get._3.toSeq === bigRgb.toSeq)
+    val jdkImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ourLzw))
+    assert(jdkImg != null && jdkImg.getWidth === bigW && jdkImg.getHeight === bigH)
+    for (y <- 0 until bigH; x <- 0 until bigW) {
+      val p = (y * bigW + x) * 3
+      assert((jdkImg.getRGB(x, y) & 0xFFFFFF) ===
+        (((bigRgb(p) & 0xFF) << 16) | ((bigRgb(p + 1) & 0xFF) << 8) | (bigRgb(p + 2) & 0xFF)),
+        s"jdk-lzw $x,$y")
     }
     // our encoder -> JDK decoder (JDK 9+ ships a TIFF ImageIO plugin)
     for (pb <- Seq(false, true)) {
@@ -828,6 +843,68 @@ class MultimodalSpec extends AnyFunSuite {
           assert((back(p + 2) & 0xFF) === (argb & 0xFF), s"B $x,$y")
         }
       }
+    }
+    // compressed variants via the JDK's own TIFF writer: LZW (the
+    // MSB-first early-change variant), ZLib/Deflate, PackBits — decoded
+    // by OUR strip machinery and compared pixel-exact
+    for (ctype <- Seq("LZW", "ZLib", "Deflate", "PackBits");
+         imgType <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)) {
+      val src = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        src.setRGB(x, y, 0xFF000000 | ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val wparam = writer.getDefaultWriteParam
+      wparam.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      wparam.setCompressionType(ctype)
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), wparam)
+      ios.close(); writer.dispose()
+      val Some((w3, h3, back)) = Multimodal.decodeTiff(buf.toByteArray)
+      assert((w3, h3) === ((w, h)), s"dims $ctype type $imgType")
+      val gray = imgType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        if (gray)
+          assert((back(p) & 0xFF) === src.getRaster.getSample(x, y, 0),
+            s"gray $x,$y $ctype")
+        else {
+          val argb = src.getRGB(x, y)
+          assert((back(p) & 0xFF) === ((argb >> 16) & 0xFF), s"R $x,$y $ctype")
+          assert((back(p + 1) & 0xFF) === ((argb >> 8) & 0xFF), s"G $x,$y $ctype")
+          assert((back(p + 2) & 0xFF) === (argb & 0xFF), s"B $x,$y $ctype")
+        }
+      }
+    }
+    // Predictor 2 (horizontal differencing): hand-difference a gray
+    // raster, declare tag 317=2, expect the original back
+    {
+      val gw = 6; val gh = 3
+      val orig = Array.tabulate(gw * gh)(i => ((i * 37 + 11) % 256).toByte)
+      val diffed = orig.clone()
+      for (y <- 0 until gh; x <- (gw - 1) to 1 by -1)
+        diffed(y * gw + x) = (orig(y * gw + x) - orig(y * gw + x - 1)).toByte
+      val nE = 9
+      val pixOff = 8 + 2 + nE * 12 + 4
+      val bb = java.nio.ByteBuffer.allocate(pixOff + gw * gh)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      bb.putShort(nE.toShort)
+      def ent2(tag: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+        bb.putShort(tag.toShort); bb.putShort(tpe.toShort); bb.putInt(cnt); bb.putInt(v)
+      }
+      ent2(256, 4, 1, gw); ent2(257, 4, 1, gh); ent2(258, 3, 1, 8)
+      ent2(259, 3, 1, 1); ent2(262, 3, 1, 1); ent2(273, 4, 1, pixOff)
+      ent2(277, 3, 1, 1); ent2(279, 4, 1, gw * gh); ent2(317, 3, 1, 2)
+      bb.putInt(0); bb.put(diffed)
+      val Some((_, _, undone)) = Multimodal.decodeTiff(bb.array())
+      for (i <- 0 until gw * gh)
+        assert((undone(i * 3) & 0xFF) === (orig(i) & 0xFF), s"predictor px $i")
     }
     // WhiteIsZero: photometric 0 inverts — patch a hand-built gray file
     val g = Array.tabulate(16)(i => (i * 16).toByte)
