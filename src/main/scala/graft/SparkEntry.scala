@@ -82,6 +82,19 @@ object SparkEntry {
   private def nTokens(text: Column): Column =
     (regexp_count(lower(text), lit("(?U)\\W")) + 1).cast("long")
 
+  /** Planted blob for the CDC gates: 768 bytes = 3 × 256-byte segments,
+    * each segment's content drawn from 8 shared possibilities by doc-id
+    * arithmetic — printable ASCII (32..126) so the DuckDB oracle can
+    * rebuild chunk content with chr()/string_agg. Heavy cross-doc AND
+    * intra-doc sharing by construction. */
+  private def cdcPlantedBytes(id: Long): Array[Byte] =
+    Array.tabulate(768) { pos =>
+      val s = pos / 256
+      val k = ((id * (2 * s + 3)) % 8).toInt
+      val off = pos % 256
+      (32 + ((k * 53 + off * off * 31 + off * 17) % 95)).toByte
+    }
+
   /** Sorted-distinct xxh64 hashes of word-trigram shingles — the engine-
     * native set representation for the SSJoin family. The r3 headline ran
     * these rows on raw STRING trigram arrays "for oracle parity", which
@@ -666,6 +679,42 @@ object SparkEntry {
             }
           }
         }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
+    }),
+
+    // Content-defined chunking (Cdc.boundaries): planted 768-byte blobs
+    // (3 × 256-byte segments drawn from 8 shared contents by doc-id
+    // arithmetic), gear rolling hash h←(2h+gear(b)) mod 2³², boundary at
+    // h≡0 (mod 32). The oracle replays the h recursion with a recursive
+    // CTE, so any drift in the gear table, the shift, or the boundary
+    // rule breaks the hash. Zero shuffle.
+    "q_cdc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bytes = cdcPlantedBytes(id)
+            val ch = dedup.Cdc.boundaries(bytes, 5)
+            var bsum = 0L
+            ch.foreach { case (start, len) => bsum += (start + 1).toLong * len }
+            (id, ch.length.toLong, bsum)
+          }
+        }.toDF("doc_id", "n_chunks", "bsum")
+    }),
+
+    // Chunk-store dedup accounting (Cdc.chunkStats — the PRODUCTION
+    // operator: explode → one partial-agg groupBy(chunk key) → first-
+    // owner join): same planted blobs, heavy cross- and intra-doc
+    // segment sharing. Engine keys chunks by xxh64 content hash; DuckDB
+    // groups by the chunk's literal content string — equality coincides
+    // unless the hash itself is broken.
+    "q_cdc_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, cdcPlantedBytes(id))))
+        .toDF("doc_id", "bin")
+      dedup.Cdc.chunkStats(blobs, "doc_id", "bin", 5)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_bytes"),
+          col("dup_chunks"), col("dup_bytes"))
     }),
 
     // REAL baseline-TIFF decode gate (Multimodal.encodeTiff →
@@ -2106,6 +2155,87 @@ object SparkEntry {
         |SELECT doc_id, 18 AS w, 16 AS h,
         |  sum((r*3 + g*5 + b*7) * (y*18 + x + 1))::BIGINT AS pix_sum
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    // The CDC oracles replay the engine's gear rolling hash with a
+    // recursive CTE: h(pos) = (2·h(pos-1) + ((byte+1)·2654435761 mod 2³²))
+    // mod 2³², boundary after pos when h ≡ 0 (mod 32), forced final end
+    // at 767. Chunk content is rebuilt with chr()/string_agg for the
+    // dedup grouping (the engine's xxh64 key has the same equivalence
+    // classes unless the hash is broken).
+    "q_cdc_chunks" ->
+      """WITH RECURSIVE byt AS (
+        |  SELECT d.doc_id, p.i AS pos,
+        |    32 + ((((d.doc_id * (2*(p.i // 256) + 3)) % 8) * 53
+        |           + (p.i % 256)*(p.i % 256)*31 + (p.i % 256)*17) % 95) AS b
+        |  FROM documents d, generate_series(0,767) p(i)
+        |),
+        |roll AS (
+        |  SELECT doc_id, pos, ((b + 1) * 2654435761) % 4294967296 AS h
+        |  FROM byt WHERE pos = 0
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |         (2*r.h + ((b.b + 1) * 2654435761) % 4294967296) % 4294967296
+        |  FROM roll r JOIN byt b ON b.doc_id = r.doc_id AND b.pos = r.pos + 1
+        |  WHERE r.pos < 767
+        |),
+        |ends AS (
+        |  SELECT DISTINCT doc_id, pos AS e FROM (
+        |    SELECT doc_id, pos FROM roll WHERE h % 32 = 0
+        |    UNION ALL SELECT DISTINCT doc_id, 767 FROM roll)
+        |),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS start,
+        |         e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) AS len
+        |  FROM ends
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |       sum((start + 1) * len)::BIGINT AS bsum
+        |FROM chunks GROUP BY doc_id""".stripMargin,
+
+    "q_cdc_dedup" ->
+      """WITH RECURSIVE byt AS (
+        |  SELECT d.doc_id, p.i AS pos,
+        |    32 + ((((d.doc_id * (2*(p.i // 256) + 3)) % 8) * 53
+        |           + (p.i % 256)*(p.i % 256)*31 + (p.i % 256)*17) % 95) AS b
+        |  FROM documents d, generate_series(0,767) p(i)
+        |),
+        |roll AS (
+        |  SELECT doc_id, pos, ((b + 1) * 2654435761) % 4294967296 AS h
+        |  FROM byt WHERE pos = 0
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |         (2*r.h + ((b.b + 1) * 2654435761) % 4294967296) % 4294967296
+        |  FROM roll r JOIN byt b ON b.doc_id = r.doc_id AND b.pos = r.pos + 1
+        |  WHERE r.pos < 767
+        |),
+        |ends AS (
+        |  SELECT DISTINCT doc_id, pos AS e FROM (
+        |    SELECT doc_id, pos FROM roll WHERE h % 32 = 0
+        |    UNION ALL SELECT DISTINCT doc_id, 767 FROM roll)
+        |),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS start,
+        |         e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) AS len
+        |  FROM ends
+        |),
+        |content AS (
+        |  SELECT c.doc_id, c.start, c.len,
+        |         string_agg(chr(b.b::INT), '' ORDER BY b.pos) AS s
+        |  FROM chunks c JOIN byt b
+        |    ON b.doc_id = c.doc_id AND b.pos BETWEEN c.start AND c.start + c.len - 1
+        |  GROUP BY c.doc_id, c.start, c.len
+        |),
+        |ranked AS (
+        |  SELECT doc_id, len,
+        |         row_number() OVER (PARTITION BY s ORDER BY doc_id, start) AS rk
+        |  FROM content
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(len)::BIGINT AS n_bytes,
+        |       sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+        |       sum(CASE WHEN rk > 1 THEN len ELSE 0 END)::BIGINT AS dup_bytes
+        |FROM ranked GROUP BY doc_id""".stripMargin,
 
     "q_tiff_decode" ->
       """WITH px AS (
