@@ -117,6 +117,11 @@ object Cdc {
     val empties = chunks.where(col("off") < 0).select(
       col("id"), lit(0L).as("n_chunks"), lit(0L).as("n_bytes"),
       lit(0L).as("dup_chunks"), lit(0L).as("dup_bytes"))
-    stats.unionByName(empties)
+    // eager localCheckpoint (one row per blob — small) so the chunk cache
+    // can be RELEASED here instead of leaking one persist per call (the
+    // FuzzyDedup.run discipline); callers get a lineage-free result
+    val out = stats.unionByName(empties).localCheckpoint()
+    chunks.unpersist(blocking = false)
+    out
   }
 }

@@ -72,6 +72,7 @@ object Bench {
     "q_main_content",
     "q_nfc_norm",
     "q_line_dedup",
+    "q_cdc_dedup", // content-defined chunk-store accounting (storage dedup)
     "q_pii_redact",
     "q_incremental",
     "q_incremental_fuzzy",
