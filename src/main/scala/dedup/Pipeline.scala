@@ -44,6 +44,7 @@ import org.apache.spark.sql.functions._
   *     [--nb-quality [--nb-vocab K]]
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
+  *     [--mix src:wppm,...[,*:wppm] --mix-budget TOKENS]
   *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
   *     [--exact-join] [--contain T] [--contain-df-cap N]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
@@ -86,6 +87,8 @@ object Pipeline {
       shardTokens: Long = 0L,
       sampleAlpha: Double = 1.0,
       sampleTarget: Double = 0.0,
+      mixWeights: Map[String, Long] = Map.empty,
+      mixBudget: Long = 0L,
       existing: String = "",
       existingFuzzy: Boolean = false,
       exactJoin: Boolean = false,
@@ -164,6 +167,14 @@ object Pipeline {
         case "--shard-tokens" => a = a.copy(shardTokens = argv(i + 1).toLong); i += 2
         case "--sample-alpha" => a = a.copy(sampleAlpha = argv(i + 1).toDouble); i += 2
         case "--sample-target" => a = a.copy(sampleTarget = argv(i + 1).toDouble); i += 2
+        case "--mix" => // "en:600000,de:300000,*:100000" — weights in ppm
+          val m = argv(i + 1).split(',').map { kv =>
+            val c = kv.lastIndexOf(':')
+            require(c > 0, s"--mix entries are src:weight_ppm, got '$kv'")
+            kv.substring(0, c) -> kv.substring(c + 1).toLong
+          }.toMap
+          a = a.copy(mixWeights = m); i += 2
+        case "--mix-budget" => a = a.copy(mixBudget = argv(i + 1).toLong); i += 2
         case "--existing" => a = a.copy(existing = argv(i + 1)); i += 2
         case "--existing-fuzzy" => a = a.copy(existingFuzzy = true); i += 1
         // exact-recall candidate generation: SSJoin prefix-filtered
@@ -206,6 +217,9 @@ object Pipeline {
     require(!a.existingFuzzy || a.existing.nonEmpty,
       "--existing-fuzzy requires --existing <pages parquet>")
     require(a.sampleTarget <= 1.0, "--sample-target must be in (0, 1]")
+    require((a.mixBudget > 0) == a.mixWeights.nonEmpty,
+      "--mix and --mix-budget go together")
+    require(a.mixWeights.values.forall(_ >= 0), "--mix weights must be >= 0")
     require(a.containT <= 1.0, "--contain threshold must be in (0, 1]")
     require(a.embedWeights.isEmpty || a.semantic,
       "--embed-weights selects the --semantic encoder; pass --semantic too")
@@ -476,6 +490,9 @@ object Pipeline {
       (if (args.removeRuns) "+rr" else "") +
       (if (args.shardTokens > 0) s"+st${args.shardTokens}" else "") +
       (if (args.sampleTarget > 0) s"+sa${args.sampleAlpha}t${args.sampleTarget}" else "") +
+      (if (args.mixBudget > 0)
+        s"+mx${args.mixWeights.toSeq.sorted.mkString(";")}b${args.mixBudget}"
+      else "") +
       (if (args.existing.nonEmpty) "+in" else "") +
       (if (args.existingFuzzy) "+inf" else "") +
       (if (args.exactJoin) "+xj" else "") +
@@ -662,13 +679,42 @@ object Pipeline {
           Sampling.hashSample(runsCut, col("url"),
             element_at(typedLit(rates), coalesce(col("lang"), lit(""))))
         }
+      // `--mix src:wppm,... --mix-budget N`: token-budget data mixture
+      // (Pile/Dolma mixing) over the final corpus — per-lang token counts
+      // (O(#langs) driver rows) → integer-ppm water-filled rates
+      // (Sampling.mixtureRatesPpm), md5(url)-keyed Bernoulli so reruns
+      // keep identical rows. `*` supplies the default weight for langs
+      // not listed (absent → 0: unlisted langs are dropped).
+      val mixed =
+        if (args.mixBudget <= 0) sampled
+        else {
+          val src = coalesce(
+            when(col("lang") === "", lit(null)).otherwise(col("lang")),
+            lit("__null__"))
+          val ntok = (regexp_count(lower(col("text")), lit("(?U)\\W")) + 1).cast("long")
+          val counts = sampled.withColumn("__src__", src)
+            .withColumn("__ntok__", ntok)
+            .groupBy(col("__src__")).agg(sum(col("__ntok__")).as("T"))
+            .collect()
+            .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+            .toMap
+          val default = args.mixWeights.getOrElse("*", 0L)
+          val weights = counts.keys
+            .map(s => s -> args.mixWeights.getOrElse(s, default)).toMap
+          val rates = Sampling.mixtureRatesPpm(counts, weights, args.mixBudget)
+          sampled.withColumn("__src__", src)
+            .withColumn("__ppm__", element_at(typedLit(rates), col("__src__")))
+            .where(Sampling.hashUnit(col("url")) * lit(1000000L)
+              < col("__ppm__") * lit(4294967296L))
+            .drop("__src__", "__ppm__")
+        }
       val sharded =
-        if (args.shardTokens <= 0) sampled
+        if (args.shardTokens <= 0) mixed
         else {
           val w = (regexp_count(lower(col("text")), lit("(?U)\\W")) + 1).cast("long")
-          val shard = Shards.assignByBudget(sampled, "id", w, args.shardTokens)
+          val shard = Shards.assignByBudget(mixed, "id", w, args.shardTokens)
             .select(col("id"), col("shard"))
-          sampled.join(shard, Seq("id"))
+          mixed.join(shard, Seq("id"))
         }
       if (args.redactPii) sharded.withColumn("text", Pii.redact(col("text")))
       else sharded

@@ -144,4 +144,53 @@ object Sampling {
       k -> math.min(1.0, hi * math.pow(v.toDouble, alpha - 1))
     }
   }
+
+  /** Token-budget MIXTURE rates (the Pile/Dolma "data mixing" knob):
+    * given per-source token counts `tokens`, target mixing weights
+    * `weightsPpm` (parts-per-million; need not sum to 10⁶ — only ratios
+    * matter), and a total `tokenBudget`, return per-source keep-rates in
+    * INTEGER ppm such that expected sampled tokens land on the budget
+    * split by the weights. Water-filled: a source too small for its
+    * weight share saturates at rate 10⁶ (keep everything) and its unmet
+    * share redistributes over the rest by renormalized weights —
+    * iterated to fixpoint (≤ #sources rounds).
+    *
+    * All arithmetic is EXACT integer math (BigInt internally, one
+    * canonical division per source:
+    * `r = (B·w·10⁶) div (ΣW·T)`), so the same formula replayed in SQL —
+    * the DuckDB oracle does — reproduces the rates bit-for-bit; no
+    * float-boundary docs. Driver-side over O(#sources) counts; pair with
+    * [[hashUnit]]: keep iff hashUnit·10⁶ < ppm·2³². Empty sources rate
+    * 10⁶ (vacuously keep all of nothing). */
+  def mixtureRatesPpm(tokens: Map[String, Long], weightsPpm: Map[String, Long],
+                      tokenBudget: Long): Map[String, Long] = {
+    require(tokens.keySet == weightsPpm.keySet, "tokens/weights key mismatch")
+    require(weightsPpm.values.forall(_ >= 0) && tokens.values.forall(_ >= 0),
+      "weights and token counts must be non-negative")
+    val keys = tokens.keySet
+    val M = BigInt(1000000)
+    // zero-token sources are saturated from the start: they can't supply
+    // their share, so their weight must not dilute the redistribution
+    var sat = keys.filter(s => tokens(s) == 0L)
+    var rates = Map.empty[String, Long]
+    var changed = true
+    while (changed) {
+      changed = false
+      val b2 = BigInt(tokenBudget) - sat.iterator.map(s => BigInt(tokens(s))).sum
+      val w2 = (keys -- sat).iterator.map(s => BigInt(weightsPpm(s))).sum
+      rates = keys.iterator.map { s =>
+        if (sat(s) || tokens(s) == 0L) s -> 1000000L
+        else if (b2 <= 0 || w2 <= 0) s -> 0L
+        else {
+          val r = (b2 * weightsPpm(s) * M) / (w2 * tokens(s))
+          s -> r.min(M).toLong
+        }
+      }.toMap
+      val newSat = keys.filter { s =>
+        !sat(s) && tokens(s) > 0L && rates(s) >= 1000000L
+      }
+      if (newSat.nonEmpty) { sat ++= newSat; changed = true }
+    }
+    rates
+  }
 }

@@ -87,6 +87,7 @@ object Bench {
     "q_blocklist",
     "q_recrawl",
     "q_lang_sample",
+    "q_mixture", // token-budget data mixture (integer water-filled rates)
     "q_shards",
     "q_stratified_shards", // quality-balanced round-robin (two-pass rank, no window)
     "q_chunk_docs", // fixed-window training chunks (zero-shuffle posexplode)

@@ -681,6 +681,36 @@ object SparkEntry {
         }.toDF("doc_id", "sample_rate", "n_samples", "sample_sum")
     }),
 
+    // Data-mixture sampling (Sampling.mixtureRatesPpm — the Pile/Dolma
+    // mixing knob): per-source token counts → integer-ppm keep rates
+    // splitting a token budget by planted weights, sampled with the
+    // md5-Bernoulli rule. Budget = minT·ΣW / (2·maxW) guarantees no
+    // source saturates for ANY data, so the engine's water-fill loop and
+    // the oracle's one-round closed form provably coincide — both sides
+    // use ONE canonical integer division, so rates match bit-for-bit and
+    // no doc sits on a float boundary. The aggregate collect is
+    // O(#sources) — driver-safe at any corpus size.
+    "q_mixture" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("source",
+          coalesce(when(col("lang") === "", lit(null)).otherwise(col("lang")),
+            lit("__null__")))
+        .withColumn("ntok", nTokens(col("text")))
+      val counts = docs.groupBy(col("source"))
+        .agg(sum(col("ntok")).cast("long").as("T"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val weights = counts.keys
+        .map(src => src -> ((src.head.toInt % 5) + 1) * 100000L).toMap
+      val wsum = weights.values.sum
+      val budget = counts.values.min * wsum / (2L * weights.values.max)
+      val rates = dedup.Sampling.mixtureRatesPpm(counts, weights, budget)
+      docs
+        .withColumn("rate_ppm", element_at(typedLit(rates), col("source")))
+        .where(dedup.Sampling.hashUnit(col("doc_id").cast("string")) * lit(1000000L)
+          < col("rate_ppm") * lit(4294967296L))
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+    }),
+
     // Content-defined chunking (Cdc.boundaries): planted 768-byte blobs
     // (3 × 256-byte segments drawn from 8 shared contents by doc-id
     // arithmetic), gear rolling hash h←(2h+gear(b)) mod 2³², boundary at
@@ -2155,6 +2185,30 @@ object SparkEntry {
         |SELECT doc_id, 18 AS w, 16 AS h,
         |  sum((r*3 + g*5 + b*7) * (y*18 + x + 1))::BIGINT AS pix_sum
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(nullif(lang, ''), '__null__') AS source,
+        |         len(string_split(text, ' '))::BIGINT AS ntok
+        |  FROM documents
+        |),
+        |t AS (
+        |  SELECT source, sum(ntok)::BIGINT AS T,
+        |         (((ascii(substr(source, 1, 1)) % 5) + 1) * 100000)::BIGINT AS w
+        |  FROM d GROUP BY source
+        |),
+        |a AS (SELECT sum(w)::BIGINT AS wsum, max(w)::BIGINT AS maxw,
+        |             min(T)::BIGINT AS mint FROM t),
+        |r AS (
+        |  SELECT t.source,
+        |         (((a.mint * a.wsum) // (2 * a.maxw)) * t.w * 1000000)
+        |           // (a.wsum * t.T) AS rate_ppm
+        |  FROM t, a
+        |)
+        |SELECT d.doc_id, d.source, r.rate_ppm
+        |FROM d JOIN r ON d.source = r.source
+        |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UINT64)::BIGINT
+        |        * 1000000 < r.rate_ppm * 4294967296""".stripMargin,
 
     // The CDC oracles replay the engine's gear rolling hash with a
     // recursive CTE: h(pos) = (2·h(pos-1) + ((byte+1)·2654435761 mod 2³²))

@@ -145,6 +145,77 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureRatesPpm: budget split by weights, water-fill saturation, exact integer replay") {
+    // no saturation: rates land the budget exactly on the weight split
+    val tokens = Map("a" -> 100000L, "b" -> 50000L, "c" -> 200000L)
+    val weights = Map("a" -> 500000L, "b" -> 250000L, "c" -> 250000L)
+    val r = Sampling.mixtureRatesPpm(tokens, weights, 100000L)
+    // expected tokens from source s = T_s · r_s / 1e6 ≈ B · w_s / ΣW
+    for ((s, w) <- weights) {
+      val got = tokens(s) * r(s) / 1000000.0
+      val want = 100000.0 * w / weights.values.sum
+      assert(math.abs(got - want) < want * 0.001 + 1, s"$s got $got want $want")
+    }
+    // exact replay of the canonical division (the SQL-parity contract)
+    assert(r("a") ===
+      (BigInt(100000) * 500000 * 1000000 / (BigInt(1000000) * 100000)).toLong)
+    // saturation: source b cannot supply its share -> rate 1e6, excess
+    // redistributes to a and c by renormalized weights
+    val tok2 = Map("a" -> 100000L, "b" -> 1000L, "c" -> 100000L)
+    val r2 = Sampling.mixtureRatesPpm(tok2, weights, 100000L)
+    assert(r2("b") === 1000000L, "starved source keeps everything")
+    val keptA = tok2("a") * r2("a") / 1000000.0
+    val keptC = tok2("c") * r2("c") / 1000000.0
+    // leftover budget 99k splits 2:1 between a and c (weights 500k:250k)
+    assert(math.abs(keptA - 66000.0) < 200, s"a kept $keptA")
+    assert(math.abs(keptC - 33000.0) < 200, s"c kept $keptC")
+    // degenerate: zero budget, empty source, weight-0 source
+    val r3 = Sampling.mixtureRatesPpm(tok2, weights, 0L)
+    assert(r3.values.forall(_ === 0L))
+    val r4 = Sampling.mixtureRatesPpm(
+      Map("a" -> 0L, "b" -> 10L), Map("a" -> 1L, "b" -> 1L), 5L)
+    assert(r4("a") === 1000000L) // vacuous
+    assert(r4("b") === 500000L)
+    val r5 = Sampling.mixtureRatesPpm(
+      Map("a" -> 10L, "b" -> 10L), Map("a" -> 0L, "b" -> 1000000L), 10L)
+    assert(r5("a") === 0L && r5("b") === 1000000L)
+  }
+
+  test("pipeline --mix: token-budget mixture lands the weight split; deterministic; " +
+      "unlisted langs drop without a * default") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pipemix").toString
+    val base = Pipeline.parse(Array("--synth", "600", "--output", s"$dir/a"))
+    val (kept0, _) = Pipeline.run(spark, base)
+    val tokensByLang = kept0
+      .withColumn("ntok", size(split(col("text"), "\\s+")))
+      .groupBy("lang").agg(sum("ntok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = tokensByLang.values.sum / 3
+    val langs = tokensByLang.keys.toSeq.sorted
+    val (l1, l2) = (langs.head, langs(1))
+    // weight l1 twice l2, default covers the rest
+    val args = Pipeline.parse(Array("--synth", "600", "--output", s"$dir/b",
+      "--mix", s"$l1:400000,$l2:200000,*:100000", "--mix-budget", budget.toString))
+    val (kept1, _) = Pipeline.run(spark, args)
+    assert(kept1.count() < kept0.count())
+    assert(kept1.count() > 0)
+    // rerun (resume) keeps the identical row set
+    val (kept2, _) = Pipeline.run(spark, args)
+    assert(kept2.select("url").collect().map(_.getString(0)).sorted.toSeq
+      === kept1.select("url").collect().map(_.getString(0)).sorted.toSeq)
+    // without a * default, unlisted langs drop entirely
+    val strict = Pipeline.parse(Array("--synth", "600", "--output", s"$dir/c",
+      "--mix", s"$l1:400000", "--mix-budget", budget.toString))
+    val (kept3, _) = Pipeline.run(spark, strict)
+    assert(kept3.select("lang").distinct().collect().map(_.getString(0)).toSet
+      === Set(l1))
+    // flags must go together
+    intercept[IllegalArgumentException] {
+      Pipeline.parse(Array("--synth", "10", "--output", s"$dir/d", "--mix", "en:1"))
+    }
+  }
+
   test("pipeline --sample-target: deterministic rebalance of the kept corpus") {
     val dir = java.nio.file.Files.createTempDirectory("pipesample").toString
     val base = Pipeline.parse(Array("--synth", "400", "--output", s"$dir/a"))
