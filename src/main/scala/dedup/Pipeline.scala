@@ -45,6 +45,7 @@ import org.apache.spark.sql.functions._
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
   *     [--mix src:wppm,...[,*:wppm] --mix-budget TOKENS]
+  *     [--cdc-report MASKBITS]
   *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
   *     [--exact-join] [--contain T] [--contain-df-cap N]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
@@ -89,6 +90,7 @@ object Pipeline {
       sampleTarget: Double = 0.0,
       mixWeights: Map[String, Long] = Map.empty,
       mixBudget: Long = 0L,
+      cdcMaskBits: Int = 0,
       existing: String = "",
       existingFuzzy: Boolean = false,
       exactJoin: Boolean = false,
@@ -175,6 +177,7 @@ object Pipeline {
           }.toMap
           a = a.copy(mixWeights = m); i += 2
         case "--mix-budget" => a = a.copy(mixBudget = argv(i + 1).toLong); i += 2
+        case "--cdc-report" => a = a.copy(cdcMaskBits = argv(i + 1).toInt); i += 2
         case "--existing" => a = a.copy(existing = argv(i + 1)); i += 2
         case "--existing-fuzzy" => a = a.copy(existingFuzzy = true); i += 1
         // exact-recall candidate generation: SSJoin prefix-filtered
@@ -220,6 +223,8 @@ object Pipeline {
     require((a.mixBudget > 0) == a.mixWeights.nonEmpty,
       "--mix and --mix-budget go together")
     require(a.mixWeights.values.forall(_ >= 0), "--mix weights must be >= 0")
+    require(a.cdcMaskBits == 0 || (a.cdcMaskBits >= 1 && a.cdcMaskBits <= 30),
+      "--cdc-report mask bits must be in 1..30")
     require(a.containT <= 1.0, "--contain threshold must be in (0, 1]")
     require(a.embedWeights.isEmpty || a.semantic,
       "--embed-weights selects the --semantic encoder; pass --semantic too")
@@ -738,6 +743,24 @@ object Pipeline {
           noBin.write.mode("overwrite")
             .option("header", "true").option("escape", "\"").csv(out)
       }
+    }
+
+    // `--cdc-report K`: content-defined-chunking storage audit of the
+    // kept corpus text (Cdc.chunkStats at 2^K-byte expected chunks) —
+    // answers "what would a chunk store save on what ships" beside the
+    // document-level accounting. Written to <outRoot>/cdc_report; the
+    // one-line rollup goes to stdout with the run summary.
+    if (args.cdcMaskBits > 0) {
+      val blobs = kept.select(col("id"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("bin"))
+      val report = Cdc.chunkStats(blobs, "id", "bin", args.cdcMaskBits)
+      report.write.mode("overwrite").parquet(s"$outRoot/cdc_report")
+      val roll = report.agg(
+        sum(col("n_bytes")).as("b"), sum(col("dup_bytes")).as("d")).collect()(0)
+      val tb = if (roll.isNullAt(0)) 0L else roll.getLong(0)
+      val db = if (roll.isNullAt(1)) 0L else roll.getLong(1)
+      println(f"cdc_report: bytes=$tb dup_bytes=$db " +
+        f"dedup_ratio=${if (tb > 0) db.toDouble / tb else 0.0}%.4f")
     }
 
     // run-summary artifact: per-stage rows/bytes/wall + resumed flags in

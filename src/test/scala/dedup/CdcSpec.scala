@@ -102,4 +102,24 @@ class CdcSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(again === stats)
   }
+
+  test("pipeline --cdc-report: storage-audit artifact over the kept corpus text") {
+    val dir = java.nio.file.Files.createTempDirectory("pipecdc").toString
+    val args = Pipeline.parse(Array("--synth", "300", "--output", dir,
+      "--cdc-report", "6"))
+    val (kept, _) = Pipeline.run(spark, args)
+    val report = spark.read.parquet(s"$dir/cdc_report")
+    assert(report.columns.toSeq ===
+      Seq("id", "n_chunks", "n_bytes", "dup_chunks", "dup_bytes"))
+    assert(report.count() === kept.count())
+    // total chunked bytes = total utf-8 text bytes of the kept corpus
+    val tb = report.agg(sum(col("n_bytes"))).collect()(0).getLong(0)
+    val expect = kept.select(sum(length(encode(coalesce(col("text"), lit("")),
+      "UTF-8")))).collect()(0).getLong(0)
+    assert(tb === expect)
+    // mask-bits validation
+    intercept[IllegalArgumentException] {
+      Pipeline.parse(Array("--synth", "10", "--output", dir, "--cdc-report", "40"))
+    }
+  }
 }
