@@ -95,6 +95,19 @@ object SparkEntry {
       (32 + ((k * 53 + off * off * 31 + off * 17) % 95)).toByte
     }
 
+  /** Pair-fixture variant of [[cdcPlantedBytes]]: segment choices
+    * k_s = (id >> s) mod 8 give 32 blob classes with PARTIAL overlaps
+    * (neighbors share 2 of 3 segments → chunk-Jaccard ≈ 2/3), so the
+    * ≥0.5 near-dup join sees real intermediate similarities, not just
+    * exact copies. */
+  private def cdcPairBytes(id: Long): Array[Byte] =
+    Array.tabulate(768) { pos =>
+      val s = pos / 256
+      val k = ((id >> s) % 8).toInt
+      val off = pos % 256
+      (32 + ((k * 53 + off * off * 31 + off * 17) % 95)).toByte
+    }
+
   /** Sorted-distinct xxh64 hashes of word-trigram shingles — the engine-
     * native set representation for the SSJoin family. The r3 headline ran
     * these rows on raw STRING trigram arrays "for oracle parity", which
@@ -745,6 +758,26 @@ object SparkEntry {
       dedup.Cdc.chunkStats(blobs, "doc_id", "bin", 5)
         .select(col("id").as("doc_id"), col("n_chunks"), col("n_bytes"),
           col("dup_chunks"), col("dup_bytes"))
+    }),
+
+    // Binary near-dup pairs via chunk overlap (Cdc.chunkHashes sets →
+    // the SSJoin prefix-filtered exact join): the CDC complement to the
+    // perceptual image/audio hashes — arbitrary blobs whose chunk sets
+    // share ≥50% Jaccard. Planted 32-class blobs give real intermediate
+    // similarities; DuckDB replays chunking via the recursive CTE and
+    // brute-forces every pair on literal chunk content.
+    "q_cdc_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sets = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val hs = dedup.Cdc.chunkHashes(cdcPairBytes(id), 5)
+            .map(_._3).distinct.sorted.toArray
+          (id, hs)
+        })
+        .toDF("id", "toks")
+      SSJoin.pairs(sets, 0.5)
+        .withColumn("sim_decile", expr("inter * 10 DIV uni"))
+        .select(col("id_a"), col("id_b"), col("sim_decile"))
     }),
 
     // REAL baseline-TIFF decode gate (Multimodal.encodeTiff →
@@ -2209,6 +2242,52 @@ object SparkEntry {
         |FROM d JOIN r ON d.source = r.source
         |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UINT64)::BIGINT
         |        * 1000000 < r.rate_ppm * 4294967296""".stripMargin,
+
+    "q_cdc_pairs" ->
+      """WITH RECURSIVE byt AS (
+        |  SELECT d.doc_id, p.i AS pos,
+        |    32 + ((((d.doc_id // (1 << (p.i // 256))) % 8) * 53
+        |           + (p.i % 256)*(p.i % 256)*31 + (p.i % 256)*17) % 95) AS b
+        |  FROM documents d, generate_series(0,767) p(i)
+        |),
+        |roll AS (
+        |  SELECT doc_id, pos, ((b + 1) * 2654435761) % 4294967296 AS h
+        |  FROM byt WHERE pos = 0
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |         (2*r.h + ((b.b + 1) * 2654435761) % 4294967296) % 4294967296
+        |  FROM roll r JOIN byt b ON b.doc_id = r.doc_id AND b.pos = r.pos + 1
+        |  WHERE r.pos < 767
+        |),
+        |ends AS (
+        |  SELECT DISTINCT doc_id, pos AS e FROM (
+        |    SELECT doc_id, pos FROM roll WHERE h % 32 = 0
+        |    UNION ALL SELECT DISTINCT doc_id, 767 FROM roll)
+        |),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS start,
+        |         e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) AS len
+        |  FROM ends
+        |),
+        |content0 AS (
+        |  SELECT c.doc_id, c.start, string_agg(chr(b.b::INT), '' ORDER BY b.pos) AS s
+        |  FROM chunks c JOIN byt b
+        |    ON b.doc_id = c.doc_id AND b.pos BETWEEN c.start AND c.start + c.len - 1
+        |  GROUP BY c.doc_id, c.start, c.len
+        |),
+        |content AS (SELECT DISTINCT doc_id, s FROM content0),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM content GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+        |  FROM content a JOIN content b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT i.id_a, i.id_b, (i.i * 10) // (sa.n + sb.n - i.i) AS sim_decile
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.id_a
+        |JOIN sizes sb ON sb.doc_id = i.id_b
+        |WHERE 2 * i.i >= sa.n + sb.n - i.i""".stripMargin,
 
     // The CDC oracles replay the engine's gear rolling hash with a
     // recursive CTE: h(pos) = (2·h(pos-1) + ((byte+1)·2654435761 mod 2³²))
