@@ -648,6 +648,9 @@ object Pipeline {
     // `--redact-pii` scrubs LAST so the sink (what ships to training)
     // never holds raw PII; dedup upstream ran on the unredacted text, so
     // redaction cannot perturb signatures.
+    // released after the kept stage materializes (see below) — the mix
+    // stage reads `sampled` twice (counts collect + the filtered output)
+    var mixCache: Option[DataFrame] = None
     val kept = store.stage("kept", chunkRows = Some(args.chunkRows)) {
       val removal = assignments.where(col("id") =!= col("component")).select(col("id"))
       val semRemoval = semRemoved match {
@@ -684,46 +687,60 @@ object Pipeline {
           Sampling.hashSample(runsCut, col("url"),
             element_at(typedLit(rates), coalesce(col("lang"), lit(""))))
         }
+      // one token-count definition for the mix and shard stages (drift
+      // here would count the mix budget with a different tokenizer than
+      // shard packing)
+      val ntok = (regexp_count(col("text"), lit("(?U)\\W")) + 1).cast("long")
       // `--mix src:wppm,... --mix-budget N`: token-budget data mixture
       // (Pile/Dolma mixing) over the final corpus — per-lang token counts
       // (O(#langs) driver rows) → integer-ppm water-filled rates
-      // (Sampling.mixtureRatesPpm), md5(url)-keyed Bernoulli so reruns
-      // keep identical rows. `*` supplies the default weight for langs
-      // not listed (absent → 0: unlisted langs are dropped).
+      // (Sampling.mixtureRatesPpm). The Bernoulli key is SALTED
+      // ("#mix") so the decision is independent of --sample-target's
+      // md5(url) draw — on the shared key, mix would keep min(1, p/r) of
+      // the sampled rows instead of p and overshoot the token budget.
+      // `*` supplies the default weight for langs not listed (absent →
+      // 0: unlisted langs are dropped).
       val mixed =
         if (args.mixBudget <= 0) sampled
         else {
+          val cached = sampled
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          mixCache = Some(cached)
           val src = coalesce(
             when(col("lang") === "", lit(null)).otherwise(col("lang")),
             lit("__null__"))
-          val ntok = (regexp_count(lower(col("text")), lit("(?U)\\W")) + 1).cast("long")
-          val counts = sampled.withColumn("__src__", src)
+          val counts = cached.withColumn("__src__", src)
             .withColumn("__ntok__", ntok)
             .groupBy(col("__src__")).agg(sum(col("__ntok__")).as("T"))
             .collect()
             .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
             .toMap
+          val unknown = args.mixWeights.keySet - "*" -- counts.keySet
+          if (unknown.nonEmpty)
+            System.err.println(s"WARN --mix lists sources absent from the " +
+              s"corpus (typo?): ${unknown.toSeq.sorted.mkString(", ")}")
           val default = args.mixWeights.getOrElse("*", 0L)
           val weights = counts.keys
             .map(s => s -> args.mixWeights.getOrElse(s, default)).toMap
           val rates = Sampling.mixtureRatesPpm(counts, weights, args.mixBudget)
-          sampled.withColumn("__src__", src)
+          cached.withColumn("__src__", src)
             .withColumn("__ppm__", element_at(typedLit(rates), col("__src__")))
-            .where(Sampling.hashUnit(col("url")) * lit(1000000L)
-              < col("__ppm__") * lit(4294967296L))
+            .where(Sampling.hashUnit(concat(col("url"), lit("#mix")))
+              * lit(1000000L) < col("__ppm__") * lit(4294967296L))
             .drop("__src__", "__ppm__")
         }
       val sharded =
         if (args.shardTokens <= 0) mixed
         else {
-          val w = (regexp_count(lower(col("text")), lit("(?U)\\W")) + 1).cast("long")
-          val shard = Shards.assignByBudget(mixed, "id", w, args.shardTokens)
+          val shard = Shards.assignByBudget(mixed, "id", ntok, args.shardTokens)
             .select(col("id"), col("shard"))
           mixed.join(shard, Seq("id"))
         }
       if (args.redactPii) sharded.withColumn("text", Pii.redact(col("text")))
       else sharded
     }
+    // the kept checkpoint is on disk now — release the mix-stage cache
+    mixCache.foreach(_.unpersist(blocking = false))
 
     // `--export-format`: interchange copy of the kept corpus (HF-style
     // jsonl.gz, ORC, CSV) beside the parquet checkpoint — the checkpoint

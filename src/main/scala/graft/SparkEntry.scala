@@ -83,30 +83,68 @@ object SparkEntry {
     (regexp_count(lower(text), lit("(?U)\\W")) + 1).cast("long")
 
   /** Planted blob for the CDC gates: 768 bytes = 3 × 256-byte segments,
-    * each segment's content drawn from 8 shared possibilities by doc-id
-    * arithmetic — printable ASCII (32..126) so the DuckDB oracle can
-    * rebuild chunk content with chr()/string_agg. Heavy cross-doc AND
-    * intra-doc sharing by construction. */
-  private def cdcPlantedBytes(id: Long): Array[Byte] =
+    * each segment's content drawn from 8 shared possibilities by the
+    * given `segChoice(id, seg)` selector — printable ASCII (32..126) so
+    * the DuckDB oracle can rebuild chunk content with chr()/string_agg.
+    * The byte formula is LOAD-BEARING for three oracles: change it here
+    * and in [[cdcOracle]] together or a gate breaks. */
+  private def cdcBytes(id: Long, segChoice: (Long, Int) => Int): Array[Byte] =
     Array.tabulate(768) { pos =>
       val s = pos / 256
-      val k = ((id * (2 * s + 3)) % 8).toInt
+      val k = segChoice(id, s)
       val off = pos % 256
       (32 + ((k * 53 + off * off * 31 + off * 17) % 95)).toByte
     }
 
-  /** Pair-fixture variant of [[cdcPlantedBytes]]: segment choices
-    * k_s = (id >> s) mod 8 give 32 blob classes with PARTIAL overlaps
-    * (neighbors share 2 of 3 segments → chunk-Jaccard ≈ 2/3), so the
-    * ≥0.5 near-dup join sees real intermediate similarities, not just
-    * exact copies. */
+  /** Heavy cross-doc AND intra-doc sharing: only 8 distinct blob
+    * classes (segment choices depend on id mod 8). */
+  private def cdcPlantedBytes(id: Long): Array[Byte] =
+    cdcBytes(id, (d, s) => ((d * (2 * s + 3)) % 8).toInt)
+
+  /** Pair-fixture variant: k_s = (id >> s) mod 8 gives 32 blob classes
+    * with PARTIAL overlaps (neighbors share 2 of 3 segments →
+    * chunk-Jaccard ≈ 2/3), so the ≥0.5 near-dup join sees real
+    * intermediate similarities, not just exact copies. */
   private def cdcPairBytes(id: Long): Array[Byte] =
-    Array.tabulate(768) { pos =>
-      val s = pos / 256
-      val k = ((id >> s) % 8).toInt
-      val off = pos % 256
-      (32 + ((k * 53 + off * off * 31 + off * 17) % 95)).toByte
-    }
+    cdcBytes(id, (d, s) => ((d >> s) % 8).toInt)
+
+  /** The shared recursive-CTE prefix replaying [[dedup.Cdc]]'s gear
+    * rolling hash for the three CDC oracles — ONE copy of the recursion
+    * (gear table, shift, boundary rule, forced final end), parameterized
+    * by the SQL segment-choice expression (must mirror the Scala
+    * `segChoice` passed to [[cdcBytes]]) and the per-query SELECT tail
+    * over the `byt`/`chunks` CTEs. */
+  private def cdcOracle(kExpr: String, tail: String): String =
+    s"""WITH RECURSIVE byt AS (
+       |  SELECT d.doc_id, p.i AS pos,
+       |    32 + (((($kExpr) % 8) * 53
+       |           + (p.i % 256)*(p.i % 256)*31 + (p.i % 256)*17) % 95) AS b
+       |  FROM documents d, generate_series(0,767) p(i)
+       |),
+       |roll AS (
+       |  SELECT doc_id, pos, ((b + 1) * 2654435761) % 4294967296 AS h
+       |  FROM byt WHERE pos = 0
+       |  UNION ALL
+       |  SELECT r.doc_id, r.pos + 1,
+       |         (2*r.h + ((b.b + 1) * 2654435761) % 4294967296) % 4294967296
+       |  FROM roll r JOIN byt b ON b.doc_id = r.doc_id AND b.pos = r.pos + 1
+       |  WHERE r.pos < 767
+       |),
+       |ends AS (
+       |  SELECT DISTINCT doc_id, pos AS e FROM (
+       |    SELECT doc_id, pos FROM roll WHERE h % 32 = 0
+       |    UNION ALL SELECT DISTINCT doc_id, 767 FROM roll)
+       |),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS start,
+       |         e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) AS len
+       |  FROM ends
+       |)
+       |$tail""".stripMargin
+
+  private val cdcPlantedKExpr = "d.doc_id * (2*(p.i // 256) + 3)"
+  private val cdcPairKExpr = "d.doc_id // (1 << (p.i // 256))"
 
   /** Sorted-distinct xxh64 hashes of word-trigram shingles — the engine-
     * native set representation for the SSJoin family. The r3 headline ran
@@ -2243,33 +2281,8 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UINT64)::BIGINT
         |        * 1000000 < r.rate_ppm * 4294967296""".stripMargin,
 
-    "q_cdc_pairs" ->
-      """WITH RECURSIVE byt AS (
-        |  SELECT d.doc_id, p.i AS pos,
-        |    32 + ((((d.doc_id // (1 << (p.i // 256))) % 8) * 53
-        |           + (p.i % 256)*(p.i % 256)*31 + (p.i % 256)*17) % 95) AS b
-        |  FROM documents d, generate_series(0,767) p(i)
-        |),
-        |roll AS (
-        |  SELECT doc_id, pos, ((b + 1) * 2654435761) % 4294967296 AS h
-        |  FROM byt WHERE pos = 0
-        |  UNION ALL
-        |  SELECT r.doc_id, r.pos + 1,
-        |         (2*r.h + ((b.b + 1) * 2654435761) % 4294967296) % 4294967296
-        |  FROM roll r JOIN byt b ON b.doc_id = r.doc_id AND b.pos = r.pos + 1
-        |  WHERE r.pos < 767
-        |),
-        |ends AS (
-        |  SELECT DISTINCT doc_id, pos AS e FROM (
-        |    SELECT doc_id, pos FROM roll WHERE h % 32 = 0
-        |    UNION ALL SELECT DISTINCT doc_id, 767 FROM roll)
-        |),
-        |chunks AS (
-        |  SELECT doc_id,
-        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS start,
-        |         e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) AS len
-        |  FROM ends
-        |),
+    "q_cdc_pairs" -> cdcOracle(cdcPairKExpr,
+      """,
         |content0 AS (
         |  SELECT c.doc_id, c.start, string_agg(chr(b.b::INT), '' ORDER BY b.pos) AS s
         |  FROM chunks c JOIN byt b
@@ -2287,7 +2300,7 @@ object SparkEntry {
         |FROM inter i
         |JOIN sizes sa ON sa.doc_id = i.id_a
         |JOIN sizes sb ON sb.doc_id = i.id_b
-        |WHERE 2 * i.i >= sa.n + sb.n - i.i""".stripMargin,
+        |WHERE 2 * i.i >= sa.n + sb.n - i.i""".stripMargin),
 
     // The CDC oracles replay the engine's gear rolling hash with a
     // recursive CTE: h(pos) = (2·h(pos-1) + ((byte+1)·2654435761 mod 2³²))
@@ -2295,64 +2308,13 @@ object SparkEntry {
     // at 767. Chunk content is rebuilt with chr()/string_agg for the
     // dedup grouping (the engine's xxh64 key has the same equivalence
     // classes unless the hash is broken).
-    "q_cdc_chunks" ->
-      """WITH RECURSIVE byt AS (
-        |  SELECT d.doc_id, p.i AS pos,
-        |    32 + ((((d.doc_id * (2*(p.i // 256) + 3)) % 8) * 53
-        |           + (p.i % 256)*(p.i % 256)*31 + (p.i % 256)*17) % 95) AS b
-        |  FROM documents d, generate_series(0,767) p(i)
-        |),
-        |roll AS (
-        |  SELECT doc_id, pos, ((b + 1) * 2654435761) % 4294967296 AS h
-        |  FROM byt WHERE pos = 0
-        |  UNION ALL
-        |  SELECT r.doc_id, r.pos + 1,
-        |         (2*r.h + ((b.b + 1) * 2654435761) % 4294967296) % 4294967296
-        |  FROM roll r JOIN byt b ON b.doc_id = r.doc_id AND b.pos = r.pos + 1
-        |  WHERE r.pos < 767
-        |),
-        |ends AS (
-        |  SELECT DISTINCT doc_id, pos AS e FROM (
-        |    SELECT doc_id, pos FROM roll WHERE h % 32 = 0
-        |    UNION ALL SELECT DISTINCT doc_id, 767 FROM roll)
-        |),
-        |chunks AS (
-        |  SELECT doc_id,
-        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS start,
-        |         e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) AS len
-        |  FROM ends
-        |)
-        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+    "q_cdc_chunks" -> cdcOracle(cdcPlantedKExpr,
+      """SELECT doc_id, count(*)::BIGINT AS n_chunks,
         |       sum((start + 1) * len)::BIGINT AS bsum
-        |FROM chunks GROUP BY doc_id""".stripMargin,
+        |FROM chunks GROUP BY doc_id""".stripMargin),
 
-    "q_cdc_dedup" ->
-      """WITH RECURSIVE byt AS (
-        |  SELECT d.doc_id, p.i AS pos,
-        |    32 + ((((d.doc_id * (2*(p.i // 256) + 3)) % 8) * 53
-        |           + (p.i % 256)*(p.i % 256)*31 + (p.i % 256)*17) % 95) AS b
-        |  FROM documents d, generate_series(0,767) p(i)
-        |),
-        |roll AS (
-        |  SELECT doc_id, pos, ((b + 1) * 2654435761) % 4294967296 AS h
-        |  FROM byt WHERE pos = 0
-        |  UNION ALL
-        |  SELECT r.doc_id, r.pos + 1,
-        |         (2*r.h + ((b.b + 1) * 2654435761) % 4294967296) % 4294967296
-        |  FROM roll r JOIN byt b ON b.doc_id = r.doc_id AND b.pos = r.pos + 1
-        |  WHERE r.pos < 767
-        |),
-        |ends AS (
-        |  SELECT DISTINCT doc_id, pos AS e FROM (
-        |    SELECT doc_id, pos FROM roll WHERE h % 32 = 0
-        |    UNION ALL SELECT DISTINCT doc_id, 767 FROM roll)
-        |),
-        |chunks AS (
-        |  SELECT doc_id,
-        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS start,
-        |         e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1) AS len
-        |  FROM ends
-        |),
+    "q_cdc_dedup" -> cdcOracle(cdcPlantedKExpr,
+      """,
         |content AS (
         |  SELECT c.doc_id, c.start, c.len,
         |         string_agg(chr(b.b::INT), '' ORDER BY b.pos) AS s
@@ -2368,7 +2330,7 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(len)::BIGINT AS n_bytes,
         |       sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
         |       sum(CASE WHEN rk > 1 THEN len ELSE 0 END)::BIGINT AS dup_bytes
-        |FROM ranked GROUP BY doc_id""".stripMargin,
+        |FROM ranked GROUP BY doc_id""".stripMargin),
 
     "q_tiff_decode" ->
       """WITH px AS (

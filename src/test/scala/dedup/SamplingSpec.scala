@@ -214,6 +214,20 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Pipeline.parse(Array("--synth", "10", "--output", s"$dir/d", "--mix", "en:1"))
     }
+    // --sample-target AND --mix together: the salted mix key makes the
+    // two Bernoulli draws independent, so the kept tokens land on the
+    // budget (on the shared md5(url) key, mix would keep min(1, p/r) of
+    // the sampled rows and overshoot)
+    val both = Pipeline.parse(Array("--synth", "600", "--output", s"$dir/e",
+      "--sample-alpha", "1.0", "--sample-target", "0.5",
+      "--mix", "*:1", "--mix-budget", (budget / 4).toString))
+    val (kept4, _) = Pipeline.run(spark, both)
+    val gotTokens = kept4
+      .withColumn("ntok", size(split(col("text"), "\\s+")))
+      .agg(sum(col("ntok"))).collect()(0).getLong(0)
+    val want = budget / 4.0
+    assert(math.abs(gotTokens - want) < want * 0.35,
+      s"combined sample+mix kept $gotTokens tokens, budget ${want.toLong}")
   }
 
   test("pipeline --sample-target: deterministic rebalance of the kept corpus") {
