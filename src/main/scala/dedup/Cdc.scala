@@ -87,19 +87,7 @@ object Cdc {
     * Null/empty blobs yield a 0-chunk row. */
   def chunkStats(df: DataFrame, idCol: String, binCol: String, maskBits: Int,
                  minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val chunks = df
-      .select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bin) =>
-          if (bin == null || bin.isEmpty) Iterator((id, -1, 0, 0L))
-          else chunkHashes(bin, maskBits, minSize, maxSize).iterator
-            .map { case (off, len, k) => (id, off, len, k) }
-        }
-      }
-      .toDF("id", "off", "len", "key")
+    val chunks = chunkRows(df, idCol, binCol, maskBits, minSize, maxSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val real = chunks.where(col("off") >= 0)
     // first occurrence per chunk content: one partial-agg shuffle
@@ -122,6 +110,79 @@ object Cdc {
     // FuzzyDedup.run discipline); callers get a lineage-free result
     val out = stats.unionByName(empties).localCheckpoint()
     chunks.unpersist(blocking = false)
+    out
+  }
+
+  /** One row per chunk of the blob column: `(id, off, len, key)`;
+    * empty/null blobs emit a sentinel `(id, -1, 0, 0)` row so accounting
+    * keeps them. The shared exploded substrate of [[chunkStats]] and
+    * [[newChunkStats]]. */
+  private def chunkRows(df: DataFrame, idCol: String, binCol: String,
+      maskBits: Int, minSize: Int, maxSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bin) =>
+          if (bin == null || bin.isEmpty) Iterator((id, -1, 0, 0L))
+          else chunkHashes(bin, maskBits, minSize, maxSize).iterator
+            .map { case (off, len, k) => (id, off, len, k) }
+        }
+      }
+      .toDF("id", "off", "len", "key")
+  }
+
+  /** Distinct chunk-key index of a corpus — build once, persist next to
+    * the corpus, reuse for every incremental batch ([[newChunkStats]]).
+    * One zero-shuffle chunking pass + one distinct. */
+  def chunkIndex(df: DataFrame, idCol: String, binCol: String, maskBits: Int,
+                 minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame =
+    chunkRows(df, idCol, binCol, maskBits, minSize, maxSize)
+      .where(col("off") >= 0).select(col("key")).distinct()
+
+  /** INCREMENTAL chunk accounting — "how much of this new crawl is
+    * storage-new vs the existing corpus": per batch blob,
+    * `(id, n_chunks, n_bytes, dup_chunks, dup_bytes)` where dup = the
+    * chunk's content already exists in `corpusIndex` (a [[chunkIndex]]
+    * built at the SAME maskBits/minSize/maxSize — chunking must align or
+    * self-synchronization does nothing).
+    *
+    * Scale shape (the [[IncrementalDedup.newDocs]] discipline): a Bloom
+    * filter over the corpus keys prunes provably-new chunks MAP-SIDE, so
+    * only suspects (true dups + fpp·|batch chunks|) reach the confirm
+    * semi-join against the index — false positives never inflate the
+    * counts. If a pathological batch overflows the broadcast budget, AQE
+    * replans the join as a shuffle. */
+  def newChunkStats(corpusIndex: DataFrame, batch: DataFrame,
+      idCol: String, binCol: String, maskBits: Int,
+      minSize: Int = 1, maxSize: Int = Int.MaxValue,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    val chunks = chunkRows(batch, idCol, binCol, maskBits, minSize, maxSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val real = chunks.where(col("off") >= 0)
+    val nIdx = math.max(corpusIndex.count(), 1L)
+    val bf = corpusIndex.stat.bloomFilter("key", nIdx, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf { (k: Long) => bc.value.mightContainLong(k) }
+    val suspects = real.where(might(col("key"))).select(col("key")).distinct()
+    val confirmed = corpusIndex
+      .join(broadcast(suspects), Seq("key"), "left_semi")
+      .distinct()
+      .withColumn("__dup", lit(true))
+    val marked = real.join(broadcast(confirmed), Seq("key"), "left")
+    val stats = marked.groupBy(col("id")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("len")).cast("long").as("n_bytes"),
+      sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_chunks"),
+      sum(when(col("__dup"), col("len").cast("long")).otherwise(0L)).as("dup_bytes"))
+    val empties = chunks.where(col("off") < 0).select(
+      col("id"), lit(0L).as("n_chunks"), lit(0L).as("n_bytes"),
+      lit(0L).as("dup_chunks"), lit(0L).as("dup_bytes"))
+    val out = stats.unionByName(empties).localCheckpoint()
+    chunks.unpersist(blocking = false)
+    bc.destroy()
     out
   }
 }

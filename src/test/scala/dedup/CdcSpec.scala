@@ -103,6 +103,42 @@ class CdcSpec extends AnyFunSuite {
     assert(again === stats)
   }
 
+  test("newChunkStats: batch-vs-corpus chunk novelty — exact copies, shifted copies, " +
+      "fresh blobs; Bloom false positives never inflate counts") {
+    import spark.implicits._
+    val corpusBlobs = Seq(
+      (100L, randBytes(5000, 31L)),
+      (101L, randBytes(5000, 32L)),
+      (102L, randBytes(5000, 33L)))
+    val corpus = corpusBlobs.toDF("id", "bin")
+    val index = Cdc.chunkIndex(corpus, "id", "bin", maskBits = 6)
+    val batch = Seq(
+      (1L, corpusBlobs.head._2.clone()),                  // exact corpus copy
+      (2L, randBytes(37, 40L) ++ corpusBlobs(1)._2),      // shifted corpus copy
+      (3L, randBytes(5000, 41L)),                         // storage-new
+      (4L, Array.emptyByteArray)).toDF("id", "bin")
+    val stats = Cdc.newChunkStats(index, batch, "id", "bin", maskBits = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (n1, b1, d1, db1) = stats(1L)
+    assert(b1 === 5000L && d1 === n1 && db1 === 5000L, "exact copy fully dup")
+    assert(stats(2L)._4 > 4000L, s"shifted copy mostly dup, got ${stats(2L)._4}")
+    assert(stats(4L) === ((0L, 0L, 0L, 0L)))
+    // the confirm join must kill Bloom false positives EXACTLY: compare
+    // the fresh blob's dup accounting against brute-force set membership
+    val idxKeys = index.collect().map(_.getLong(0)).toSet
+    val freshChunks = Cdc.chunkHashes(randBytes(5000, 41L), 6)
+    val trueDup = freshChunks.count(c => idxKeys.contains(c._3))
+    val trueDupBytes = freshChunks.filter(c => idxKeys.contains(c._3)).map(_._2.toLong).sum
+    assert(stats(3L)._3 === trueDup.toLong, "dup_chunks must be exact, not fpp-inflated")
+    assert(stats(3L)._4 === trueDupBytes)
+    // a HIGH-fpp bloom still yields identical (exact) accounting
+    val sloppy = Cdc.newChunkStats(index, batch, "id", "bin", 6, fpp = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sloppy === stats)
+  }
+
   test("pipeline --cdc-report: storage-audit artifact over the kept corpus text") {
     val dir = java.nio.file.Files.createTempDirectory("pipecdc").toString
     val args = Pipeline.parse(Array("--synth", "300", "--output", dir,

@@ -881,6 +881,26 @@ class MultimodalSpec extends AnyFunSuite {
         }
       }
     }
+    // random high-entropy raster: the dictionary passes 4094 entries and
+    // the encoder's mid-stream Clear + every width change must stay
+    // aligned with BOTH our decoder and the JDK's
+    {
+      val rw = 100; val rh = 60
+      val rnd = new scala.util.Random(99)
+      val rrgb = new Array[Byte](rw * rh * 3)
+      rnd.nextBytes(rrgb)
+      val wire = Multimodal.encodeTiff(rw, rh, rrgb, lzw = true)
+      assert(Multimodal.decodeTiff(wire).get._3.toSeq === rrgb.toSeq,
+        "random LZW roundtrip (table reset path)")
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wire))
+      assert(jdk != null && jdk.getWidth === rw)
+      for (y <- 0 until rh; x <- 0 until rw) {
+        val p = (y * rw + x) * 3
+        assert((jdk.getRGB(x, y) & 0xFFFFFF) ===
+          (((rrgb(p) & 0xFF) << 16) | ((rrgb(p + 1) & 0xFF) << 8) | (rrgb(p + 2) & 0xFF)),
+          s"jdk random-lzw $x,$y")
+      }
+    }
     // Predictor 2 (horizontal differencing): hand-difference a gray
     // raster, declare tag 317=2, expect the original back
     {
