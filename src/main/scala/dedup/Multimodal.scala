@@ -979,10 +979,20 @@ object Multimodal {
     if (be32(8) != 13 || be32(12) != 0x49484452) return None
     val w = be32(16); val h = be32(20)
     val depth = u8(24); val colorType = u8(25); val interlace = u8(28)
-    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || depth != 8 || interlace > 1) return None
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
+    }
+    // Adam7 pass grid (spec §8.2): (xStart, yStart, xStep, yStep); the
+    // whole image is one identity pass when non-interlaced
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
     }
     // w*channels wraps Int for giant headers on tiny payloads — all
     // raw-size arithmetic in Long, same corrupt-blob contract as decodeBmp.
@@ -990,7 +1000,12 @@ object Multimodal {
     // decompresses, so a 100-byte blob can claim a multi-GB raster: cap
     // the decode at 256 MiB of raw scanlines (≈9500² RGB) — corpus image
     // payloads beyond that are rejected as None, never allocated.
-    val rawLen = (w.toLong * channels + 1) * h
+    // An Adam7 pass with zero columns contributes NO scanlines (spec:
+    // empty passes are wholly absent from the stream).
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else (pw.toLong * channels + 1) * ph
+    }.sum
     if (rawLen > (1L << 28) || w.toLong * h * 3 > (1L << 28)) return None
     // one chunk walk: concatenate IDAT payloads, grab PLTE if present
     var palette: Array[Byte] = null
@@ -1026,55 +1041,65 @@ object Multimodal {
       }
       if (off < raw.length) return None
     } finally inf.end()
-    // unfilter in place: each scanline is [filterType, bpp*w bytes]
-    val stride = w * channels
-    val line = new Array[Byte](stride)  // current unfiltered scanline
-    val prior = new Array[Byte](stride) // previous unfiltered scanline
+    // unfilter per pass: each scanline is [filterType, channels·pw bytes];
+    // the filter context (left/up/up-left) is WITHIN the pass sub-image
     val out = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      val base = y * (stride + 1)
-      val ft = raw(base) & 0xFF
-      var x = 0
-      while (x < stride) {
-        val cur = raw(base + 1 + x) & 0xFF
-        val a = if (x >= channels) line(x - channels) & 0xFF else 0 // left
-        val b = prior(x) & 0xFF                                     // up
-        val c = if (x >= channels) prior(x - channels) & 0xFF else 0 // up-left
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + ((a + b) >> 1)
-          case 4 => // Paeth predictor (spec §9.4)
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case _ => return None
+    var rawOff = 0
+    for (p @ (x0, y0, dx, dy) <- passes) {
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * channels
+        val line = new Array[Byte](stride)  // current unfiltered scanline
+        val prior = new Array[Byte](stride) // previous unfiltered scanline
+        java.util.Arrays.fill(prior, 0.toByte)
+        var y = 0
+        while (y < ph) {
+          val base = rawOff + y * (stride + 1)
+          val ft = raw(base) & 0xFF
+          var x = 0
+          while (x < stride) {
+            val cur = raw(base + 1 + x) & 0xFF
+            val a = if (x >= channels) line(x - channels) & 0xFF else 0 // left
+            val b = prior(x) & 0xFF                                     // up
+            val c = if (x >= channels) prior(x - channels) & 0xFF else 0 // up-left
+            val v = ft match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + b
+              case 3 => cur + ((a + b) >> 1)
+              case 4 => // Paeth predictor (spec §9.4)
+                val pp = a + b - c
+                val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              case _ => return None
+            }
+            line(x) = v.toByte
+            x += 1
+          }
+          // scatter this pass scanline into the full-image RGB grid
+          var px = 0
+          val outY = y0 + y * dy
+          while (px < pw) {
+            val s = px * channels
+            val dst = (outY * w + x0 + px * dx) * 3
+            colorType match {
+              case 0 | 4 =>
+                val g = line(s)
+                out(dst) = g; out(dst + 1) = g; out(dst + 2) = g
+              case 2 | 6 =>
+                out(dst) = line(s); out(dst + 1) = line(s + 1); out(dst + 2) = line(s + 2)
+              case 3 =>
+                val pi = (line(s) & 0xFF) * 3
+                if (pi + 2 >= palette.length) return None
+                out(dst) = palette(pi); out(dst + 1) = palette(pi + 1); out(dst + 2) = palette(pi + 2)
+            }
+            px += 1
+          }
+          System.arraycopy(line, 0, prior, 0, stride)
+          y += 1
         }
-        line(x) = v.toByte
-        x += 1
+        rawOff += ph * (stride + 1)
       }
-      // expand this scanline to RGB
-      var px = 0
-      var dst = y * w * 3
-      while (px < w) {
-        val s = px * channels
-        colorType match {
-          case 0 | 4 =>
-            val g = line(s)
-            out(dst) = g; out(dst + 1) = g; out(dst + 2) = g
-          case 2 | 6 =>
-            out(dst) = line(s); out(dst + 1) = line(s + 1); out(dst + 2) = line(s + 2)
-          case 3 =>
-            val pi = (line(s) & 0xFF) * 3
-            if (pi + 2 >= palette.length) return None
-            out(dst) = palette(pi); out(dst + 1) = palette(pi + 1); out(dst + 2) = palette(pi + 2)
-        }
-        px += 1; dst += 3
-      }
-      System.arraycopy(line, 0, prior, 0, stride)
-      y += 1
     }
     Some((w, h, out))
   } catch { case _: RuntimeException | _: java.util.zip.DataFormatException => None }

@@ -1050,6 +1050,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.unpackBits(Array[Byte](-5, 7), 0, 2, 2) === None)
   }
 
+  test("decodePng Adam7: interlaced streams from the JDK's progressive writer " +
+      "decode pixel-exact (incl. sub-8px dims with empty passes)") {
+    for ((w, h) <- Seq((23, 17), (3, 2), (20, 9), (8, 8), (1, 1));
+         imgType <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)) {
+      val rgb = testPixels(w, h, w * 31 + h)
+      val src = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        src.setRGB(x, y, 0xFF000000 | ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      ios.close(); writer.dispose()
+      val png = buf.toByteArray
+      assert(png(28 + 0) === 1.toByte, s"writer must emit interlace=1 ${w}x$h")
+      val Some((w2, h2, back)) = Multimodal.decodePng(png)
+      assert((w2, h2) === ((w, h)), s"dims ${w}x$h type $imgType")
+      val gray = imgType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        if (gray) assert((back(p) & 0xFF) === src.getRaster.getSample(x, y, 0),
+          s"gray $x,$y ${w}x$h")
+        else {
+          val argb = src.getRGB(x, y)
+          assert((back(p) & 0xFF) === ((argb >> 16) & 0xFF), s"R $x,$y ${w}x$h")
+          assert((back(p + 1) & 0xFF) === ((argb >> 8) & 0xFF), s"G $x,$y ${w}x$h")
+          assert((back(p + 2) & 0xFF) === (argb & 0xFF), s"B $x,$y ${w}x$h")
+        }
+      }
+    }
+  }
+
   test("decodePng: truncated/corrupt/interlaced/16-bit rejected as None, never thrown") {
     val good = Multimodal.encodePng(9, 8, testPixels(9, 8))
     // cuts that damage the raster data reject; a trailer-only cut (IDAT
@@ -1060,7 +1099,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(good.take(good.length - 5)).map(_._3.toSeq) ===
       Some(testPixels(9, 8).toSeq), "complete IDAT without IEND recovers")
     val interlaced = good.clone; interlaced(28) = 1 // IHDR interlace byte
-    assert(Multimodal.decodePng(interlaced).isEmpty, "Adam7 not claimed")
+    // the flag now selects the REAL Adam7 path, whose pass layout needs
+    // more raw bytes than this sequential stream carries -> None, not a
+    // mis-scattered raster
+    assert(Multimodal.decodePng(interlaced).isEmpty,
+      "interlace flag inconsistent with stream length")
     val deep = good.clone; deep(24) = 16
     assert(Multimodal.decodePng(deep).isEmpty, "16-bit not claimed")
     val giant = good.clone // IHDR w = 2^24: decompression-bomb guard
