@@ -979,11 +979,17 @@ object Multimodal {
     if (be32(8) != 13 || be32(12) != 0x49484452) return None
     val w = be32(16); val h = be32(20)
     val depth = u8(24); val colorType = u8(25); val interlace = u8(28)
-    if (w <= 0 || h <= 0 || depth != 8 || interlace > 1) return None
+    if (w <= 0 || h <= 0 || (depth != 8 && depth != 16) || interlace > 1) return None
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
+    if (colorType == 3 && depth != 8) return None // palette indices are ≤8-bit
+    // 16-bit samples are big-endian; the 8-bit output takes the HIGH byte
+    // (the standard lossless-magnitude reduction). Filters operate on
+    // BYTES with the left-neighbor at bpp = channels·(depth/8) distance.
+    val bps = depth / 8
+    val bpp = channels * bps
     // Adam7 pass grid (spec §8.2): (xStart, yStart, xStep, yStep); the
     // whole image is one identity pass when non-interlaced
     val passes: Seq[(Int, Int, Int, Int)] =
@@ -1004,7 +1010,7 @@ object Multimodal {
     // empty passes are wholly absent from the stream).
     val rawLen = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw == 0 || ph == 0) 0L else (pw.toLong * channels + 1) * ph
+      if (pw == 0 || ph == 0) 0L else (pw.toLong * bpp + 1) * ph
     }.sum
     if (rawLen > (1L << 28) || w.toLong * h * 3 > (1L << 28)) return None
     // one chunk walk: concatenate IDAT payloads, grab PLTE if present
@@ -1048,7 +1054,7 @@ object Multimodal {
     for (p @ (x0, y0, dx, dy) <- passes) {
       val (pw, ph) = passDims(p)
       if (pw > 0 && ph > 0) {
-        val stride = pw * channels
+        val stride = pw * bpp
         val line = new Array[Byte](stride)  // current unfiltered scanline
         val prior = new Array[Byte](stride) // previous unfiltered scanline
         java.util.Arrays.fill(prior, 0.toByte)
@@ -1059,9 +1065,9 @@ object Multimodal {
           var x = 0
           while (x < stride) {
             val cur = raw(base + 1 + x) & 0xFF
-            val a = if (x >= channels) line(x - channels) & 0xFF else 0 // left
-            val b = prior(x) & 0xFF                                     // up
-            val c = if (x >= channels) prior(x - channels) & 0xFF else 0 // up-left
+            val a = if (x >= bpp) line(x - bpp) & 0xFF else 0 // left
+            val b = prior(x) & 0xFF                            // up
+            val c = if (x >= bpp) prior(x - bpp) & 0xFF else 0 // up-left
             val v = ft match {
               case 0 => cur
               case 1 => cur + a
@@ -1080,14 +1086,15 @@ object Multimodal {
           var px = 0
           val outY = y0 + y * dy
           while (px < pw) {
-            val s = px * channels
+            val s = px * bpp
             val dst = (outY * w + x0 + px * dx) * 3
             colorType match {
               case 0 | 4 =>
                 val g = line(s)
                 out(dst) = g; out(dst + 1) = g; out(dst + 2) = g
               case 2 | 6 =>
-                out(dst) = line(s); out(dst + 1) = line(s + 1); out(dst + 2) = line(s + 2)
+                out(dst) = line(s); out(dst + 1) = line(s + bps)
+                out(dst + 2) = line(s + 2 * bps)
               case 3 =>
                 val pi = (line(s) & 0xFF) * 3
                 if (pi + 2 >= palette.length) return None
@@ -1558,6 +1565,8 @@ object Multimodal {
     var spp = 1; var rowsPerStrip = Int.MaxValue; var bitsOk = true
     var predictor = 1
     var stripOffs: Array[Long] = null; var stripLens: Array[Long] = null
+    var tileW = 0; var tileH = 0
+    var tileOffs: Array[Long] = null; var tileLens: Array[Long] = null
     /** all `count` values of an entry, honoring inline-vs-offset. */
     def values(off: Int): Option[Array[Long]] = {
       val tpe = u16(off + 2); val count = u32(off + 4)
@@ -1589,12 +1598,24 @@ object Multimodal {
           .flatMap(_.headOption).getOrElse(Int.MaxValue.toLong), Int.MaxValue.toLong).toInt
         case 279 => stripLens = values(off).orNull
         case 317 => predictor = values(off).flatMap(_.headOption).getOrElse(1L).toInt
+        case 322 => tileW = values(off).flatMap(_.headOption).getOrElse(0L).toInt
+        case 323 => tileH = values(off).flatMap(_.headOption).getOrElse(0L).toInt
+        case 324 => tileOffs = values(off).orNull
+        case 325 => tileLens = values(off).orNull
         case _ =>
       }
       e += 1
     }
-    if (w <= 0 || h <= 0 || !bitsOk || stripOffs == null || stripLens == null) return None
-    if (stripOffs.length != stripLens.length || rowsPerStrip <= 0) return None
+    val tiled = tileOffs != null
+    if (w <= 0 || h <= 0 || !bitsOk) return None
+    if (tiled) {
+      if (tileLens == null || tileOffs.length != tileLens.length ||
+          tileW <= 0 || tileH <= 0) return None
+      if (tileW.toLong * tileH * spp > (256L << 20)) return None
+    } else {
+      if (stripOffs == null || stripLens == null) return None
+      if (stripOffs.length != stripLens.length || rowsPerStrip <= 0) return None
+    }
     if (compression != 1 && compression != 5 && compression != 8 &&
         compression != 32773 && compression != 32946) return None
     if (predictor != 1 && predictor != 2) return None
@@ -1603,17 +1624,10 @@ object Multimodal {
     if (gray && spp != 1) return None
     if (!gray && spp != 3) return None
     if (w.toLong * h * 3 > (256L << 20)) return None
-    // clamp BEFORE the ceiling-divide: the spec's "rows-per-strip absent
-    // = 2^32-1" default would overflow h + rowsPerStrip - 1 in Int
-    if (rowsPerStrip > h) rowsPerStrip = h
-    val expectedStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-    if (stripOffs.length < expectedStrips) return None
     val rgb = new Array[Byte](w * h * 3)
-    var strip = 0
-    while (strip < expectedStrips) {
-      val rows = math.min(rowsPerStrip, h - strip * rowsPerStrip)
-      val rawLen = rows * w * spp
-      val sOff = stripOffs(strip); val sLen = stripLens(strip)
+    /** decompress one segment (strip or tile) to exactly `rawLen` bytes
+      * and undo Predictor 2 with the segment's own row width. */
+    def segment(sOff: Long, sLen: Long, rawLen: Int, rowBytes: Int): Option[Array[Byte]] = {
       if (sOff < 0 || sOff + sLen > bytes.length) return None
       val data: Array[Byte] = (compression match {
         case 1 =>
@@ -1624,34 +1638,78 @@ object Multimodal {
         case _ => unpackBits(bytes, sOff.toInt, sLen.toInt, rawLen)
       }).getOrElse(return None)
       if (predictor == 2) { // undo horizontal differencing, per row/channel
-        var row = 0
-        while (row < rows) {
-          val rb = row * w * spp
+        var rb = 0
+        while (rb < rawLen) {
           var x = spp
-          while (x < w * spp) {
+          while (x < rowBytes) {
             data(rb + x) = (data(rb + x) + data(rb + x - spp)).toByte
             x += 1
           }
-          row += 1
+          rb += rowBytes
         }
       }
-      var p = 0
-      val outBase = strip * rowsPerStrip * w * 3
-      while (p < rows * w) {
-        if (gray) {
-          val v0 = data(p) & 0xFF
-          val v = if (photometric == 0) 255 - v0 else v0 // WhiteIsZero inverts
-          rgb(outBase + p * 3) = v.toByte
-          rgb(outBase + p * 3 + 1) = v.toByte
-          rgb(outBase + p * 3 + 2) = v.toByte
-        } else {
-          rgb(outBase + p * 3) = data(p * 3)
-          rgb(outBase + p * 3 + 1) = data(p * 3 + 1)
-          rgb(outBase + p * 3 + 2) = data(p * 3 + 2)
-        }
-        p += 1
+      Some(data)
+    }
+    /** expand one source pixel into the RGB output (WhiteIsZero inverts). */
+    @inline def putPixel(data: Array[Byte], src: Int, dst: Int): Unit =
+      if (gray) {
+        val v0 = data(src) & 0xFF
+        val v = if (photometric == 0) 255 - v0 else v0
+        rgb(dst) = v.toByte; rgb(dst + 1) = v.toByte; rgb(dst + 2) = v.toByte
+      } else {
+        rgb(dst) = data(src); rgb(dst + 1) = data(src + 1); rgb(dst + 2) = data(src + 2)
       }
-      strip += 1
+    if (tiled) {
+      // TIFF 6.0 §15: tiles are ALWAYS full-size (edge tiles padded),
+      // ordered left-to-right, top-to-bottom
+      val across = (w + tileW - 1) / tileW
+      val down = (h + tileH - 1) / tileH
+      if (tileOffs.length < across * down) return None
+      val rawLen = tileW * tileH * spp
+      var ty = 0
+      while (ty < down) {
+        var tx = 0
+        while (tx < across) {
+          val idx = ty * across + tx
+          val data = segment(tileOffs(idx), tileLens(idx), rawLen, tileW * spp)
+            .getOrElse(return None)
+          val rows = math.min(tileH, h - ty * tileH)
+          val cols = math.min(tileW, w - tx * tileW)
+          var row = 0
+          while (row < rows) {
+            val srcRow = row * tileW * spp
+            val dstRow = ((ty * tileH + row) * w + tx * tileW) * 3
+            var cx = 0
+            while (cx < cols) {
+              putPixel(data, srcRow + cx * spp, dstRow + cx * 3)
+              cx += 1
+            }
+            row += 1
+          }
+          tx += 1
+        }
+        ty += 1
+      }
+    } else {
+      // clamp BEFORE the ceiling-divide: the spec's "rows-per-strip
+      // absent = 2^32-1" default would overflow h + rowsPerStrip - 1
+      if (rowsPerStrip > h) rowsPerStrip = h
+      val expectedStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+      if (stripOffs.length < expectedStrips) return None
+      var strip = 0
+      while (strip < expectedStrips) {
+        val rows = math.min(rowsPerStrip, h - strip * rowsPerStrip)
+        val rawLen = rows * w * spp
+        val data = segment(stripOffs(strip), stripLens(strip), rawLen, w * spp)
+          .getOrElse(return None)
+        var p = 0
+        val outBase = strip * rowsPerStrip * w * 3
+        while (p < rows * w) {
+          putPixel(data, p * spp, outBase + p * 3)
+          p += 1
+        }
+        strip += 1
+      }
     }
     Some((w, h, rgb))
   } catch { case _: Exception => None }

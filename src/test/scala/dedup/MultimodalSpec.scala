@@ -1001,6 +1001,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeTiff tiled layout: JDK-written tiled TIFFs (plain and LZW) decode " +
+      "pixel-exact, edge tiles clipped") {
+    for (ctype <- Seq(None, Some("LZW"));
+         imgType <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)) {
+      val w = 70; val h = 50 // 32x32 tiles -> 3x2 grid with clipped edges
+      val rgb = testPixels(w, h, 13)
+      val src = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        src.setRGB(x, y, 0xFF000000 | ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(32, 32, 0, 0)
+      ctype.foreach { c =>
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(c)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      ios.close(); writer.dispose()
+      val Some((w2, h2, back)) = Multimodal.decodeTiff(buf.toByteArray)
+      assert((w2, h2) === ((w, h)), s"dims $ctype type $imgType")
+      val gray = imgType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        if (gray) assert((back(p) & 0xFF) === src.getRaster.getSample(x, y, 0),
+          s"gray $x,$y $ctype")
+        else {
+          val argb = src.getRGB(x, y)
+          assert((back(p) & 0xFF) === ((argb >> 16) & 0xFF), s"R $x,$y $ctype")
+          assert((back(p + 1) & 0xFF) === ((argb >> 8) & 0xFF), s"G $x,$y $ctype")
+          assert((back(p + 2) & 0xFF) === (argb & 0xFF), s"B $x,$y $ctype")
+        }
+      }
+    }
+  }
+
   test("decodeTiff/decodeWavImaAdpcm fuzz: truncations and bit flips never throw; " +
       "giant-dim and hostile-header bombs rejected") {
     val w = 13; val h = 9
@@ -1089,6 +1132,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodePng 16-bit: JDK-written USHORT-gray PNGs decode to the high byte") {
+    val w = 19; val h = 11
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val rnd = new scala.util.Random(5)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, rnd.nextInt(65536))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", buf)
+    val png = buf.toByteArray
+    assert((png(24) & 0xFF) === 16, "writer must emit bit depth 16")
+    val Some((w2, h2, back)) = Multimodal.decodePng(png)
+    assert((w2, h2) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      assert((back(p) & 0xFF) === (src.getRaster.getSample(x, y, 0) >> 8),
+        s"high byte $x,$y")
+    }
+  }
+
   test("decodePng: truncated/corrupt/interlaced/16-bit rejected as None, never thrown") {
     val good = Multimodal.encodePng(9, 8, testPixels(9, 8))
     // cuts that damage the raster data reject; a trailer-only cut (IDAT
@@ -1105,7 +1168,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(interlaced).isEmpty,
       "interlace flag inconsistent with stream length")
     val deep = good.clone; deep(24) = 16
-    assert(Multimodal.decodePng(deep).isEmpty, "16-bit not claimed")
+    // 16-bit is now a real path: a patched depth flag over an 8-bit
+    // stream is length-inconsistent -> None, not a garbled raster
+    assert(Multimodal.decodePng(deep).isEmpty, "depth flag inconsistent with stream")
     val giant = good.clone // IHDR w = 2^24: decompression-bomb guard
     giant(16) = 1; giant(17) = 0; giant(18) = 0; giant(19) = 0
     assert(Multimodal.decodePng(giant).isEmpty, "raster cap")
