@@ -446,4 +446,36 @@ class EndToEndSpec extends AnyFunSuite {
     assert(!joined.contains("bob@example.com") && !joined.contains("5550123456"))
     assert(joined.contains(Pii.EmailToken) && joined.contains(Pii.PhoneToken))
   }
+
+  test("kitchen sink: every post-dedup shaping stage composes in one run and " +
+      "resumes byte-identically (--simhash --suffix --dedup-lines --redact-pii " +
+      "--sample-target --mix --shard-tokens --cdc-report)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val argv = Array("--synth", "500", "--output", dir,
+      "--simhash", "--suffix", "--dedup-lines", "--redact-pii",
+      "--sample-alpha", "0.7", "--sample-target", "0.8",
+      "--mix", "*:1", "--mix-budget", "40000",
+      "--shard-tokens", "5000",
+      "--cdc-report", "6",
+      "--num-perm", "64", "--salt", "4")
+    val args = Pipeline.parse(argv)
+    val (kept, assigns) = Pipeline.run(spark, args)
+    val n = kept.count()
+    assert(n > 0 && n < 500, s"kept $n of 500")
+    assert(assigns.count() > 0)
+    // every shaping stage left its mark: shard column assigned, cdc
+    // report written with one row per kept doc, mix respected its budget
+    // within sampling noise
+    assert(kept.schema.fieldNames.contains("shard"))
+    val report = spark.read.parquet(s"$dir/cdc_report")
+    assert(report.count() === n)
+    val toks = kept.withColumn("ntok", size(split(col("text"), "\\s+")))
+      .agg(sum(col("ntok"))).collect()(0).getLong(0)
+    assert(toks < 40000 * 2 && toks > 40000 / 4, s"mix budget wildly off: $toks")
+    // resume: identical kept set, no stage recomputed into a different row set
+    val (kept2, _) = Pipeline.run(spark, Pipeline.parse(argv))
+    assert(kept2.select("url").collect().map(_.getString(0)).sorted.toSeq ===
+      kept.select("url").collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
