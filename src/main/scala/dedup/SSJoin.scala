@@ -1,7 +1,6 @@
 package dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join via global-frequency token ordering +
@@ -122,24 +121,36 @@ object SSJoin {
     * input doc with its group representative, group size and set size. */
   private[dedup] case class Collapsed(reps: DataFrame, members: DataFrame)
 
-  /** Group docs by their exact (sorted-distinct) token set — ONE shuffle of
-    * the sets (window over the array key, no join-back), grouping on the
-    * array value itself so the collapse is exact for any token type (no
-    * serialization/hash ambiguity). At 100 TB this is the same shuffle
-    * exact dedup already pays, and it turns m byte-identical docs into 1
-    * join participant. */
+  /** Group docs by their exact (sorted-distinct) token set, as a
+    * partial-aggregated `groupBy` plus a hash-keyed join-back — NOT a
+    * window over the set key. A `Window.partitionBy(ktoks)` has no
+    * map-side combine and no AQE skew splitting, so at web scale the most
+    * common identical sets (empty pages, boilerplate templates, 10⁶-10⁸
+    * members each) would land every member row WITH its full token array
+    * on a single window task. Here each map task emits at most one row
+    * per distinct set into the groupBy shuffle (bounded reduce-side fan-in
+    * = #map tasks per group), and the members join-back runs on the 8-byte
+    * xxhash64 of the set — an equi-join AQE can skew-split — with
+    * membership confirmed by exact array equality so a hash collision can
+    * never merge distinct sets. The collapse stays exact for any token
+    * type, and still turns m identical docs into 1 join participant. */
   private[dedup] def collapseExact(tokSets: DataFrame): Collapsed = {
-    val w = Window.partitionBy("ktoks")
-    val m = tokSets
-      .select(col("id").cast("long").as("id"),
-        array_sort(array_distinct(col("toks"))).as("ktoks"))
-      .withColumn("gid", min(col("id")).over(w))
-      .withColumn("gcnt", count(lit(1)).over(w))
-      .withColumn("glen", size(col("ktoks")).cast("long"))
+    val sets = tokSets.select(col("id").cast("long").as("id"),
+      array_sort(array_distinct(col("toks"))).as("ktoks"))
+    val groups = sets
+      .groupBy(col("ktoks"))
+      .agg(min(col("id")).as("gid"), count(lit(1)).as("gcnt"))
+      .withColumn("kh", xxhash64(col("ktoks")))
+    val members = sets
+      .withColumn("kh", xxhash64(col("ktoks")))
+      .join(groups.select(col("kh"), col("ktoks").as("gtoks"),
+        col("gid"), col("gcnt")), Seq("kh"))
+      .where(col("ktoks") === col("gtoks"))
+      .select(col("id"), col("gid"), col("gcnt"),
+        size(col("ktoks")).cast("long").as("glen"))
     Collapsed(
-      reps = m.where(col("id") === col("gid"))
-        .select(col("id"), col("ktoks").as("toks")),
-      members = m.select(col("id"), col("gid"), col("gcnt"), col("glen")))
+      reps = groups.select(col("gid").as("id"), col("ktoks").as("toks")),
+      members = members)
   }
 
   /** Jaccard pairs over already-distinct sets (rep ids): (id_a < id_b,

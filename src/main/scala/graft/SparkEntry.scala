@@ -540,10 +540,14 @@ object SparkEntry {
             (id, Multimodal.encodeBmp(w, h, rgb))
           }
         }.toDF("doc_id", "img")
-      Multimodal.imageDHash(imgs, "doc_id", "img")
+      // groupBy+join, not min().over(Window.partitionBy(fp)): a viral
+      // image duplicated 10^6 times is ONE window task (no partial agg,
+      // no AQE skew split); the groupBy partial-aggregates map-side and
+      // the join-back is skew-splittable. Same output, bounded tasks.
+      val fp = Multimodal.imageDHash(imgs, "doc_id", "img")
+      fp.join(fp.groupBy(col("dhash")).agg(min(col("id")).as("component")),
+          Seq("dhash"))
         .withColumn("dhash_bits", lpad(bin(col("dhash")), 64, "0"))
-        .withColumn("component",
-          min(col("id")).over(Window.partitionBy(col("dhash"))))
         .select(col("id").as("doc_id"), col("dhash_bits"), col("component"))
     }),
 
@@ -570,10 +574,11 @@ object SparkEntry {
             (id, Multimodal.encodeWavPcm16(8000, samples))
           }
         }.toDF("doc_id", "wav")
-      Multimodal.audioFingerprint(clips, "doc_id", "wav")
+      // hot-fingerprint-safe grouping (see q_image_dhash note)
+      val fp = Multimodal.audioFingerprint(clips, "doc_id", "wav")
+      fp.join(fp.groupBy(col("afp")).agg(min(col("id")).as("component")),
+          Seq("afp"))
         .withColumn("fp_bits", lpad(bin(col("afp")), 64, "0"))
-        .withColumn("component",
-          min(col("id")).over(Window.partitionBy(col("afp"))))
         .select(col("id").as("doc_id"), col("n_samples"), col("fp_bits"),
           col("component"))
     }),
@@ -952,10 +957,11 @@ object SparkEntry {
             (id, Avi.encodeMjpeg(w, h, 5, frames))
           }
         }.toDF("doc_id", "vid")
-      Avi.videoFingerprint(vids, "doc_id", "vid")
+      // hot-fingerprint-safe grouping (see q_image_dhash note)
+      val fp = Avi.videoFingerprint(vids, "doc_id", "vid")
+      fp.join(fp.groupBy(col("vfp")).agg(min(col("id")).as("component")),
+          Seq("vfp"))
         .withColumn("vfp_bits", lpad(bin(col("vfp")), 64, "0"))
-        .withColumn("component",
-          min(col("id")).over(Window.partitionBy(col("vfp"))))
         .select(col("id").as("doc_id"), col("n_frames"), col("vfp_bits"),
           col("component"))
     }),
@@ -1728,6 +1734,35 @@ object SparkEntry {
         .select(col("sim_decile"), col("n_pairs"))
     }),
 
+    // SCALE-SAFE similarity profile — the headline form of the audit. At
+    // t=0.5 the prefix filter keeps ~half of every token set, so exact
+    // candidate volume degrades toward quadratic on self-similar corpora,
+    // and the TRUE output ("all pairs ≥0.5") is itself quadratic in
+    // cluster size — the exact form above is correct but the wrong shape
+    // to run corpus-wide. The audit needs the histogram's SHAPE (pick a
+    // dedup threshold), not every pair: a deterministic md5 Bernoulli doc
+    // sample at rate p=1/2 keeps each pair with probability p²=1/4, so
+    // n_pairs_est = n_pairs·4 is unbiased per bucket with the closed-form
+    // integer scale-up. The sample is a pure projection of doc_id
+    // (Sampling.hashUnit), so DuckDB replays the IDENTICAL sample and
+    // brute-forces the same histogram — the estimate column is gated too.
+    // Candidate volume and memory scale by p² vs the exact form; at
+    // production scale p drops to 0.01-0.1 and the bound tightens by
+    // 10⁴-10⁶ (SCALE.md row).
+    "q_sim_histogram_sampled" -> ((s, dir) => {
+      val g = documents(s, dir)
+        .where(nTokens(col("text")) >= 5)
+        // hashUnit < 2^31 ⇔ rate 1/2, exact in binary in both engines
+        .where(Sampling.hashUnit(col("doc_id").cast("string")) < 2147483648L)
+        .select(col("doc_id").as("id"), triGramHashes(col("text")).as("toks"))
+      SSJoin.pairs(g, 0.5)
+        .withColumn("sim_decile", expr("inter * 10 DIV uni"))
+        .groupBy(col("sim_decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("sim_decile"), col("n_pairs"),
+          (col("n_pairs") * 4L).as("n_pairs_est"))
+    }),
+
     // Cross-corpus n-gram novelty (TextAnalysis.ngramNovelty): per doc,
     // how many of its distinct trigrams appear in ANY other document —
     // the boilerplate/template signal that doc-level dedup misses (no
@@ -1753,9 +1788,12 @@ object SparkEntry {
     "q_dedup_summary" -> ((s, dir) => {
       val d = documents(s, dir)
       val a = FuzzyDedup.assignments(d, docCfg)
-      val ekWin = Window.partitionBy(col("h"))
-      d.select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
-        .withColumn("ek", min(col("doc_id")).over(ekWin))
+      // engine's own ExactDedup.assignments (groupBy+join), not a window
+      // over the md5 key — identical output, hot-group-safe at web scale
+      val ek = ExactDedup.assignments(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("component").as("ek"))
+      d.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .join(ek, Seq("doc_id"))
         .join(a, col("doc_id") === col("id"))
         .groupBy(col("lang"))
         .agg(
@@ -2984,6 +3022,23 @@ object SparkEntry {
         |  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS uni
         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
         |SELECT (inter * 10) // uni AS sim_decile, count(*)::BIGINT AS n_pairs
+        |FROM pairs WHERE inter * 2 >= uni GROUP BY 1""".stripMargin,
+
+    // Identical md5 doc sample (hashUnit < 2^31 ⇔ p=1/2), brute-force
+    // histogram over the sample, closed-form ·4 scale-up gated as a column.
+    "q_sim_histogram_sampled" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64 < 2147483648),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks),
+        |pairs AS (SELECT
+        |  len(list_intersect(a.g, b.g))::BIGINT AS inter,
+        |  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS uni
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+        |SELECT (inter * 10) // uni AS sim_decile, count(*)::BIGINT AS n_pairs,
+        |  (count(*) * 4)::BIGINT AS n_pairs_est
         |FROM pairs WHERE inter * 2 >= uni GROUP BY 1""".stripMargin,
 
     "q_novelty" ->

@@ -92,6 +92,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-key grouping paths plan no window functions (VERDICT r4 #1)") {
+    // Window.partitionBy over a content key (identical token set, md5,
+    // perceptual fingerprint) has no map-side combine and no AQE skew
+    // split — at web scale the hottest key (empty page, viral image)
+    // lands every member row on ONE task. These queries — the SSJoin
+    // collapseExact consumers plus the fingerprint/md5 grouping rows —
+    // must plan the partial-agg groupBy + join-back shape instead.
+    // (q_ordered_id / q_dup_rank keep windows BY CONTRACT: per-(lang,
+    // source) ordering is their semantics, keys are bounded-cardinality.)
+    val qmap = graft.SparkEntry.benchQueries
+    Seq("q_image_dhash", "q_audio_fp", "q_video_fp", "q_dedup_summary",
+      "q_containment", "q_contain_kept", "q_ngram_jaccard_pairs",
+      "q_ssjoin_assign", "q_sim_histogram_sampled").foreach { name =>
+      val plan = formatted(qmap(name)(spark, sf))
+      assert(!plan.contains("Window"),
+        s"hot-key window function in $name:\n$plan")
+    }
+  }
+
   test("source-prep operators plan as narrow transforms: zero shuffles") {
     // quality gate, URL ops and HTML extraction are per-row projections —
     // at 100 TB any accidental Exchange here would shuffle the whole
