@@ -152,26 +152,36 @@ object Cdc {
     * filter over the corpus keys prunes provably-new chunks MAP-SIDE, so
     * only suspects (true dups + fpp·|batch chunks|) reach the confirm
     * semi-join against the index — false positives never inflate the
-    * counts. If a pathological batch overflows the broadcast budget, AQE
-    * replans the join as a shuffle. */
+    * counts. The suspect/confirmed joins carry NO explicit broadcast
+    * hints: the suspect set scales with the number of distinct duplicate
+    * chunks in the batch (unbounded by fpp — a heavy-duplicate batch is
+    * the common case this operator targets), and AQE never demotes an
+    * explicit hint, so hinting would turn that case into a broadcast-limit
+    * failure. Unhinted, AQE broadcasts small suspect sets and replans
+    * heavy ones as shuffles.
+    *
+    * `expectedItems` sizes the Bloom filter without a counting scan of
+    * the (potentially corpus-scale) index — callers who persisted the
+    * index usually know its cardinality; when absent (≤0) one count()
+    * pass runs. */
   def newChunkStats(corpusIndex: DataFrame, batch: DataFrame,
       idCol: String, binCol: String, maskBits: Int,
       minSize: Int = 1, maxSize: Int = Int.MaxValue,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, expectedItems: Long = 0L): DataFrame = {
     val spark = batch.sparkSession
     val chunks = chunkRows(batch, idCol, binCol, maskBits, minSize, maxSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val real = chunks.where(col("off") >= 0)
-    val nIdx = math.max(corpusIndex.count(), 1L)
+    val nIdx = math.max(if (expectedItems > 0) expectedItems else corpusIndex.count(), 1L)
     val bf = corpusIndex.stat.bloomFilter("key", nIdx, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf { (k: Long) => bc.value.mightContainLong(k) }
     val suspects = real.where(might(col("key"))).select(col("key")).distinct()
     val confirmed = corpusIndex
-      .join(broadcast(suspects), Seq("key"), "left_semi")
+      .join(suspects, Seq("key"), "left_semi")
       .distinct()
       .withColumn("__dup", lit(true))
-    val marked = real.join(broadcast(confirmed), Seq("key"), "left")
+    val marked = real.join(confirmed, Seq("key"), "left")
     val stats = marked.groupBy(col("id")).agg(
       count(lit(1)).as("n_chunks"),
       sum(col("len")).cast("long").as("n_bytes"),

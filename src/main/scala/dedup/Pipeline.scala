@@ -723,9 +723,21 @@ object Pipeline {
           val weights = counts.keys
             .map(s => s -> args.mixWeights.getOrElse(s, default)).toMap
           val rates = Sampling.mixtureRatesPpm(counts, weights, args.mixBudget)
+          // Bernoulli key must be never-null: concat() is null if url is
+          // null, which would silently DROP null-url rows from every
+          // source while the driver-side token counts (the rate inputs)
+          // still include them — realized tokens would undershoot the
+          // budget. The fallback chain ends in content then a literal
+          // (id = xxhash64(url) is null exactly when url is, so id alone
+          // is not a fallback here); only fully-degenerate rows (null
+          // url AND null id AND null text) share the literal key and
+          // draw together.
+          val mixKey = concat(
+            coalesce(col("url"), col("id").cast("string"),
+              md5(col("text")), lit("__nokey__")), lit("#mix"))
           cached.withColumn("__src__", src)
             .withColumn("__ppm__", element_at(typedLit(rates), col("__src__")))
-            .where(Sampling.hashUnit(concat(col("url"), lit("#mix")))
+            .where(Sampling.hashUnit(mixKey)
               * lit(1000000L) < col("__ppm__") * lit(4294967296L))
             .drop("__src__", "__ppm__")
         }

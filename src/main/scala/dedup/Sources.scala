@@ -117,19 +117,37 @@ object Sources {
               if (!has(f)) null else r.get(f) match {
                 case null => null
                 case l: java.lang.Long =>
-                  // timestamp-millis vs -micros per the field's logical type;
-                  // bare longs default to millis (the Avro spec default)
-                  val lt = schema.getField(f).schema() match {
-                    case s if s.getLogicalType != null => s.getLogicalType.getName
-                    case s if s.getType == org.apache.avro.Schema.Type.UNION =>
-                      var name = "timestamp-millis"
+                  // timestamp-millis vs -micros per the logical type of the
+                  // LONG branch — the branch this runtime value came from.
+                  // Unions may carry other annotated branches (string dates
+                  // etc.); taking "whichever logical type appears last"
+                  // would let an unrelated branch misparse every long.
+                  // (Avro unions cannot repeat a primitive type, so there
+                  // is at most one long branch.)
+                  def longLogical(s: org.apache.avro.Schema): String = s.getType match {
+                    case org.apache.avro.Schema.Type.LONG =>
+                      if (s.getLogicalType != null) s.getLogicalType.getName else null
+                    case org.apache.avro.Schema.Type.UNION =>
+                      var name: String = null
                       val it = s.getTypes.iterator()
                       while (it.hasNext) {
                         val t = it.next()
-                        if (t.getLogicalType != null) name = t.getLogicalType.getName
+                        if (t.getType == org.apache.avro.Schema.Type.LONG)
+                          name = if (t.getLogicalType != null) t.getLogicalType.getName else null
                       }
                       name
-                    case _ => "timestamp-millis"
+                    case _ => null
+                  }
+                  // Unannotated longs: hand-rolled writers commonly emit
+                  // epoch-MICROS without a logical type. |v| > 1e14 as
+                  // millis would be past year 5138 — read it as micros;
+                  // plausible magnitudes keep the Avro spec default (millis).
+                  val lt = longLogical(schema.getField(f).schema()) match {
+                    case null =>
+                      if (l > 100000000000000L || l < -100000000000000L)
+                        "timestamp-micros"
+                      else "timestamp-millis"
+                    case n => n
                   }
                   if (lt == "timestamp-micros")
                     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(

@@ -137,6 +137,13 @@ class CdcSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(sloppy === stats)
+    // expectedItems (caller-known index cardinality, skipping the count()
+    // scan) must not change the accounting — even wildly oversized
+    val sized = Cdc.newChunkStats(index, batch, "id", "bin", 6,
+        expectedItems = 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sized === stats)
   }
 
   test("pipeline --cdc-report: storage-audit artifact over the kept corpus text") {

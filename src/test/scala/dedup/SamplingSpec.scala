@@ -230,6 +230,33 @@ class SamplingSpec extends AnyFunSuite {
       s"combined sample+mix kept $gotTokens tokens, budget ${want.toLong}")
   }
 
+  test("pipeline --mix: null-url rows draw from a never-null key (not silently dropped)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pipemixnull").toString
+    // 30 pages with distinct non-dup texts; ONE has a null url (the
+    // ADVICE hazard: concat(url, '#mix') is null for it, so the old keep
+    // predicate dropped it at ANY rate while the token counts — the rate
+    // inputs — still included it)
+    val pages = (0 until 30).map { i =>
+      Page(
+        url = if (i == 7) null else s"https://mixnull/$i",
+        warc_ts = new java.sql.Timestamp(1700000000000L + i),
+        html = null,
+        text = (0 until 40).map(k => s"mixnull${i}w${k * i + k}").mkString(" "),
+        lang = "en")
+    }
+    import spark.implicits._
+    pages.toDF().write.mode("overwrite").parquet(s"$dir/pages")
+    // rate 1 for every source (budget >= total tokens): EVERY row must
+    // survive the mix stage, null-url row included
+    val args = Pipeline.parse(Array("--input", s"$dir/pages",
+      "--output", s"$dir/out", "--mix", "*:1", "--mix-budget", "99999999"))
+    val (kept, _) = Pipeline.run(spark, args)
+    assert(kept.count() === 30L)
+    assert(kept.where(col("url").isNull).count() === 1L,
+      "null-url row silently dropped by the mix keep-predicate")
+  }
+
   test("pipeline --sample-target: deterministic rebalance of the kept corpus") {
     val dir = java.nio.file.Files.createTempDirectory("pipesample").toString
     val base = Pipeline.parse(Array("--synth", "400", "--output", s"$dir/a"))

@@ -107,6 +107,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows("https://b/1").getAs[Array[Byte]]("html") === null)
   }
 
+  test("pagesAvro: union logical type resolves from the LONG branch; " +
+      "unannotated micros-magnitude longs heuristically parsed") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val dir = Files.createTempDirectory("avrots")
+    def strOpt = Schema.createUnion(java.util.Arrays.asList(
+      Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.STRING)))
+    def field(n: String, s: Schema) = new Schema.Field(n, s, null,
+      Schema.Field.NULL_DEFAULT_VALUE)
+
+    // file 1: warc_ts = union [null, BARE long, string(uuid)] — an
+    // unrelated annotated branch. The old resolver took "whichever
+    // logical type appears last in the union" (uuid here), falling back
+    // to millis: a hand-rolled writer's epoch-micros long misparsed
+    // ~1000x into the future. The long branch is unannotated, so the
+    // magnitude heuristic must kick in per value.
+    val uuidStr = org.apache.avro.LogicalTypes.uuid()
+      .addToSchema(Schema.create(Schema.Type.STRING))
+    val u1 = Schema.createUnion(java.util.Arrays.asList(
+      Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG), uuidStr))
+    val s1 = Schema.createRecord("page", null, "t", false)
+    s1.setFields(java.util.Arrays.asList(
+      field("url", strOpt), field("warc_ts", u1), field("text", strOpt)))
+    val w1 = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s1))
+    w1.create(s1, dir.resolve("u1.avro").toFile)
+    val r1 = new GenericData.Record(s1)
+    r1.put("url", "https://u/micros"); r1.put("warc_ts", 1709633130000000L)
+    w1.append(r1)
+    val r2 = new GenericData.Record(s1)
+    r2.put("url", "https://u/millis"); r2.put("warc_ts", 1709633130000L)
+    w1.append(r2); w1.close()
+
+    // file 2: warc_ts = union [null, long(timestamp-micros)] — the branch
+    // annotation must win even at small magnitudes (50s after epoch)
+    val tsMicros = org.apache.avro.LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val u2 = Schema.createUnion(java.util.Arrays.asList(
+      Schema.create(Schema.Type.NULL), tsMicros))
+    val s2 = Schema.createRecord("page", null, "t", false)
+    s2.setFields(java.util.Arrays.asList(
+      field("url", strOpt), field("warc_ts", u2), field("text", strOpt)))
+    val w2 = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s2))
+    w2.create(s2, dir.resolve("u2.avro").toFile)
+    val r3 = new GenericData.Record(s2)
+    r3.put("url", "https://u/annotated"); r3.put("warc_ts", 50000000L)
+    w2.append(r3); w2.close()
+
+    val rows = Sources.pagesAvro(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r.getAs[java.sql.Timestamp]("warc_ts").toInstant).toMap
+    assert(rows("https://u/micros") === java.time.Instant.parse("2024-03-05T10:05:30Z"))
+    assert(rows("https://u/millis") === java.time.Instant.parse("2024-03-05T10:05:30Z"))
+    assert(rows("https://u/annotated") === java.time.Instant.parse("1970-01-01T00:00:50Z"))
+  }
+
   test("pagesCsv: quoted multiline text, typed null html, corrupt-record surfacing") {
     val dir = Files.createTempDirectory("csv")
     val f = dir.resolve("pages.csv")
