@@ -291,6 +291,58 @@ class SSJoinSpec extends AnyFunSuite {
     assert(got(ts, 0.7) === Set((1L, 2L, 1L, 1L)))
   }
 
+  test("containment dfCap recall on a stopword-heavy corpus: loss confined to " +
+      "all-hot-prefix probes, measured recall ≥ planted floor") {
+    // The pipeline's --contain default ships dfCap=100000 (Pipeline.Args).
+    // This test runs the SAME mechanism at test scale (cap 40 against hot
+    // df ≈ 47 and stopword df = 200) on a corpus built to quantify the
+    // loss — the LshSpec hub-hazard methodology: plant pairs whose
+    // survival/loss under the cap is provable, then MEASURE recall.
+    //   - 100 quote⊂page pairs with rare-token prefixes (df 2 « cap):
+    //     must all survive — a doc with ANY sub-cap token in its prefix
+    //     keeps its candidates;
+    //   - 5 probe⊂page pairs where the probe's ENTIRE prefix is hot
+    //     group-tokens (df ≈ 47 > cap): the one documented failure mode —
+    //     all 5 lost, nothing else;
+    //   - 300 noise docs + corpus-wide stopwords make the hot tokens hot.
+    // Planted recall floor: 100/105 ≈ 0.952. SCALE.md cites this number.
+    val stop = (0 until 30).map(k => s"s$k")
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[String])]()
+    (0 until 100).foreach { i =>
+      val c = (0 until 10).map(k => s"c${i}_$k")
+      rows += ((1000L + i, (c ++ stop).toArray)) // quote, prefix = rare c
+      rows += ((2000L + i,
+        (c ++ stop ++ (0 until 50).map(k => s"f${i}_$k")).toArray)) // page
+    }
+    (0 until 5).foreach { g =>
+      val hot = (0 until 20).map(k => s"h${g}_$k")
+      (0 until 60).foreach { n => // noise: 15-of-20 hot + unique filler
+        rows += ((5000L + g * 100 + n,
+          ((0 until 15).map(j => hot((n + j) % 20)) ++
+            (0 until 30).map(k => s"n${g}_${n}_$k")).toArray))
+      }
+      rows += ((3000L + g, hot.toArray)) // probe: ALL-hot prefix
+      rows += ((4000L + g,
+        (hot ++ (0 until 40).map(k => s"pf${g}_$k")).toArray)) // its page
+    }
+    val ts = rows.toSeq.toDF("id", "toks")
+    def cp(cap: Long) = SSJoin.containmentPairs(ts, 0.8, cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = cp(0L)
+    val capped = cp(40L)
+    // exactly the planted pairs, nothing accidental
+    assert(exact.size === 105, s"planted corpus drifted: ${exact.size} exact pairs")
+    assert(capped.subsetOf(exact), "a cap can only lose pairs, never invent them")
+    (0 until 100).foreach(i => assert(capped.contains((1000L + i, 2000L + i)),
+      s"rare-prefix pair $i lost under the cap"))
+    val lost = exact -- capped
+    assert(lost === (0 until 5).map(g => (3000L + g, 4000L + g)).toSet,
+      s"loss not confined to all-hot-prefix probes: $lost")
+    val recall = (exact.size - lost.size).toDouble / exact.size
+    assert(recall >= 0.95, f"measured recall $recall%.4f under planted floor")
+    info(f"dfCap recall on stopword-heavy corpus: ${exact.size - lost.size}/${exact.size} = $recall%.4f")
+  }
+
   test("collapseExact: 100k-member hot identical-set group stays partial-agg-bounded (no window)") {
     // The web-scale hazard the r4 VERDICT named: the most common identical
     // token set (empty page, boilerplate template) can have 10^6-10^8
