@@ -39,14 +39,16 @@ import scala.jdk.CollectionConverters._
   * indirection); history lives under `<stage>/_snapshots/<id>/`.
   *
   * No Iceberg runtime ships in this sandbox (SURVEY.md §7); the manifest
-  * carries Iceberg-snapshot-equivalent metadata and a real
-  * `TableFormat`-style swap-in would only replace `write`/`read` here.
+  * carries Iceberg-snapshot-equivalent metadata, and every byte-touching
+  * operation routes through the [[TableFormat]] seam — a real Iceberg
+  * swap-in implements that trait and this class does not change.
   */
 class CheckpointStore(
     spark: SparkSession,
     root: String,
     configHash: String,
-    inputFingerprint: String = "") {
+    inputFingerprint: String = "",
+    format: TableFormat = ParquetFormat) {
 
   private val effectiveHash =
     if (inputFingerprint.isEmpty) configHash else s"$configHash@$inputFingerprint"
@@ -113,17 +115,7 @@ class CheckpointStore(
 
   /** Per-file record counts from parquet footers — metadata-only reads. */
   private def footerCounts(name: String): Seq[(String, Long)] =
-    dataFiles(name).map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hadoopConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        // partition label: __pid__=N dir for chunked sinks, file stem otherwise
-        val parent = f.getPath.getParent.getName
-        val label = if (parent.startsWith("__pid__=")) parent.stripPrefix("__pid__=")
-          else f.getPath.getName.take(10).stripPrefix("part-")
-        (label, r.getRecordCount)
-      } finally r.close()
-    }
+    format.fileRowCounts(dataFiles(name), hadoopConf)
 
   /** Commit-or-reuse a stage. `compute` runs only when no valid manifest
     * exists. `chunkRows` switches to the reference's chunked partitioned
@@ -138,7 +130,7 @@ class CheckpointStore(
     if (isCommitted(name)) {
       committed = committed :+ name
       reused = reused + name
-      return spark.read.parquet(dataPath(name)).drop("__pid__")
+      return format.read(spark, dataPath(name))
     }
     val t0 = System.nanoTime()
     val df0 = compute
@@ -158,18 +150,15 @@ class CheckpointStore(
         val rows = cached.count()
         val parts = math.max(chunkMinPartitions,
           math.min((rows + chunk - 1) / chunk, chunkMaxPartitions.toLong)).toInt
-        cached.repartition(parts)
-          .withColumn("__pid__", org.apache.spark.sql.functions.spark_partition_id())
-          .write.partitionBy("__pid__")
-          .mode("overwrite").option("compression", "snappy").parquet(dataPath(name))
+        format.writeChunked(cached, dataPath(name), parts)
         cached.unpersist(blocking = false)
       case None =>
         val df = repartitionTo.map(df0.repartition(_)).getOrElse(df0)
-        df.write.mode("overwrite").option("compression", "snappy").parquet(dataPath(name))
+        format.write(df, dataPath(name))
     }
     writeManifestFor(name, prev, t0)
     committed = committed :+ name
-    spark.read.parquet(dataPath(name)).drop("__pid__")
+    format.read(spark, dataPath(name))
   }
 
   /** Archive the CURRENT snapshot of `name` into `_snapshots/<id>/` if it
@@ -355,10 +344,10 @@ class CheckpointStore(
   def readSnapshot(name: String, snapshotId: String): Option[DataFrame] = {
     val isCurrent = readManifest(name)
       .exists(n => n.has("snapshot_id") && n.get("snapshot_id").asText() == snapshotId)
-    if (isCurrent) Some(spark.read.parquet(dataPath(name)).drop("__pid__"))
+    if (isCurrent) Some(format.read(spark, dataPath(name)))
     else {
       val archived = new Path(s"${snapshotsDir(name)}/$snapshotId/data")
-      if (fs.exists(archived)) Some(spark.read.parquet(archived.toString).drop("__pid__"))
+      if (fs.exists(archived)) Some(format.read(spark, archived.toString))
       else None
     }
   }
@@ -373,7 +362,7 @@ class CheckpointStore(
   def addedSince(name: String, sinceId: String,
       keyCols: Seq[String] = Nil): Option[DataFrame] =
     readSnapshot(name, sinceId).map { old =>
-      val cur = spark.read.parquet(dataPath(name)).drop("__pid__")
+      val cur = format.read(spark, dataPath(name))
       val keys = if (keyCols.nonEmpty) keyCols else cur.columns.toSeq
       cur.join(old.select(keys.map(org.apache.spark.sql.functions.col): _*)
         .distinct(), keys, "left_anti")
@@ -384,7 +373,7 @@ class CheckpointStore(
   def removedSince(name: String, sinceId: String,
       keyCols: Seq[String] = Nil): Option[DataFrame] =
     readSnapshot(name, sinceId).map { old =>
-      val cur = spark.read.parquet(dataPath(name)).drop("__pid__")
+      val cur = format.read(spark, dataPath(name))
       val keys = if (keyCols.nonEmpty) keyCols else old.columns.toSeq
       old.join(cur.select(keys.map(org.apache.spark.sql.functions.col): _*)
         .distinct(), keys, "left_anti")
@@ -423,9 +412,7 @@ class CheckpointStore(
     val t0 = System.nanoTime()
     val tmp = new Path(s"$root/$name/_compact_tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(dataPath(name)).drop("__pid__")
-      .repartition(parts)
-      .write.mode("overwrite").option("compression", "snappy").parquet(tmp.toString)
+    format.write(format.read(spark, dataPath(name)).repartition(parts), tmp.toString)
     archiveCurrent(name)
     fs.rename(tmp, new Path(dataPath(name)))
     writeManifestFor(name, prev, t0)

@@ -77,6 +77,8 @@ object Bench {
     "q_incremental",
     "q_incremental_fuzzy",
     "q_incremental_sem",
+    "q_stream_fuzzy_batch", // streaming fuzzy semantics, batch twin (oracle-gated)
+    "q_stream_sem_batch", // streaming semantic semantics, batch twin (oracle-gated)
     "q_cross_pairs",
     "q_domain_cap",
     "q_top_words",
@@ -84,6 +86,7 @@ object Bench {
     "q_phrase_hits", // broadcast Aho-Corasick phrase gate (zero shuffle)
     "q_robots", // RFC 9309 gate: per-host rule parse + host-keyed join
     "q_rare_tokens",
+    "q_hll_words", // HLL approx-distinct vocabulary sketch (512-register partial agg)
     "q_blocklist",
     "q_recrawl",
     "q_lang_sample",

@@ -30,6 +30,52 @@ class CheckpointStoreSpec extends AnyFunSuite {
     assert(df3.count() === 5)
   }
 
+  test("TableFormat seam: every byte-touching op routes through the injected format") {
+    // SURVEY §7's "swap-in of real Iceberg is a TableFormat implementation
+    // away" as a compile-time fact: construct the store through the seam
+    // with a delegating probe and prove commit, chunked sink, resume,
+    // metrics extraction and time travel all pass through it — no hidden
+    // direct parquet path remains in the store.
+    import spark.implicits._
+    var writes = 0; var chunkedWrites = 0; var reads = 0; var stats = 0
+    val probe = new TableFormat {
+      override def write(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+        writes += 1; ParquetFormat.write(df, path)
+      }
+      override def writeChunked(df: org.apache.spark.sql.DataFrame,
+          path: String, parts: Int): Unit = {
+        chunkedWrites += 1; ParquetFormat.writeChunked(df, path, parts)
+      }
+      override def read(s: org.apache.spark.sql.SparkSession,
+          path: String): org.apache.spark.sql.DataFrame = {
+        reads += 1; ParquetFormat.read(s, path)
+      }
+      override def fileRowCounts(files: Seq[org.apache.hadoop.fs.FileStatus],
+          conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+        stats += 1; ParquetFormat.fileRowCounts(files, conf)
+      }
+    }
+    val root = Files.createTempDirectory("fmt").toString
+    val store = new CheckpointStore(spark, root, "cfgF", format = probe)
+    assert(store.stage("s1") { (1 to 10).toDF("x") }.count() === 10)
+    assert(writes === 1 && reads >= 1 && stats >= 1, "plain commit not through seam")
+    store.stage("s2", chunkRows = Some(3),
+      chunkMinPartitions = 1, chunkMaxPartitions = 4) { (1 to 10).toDF("x") }
+    assert(chunkedWrites === 1, "chunked sink not through seam")
+    // resume path: a fresh store reuses s1 without compute, via format.read
+    val readsBefore = reads
+    val store2 = new CheckpointStore(spark, root, "cfgF", format = probe)
+    var computed = 0
+    assert(store2.stage("s1") { computed += 1; (1 to 3).toDF("x") }.count() === 10)
+    assert(computed === 0 && reads > readsBefore, "resume not through seam")
+    // time travel reads route through the seam too
+    val snapId = store.snapshots("s1").collect()
+      .find(_.getBoolean(7)).get.getString(0) // current snapshot id
+    val readsBefore2 = reads
+    assert(store2.readSnapshot("s1", snapId).get.count() === 10)
+    assert(reads > readsBefore2, "time travel not through seam")
+  }
+
   test("stageReport: one snapshot row per committed stage, bytes/lineage populated") {
     import spark.implicits._
     val root = Files.createTempDirectory("rpt").toString

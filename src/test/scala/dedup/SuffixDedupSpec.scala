@@ -1,7 +1,7 @@
 package dedup
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 class SuffixRemoveSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.spark
@@ -155,5 +155,42 @@ class SuffixDedupSpec extends AnyFunSuite {
     val edges = SuffixDedup.verifiedEdges(docs, cfg)
       .select("src", "dst").as[(Long, Long)].collect().toSet
     assert(edges === Set((2L, 1L)))
+  }
+
+  test("cross-salt-group recall: a shared ≥minRun run between docs salted into " +
+      "DIFFERENT groups of their anchor bucket is found via the phase-2 rep bridge") {
+    // The SCALE.md recall argument for the salted suffix topology: salting
+    // splits an anchor bucket's members into salt groups, and two docs
+    // sharing a run can land in different groups — each then being its own
+    // group-min, connected only by Lsh.groupEdges PHASE 2 (group reps →
+    // bucket min). This test constructs that situation EXACTLY (ids chosen
+    // by their actual pmod(xxhash64(id), salt) values, not by luck) and
+    // asserts the verified edge still appears — the guarantee is the
+    // bridge, not same-group co-residence.
+    import spark.implicits._
+    val saltBuckets = 8
+    val salts = spark.range(200)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(saltBuckets.toLong)).as("salt"))
+      .as[(Long, Long)].collect().toMap
+    val idA = 0L
+    val idB = (1L to 199L).find(i => salts(i) != salts(idA)).get
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int) = new String(Array.fill(n)(('a' + rnd.nextInt(26)).toChar))
+    val shared = blob(150)
+    val docs = (Seq(
+      (idA, blob(300) + shared + blob(100)),
+      (idB, blob(250) + shared + blob(150))) ++
+      (500L until 520L).map(i => (i, blob(600)))).toDF("id", "text")
+    val cfg = DedupConfig(idCol = "id", textCol = "text",
+      suffixMinRun = 120, saltBuckets = saltBuckets)
+    val edges = SuffixDedup.verifiedEdges(docs, cfg)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(salts(idA) !== salts(idB), "test precondition: different salt groups")
+    assert(edges.contains((math.max(idA, idB), math.min(idA, idB))),
+      s"cross-salt-group pair ($idA, $idB) lost; edges=$edges")
+    // and nothing spurious: every verified edge involves only the pair
+    assert(edges.forall { case (s, d) => Set(idA, idB)(s) && Set(idA, idB)(d) },
+      s"spurious verified edges: $edges")
   }
 }
