@@ -1804,26 +1804,26 @@ object SparkEntry {
     // cluster size — the exact form above is correct but the wrong shape
     // to run corpus-wide. The audit needs the histogram's SHAPE (pick a
     // dedup threshold), not every pair: a deterministic md5 Bernoulli doc
-    // sample at rate p=1/2 keeps each pair with probability p²=1/4, so
-    // n_pairs_est = n_pairs·4 is unbiased per bucket with the closed-form
-    // integer scale-up. The sample is a pure projection of doc_id
-    // (Sampling.hashUnit), so DuckDB replays the IDENTICAL sample and
-    // brute-forces the same histogram — the estimate column is gated too.
-    // Candidate volume and memory scale by p² vs the exact form; at
-    // production scale p drops to 0.01-0.1 and the bound tightens by
-    // 10⁴-10⁶ (SCALE.md row).
+    // sample at rate p=1/4 keeps each pair with probability p²=1/16, so
+    // n_pairs_est = n_pairs·16 is unbiased per bucket with the
+    // closed-form integer scale-up. The sample is a pure projection of
+    // doc_id (Sampling.hashUnit), so DuckDB replays the IDENTICAL sample
+    // and brute-forces the same histogram — the estimate column is gated
+    // too. Candidate volume and memory scale by p² vs the exact form
+    // (measured at sf0.1: 310k → 14k candidates); at production scale p
+    // drops to 0.01-0.1 and the bound tightens by 10⁴-10⁶ (SCALE.md row).
     "q_sim_histogram_sampled" -> ((s, dir) => {
       val g = documents(s, dir)
         .where(nTokens(col("text")) >= 5)
-        // hashUnit < 2^31 ⇔ rate 1/2, exact in binary in both engines
-        .where(Sampling.hashUnit(col("doc_id").cast("string")) < 2147483648L)
+        // hashUnit < 2^30 ⇔ rate 1/4, exact in binary in both engines
+        .where(Sampling.hashUnit(col("doc_id").cast("string")) < 1073741824L)
         .select(col("doc_id").as("id"), triGramHashes(col("text")).as("toks"))
       SSJoin.pairs(g, 0.5)
         .withColumn("sim_decile", expr("inter * 10 DIV uni"))
         .groupBy(col("sim_decile"))
         .agg(count(lit(1)).as("n_pairs"))
         .select(col("sim_decile"), col("n_pairs"),
-          (col("n_pairs") * 4L).as("n_pairs_est"))
+          (col("n_pairs") * 16L).as("n_pairs_est"))
     }),
 
     // Cross-corpus n-gram novelty (TextAnalysis.ngramNovelty): per doc,
@@ -3122,12 +3122,12 @@ object SparkEntry {
         |SELECT (inter * 10) // uni AS sim_decile, count(*)::BIGINT AS n_pairs
         |FROM pairs WHERE inter * 2 >= uni GROUP BY 1""".stripMargin,
 
-    // Identical md5 doc sample (hashUnit < 2^31 ⇔ p=1/2), brute-force
-    // histogram over the sample, closed-form ·4 scale-up gated as a column.
+    // Identical md5 doc sample (hashUnit < 2^30 ⇔ p=1/4), brute-force
+    // histogram over the sample, closed-form ·16 scale-up gated as a column.
     "q_sim_histogram_sampled" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 5
-        |    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64 < 2147483648),
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINT64 < 1073741824),
         |grams AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
         |  FROM toks),
@@ -3136,7 +3136,7 @@ object SparkEntry {
         |  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS uni
         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
         |SELECT (inter * 10) // uni AS sim_decile, count(*)::BIGINT AS n_pairs,
-        |  (count(*) * 4)::BIGINT AS n_pairs_est
+        |  (count(*) * 16)::BIGINT AS n_pairs_est
         |FROM pairs WHERE inter * 2 >= uni GROUP BY 1""".stripMargin,
 
     "q_novelty" ->
