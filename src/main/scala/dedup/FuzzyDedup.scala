@@ -103,4 +103,27 @@ object FuzzyDedup {
         max(col("q")).as("quality"),
         count(lit(1)).as("group_n"))
   }
+
+  /** SOFT dedup: duplicate-aware reweighting instead of removal. Every
+    * doc keeps a training weight 1/|its cluster| in integer ppm (one
+    * canonical truncating division, SQL-replayable) — a cluster of m
+    * near-identical pages contributes ~one doc's worth of gradient in
+    * aggregate while keeping its internal variation available, the
+    * retain-and-downweight alternative the hard `kept` rule discards
+    * (cf. SoftDedup-style duplicate-aware sampling; the reference has
+    * removal only). Input: (id, component) from [[assignments]].
+    * Returns (id, component, csize, weight_ppm).
+    *
+    * Scale shape: one partial-aggregating groupBy on component (the
+    * 10M-member boilerplate cluster is one reduce key) and an
+    * AQE-skew-splittable equi-join back — never a window over cluster
+    * members. */
+  def softWeights(assign: DataFrame): DataFrame = {
+    val sizes = assign.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+    assign.select(col("id"), col("component"))
+      .join(sizes, "component")
+      .withColumn("weight_ppm", expr("1000000 DIV csize"))
+      .select(col("id"), col("component"), col("csize"), col("weight_ppm"))
+  }
 }

@@ -849,4 +849,28 @@ object TextAnalysis {
       .select(col("id"), col("n_grams"), col("n_shared"),
         col("novelty_per_mille"))
   }
+
+  /** Cross-group shared-vocabulary matrix: for every pair of groups
+    * (languages, sources, splits), how many DISTINCT n-grams they share —
+    * the corpus-level contamination/template audit that generalizes
+    * pairwise decontamination ("which sources leak into which" before
+    * choosing what to decontaminate against). Cardinalities are
+    * hash-invariant, so the engine runs on hashed gram sets while any SQL
+    * oracle replays on raw strings (the q_novelty argument).
+    *
+    * Scale shape: distinct (gram, group) is a partial-aggregating
+    * groupBy (a corpus-hot gram collapses map-side to ≤1 row per group
+    * per task); the self-join on gram fans out ≤ #groups per side
+    * (bounded by construction, e.g. ~10² language pairs), and the final
+    * count partial-aggregates on a ≤ #groups² key space. Never all-pairs
+    * in docs. */
+  def sharedGramMatrix(df: DataFrame, groupCol: String, setCol: String): DataFrame = {
+    val gl = df.select(col(groupCol).as("g"), explode(col(setCol)).as("gram"))
+      .distinct()
+    gl.select(col("g").as("group_a"), col("gram"))
+      .join(gl.select(col("g").as("group_b"), col("gram")), "gram")
+      .where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

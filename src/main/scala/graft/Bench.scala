@@ -58,6 +58,8 @@ object Bench {
     "q_url_host",
     "q_url_dedup",
     "q_best_rep", // quality-weighted cluster representative (flagship + argmax)
+    "q_soft_dedup", // duplicate-aware reweighting (retain-and-downweight, 1/csize ppm)
+    "q_lang_overlap", // cross-lang shared-vocabulary matrix (contamination audit)
     "q_sim_histogram_sampled", // corpus similarity profile, md5-sampled p=1/2 + closed-form scale-up (exact form is correctness-only: at t=0.5 both candidates and TRUE output are quadratic in cluster size)
     "q_dedup_summary", // per-lang exact+fuzzy removal accounting (metrics rows)
     "q_cross_lang_dup", // multi-lang dup components (template-spam signal)

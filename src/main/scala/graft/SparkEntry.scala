@@ -284,6 +284,35 @@ object SparkEntry {
       FuzzyDedup.kept(documents(s, dir), docCfg)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
+
+    // SOFT dedup (FuzzyDedup.softWeights): retain-and-downweight instead
+    // of removal — every doc gets training weight 1/|cluster| in integer
+    // ppm over the flagship's components, so an m-member template cluster
+    // contributes ~one doc of gradient while keeping its internal
+    // variation. One partial-agg groupBy + skew-splittable join-back;
+    // DuckDB replays the components (recursive CTE) and the one
+    // truncating division.
+    "q_soft_dedup" -> ((s, dir) => {
+      val d = documents(s, dir)
+      FuzzyDedup.softWeights(FuzzyDedup.assignments(d, docCfg))
+        .select(col("id").as("doc_id"), col("component"), col("csize"),
+          col("weight_ppm"))
+    }),
+
+    // Cross-language shared-vocabulary matrix
+    // (TextAnalysis.sharedGramMatrix): distinct trigrams shared per lang
+    // pair — the corpus-level "which sources/langs leak into which"
+    // audit that generalizes pairwise decontamination. Engine on hashed
+    // gram sets (cardinalities hash-invariant); DuckDB brute-forces on
+    // raw string grams.
+    "q_lang_overlap" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .where(nTokens(col("text")) >= 5)
+        .select(col("lang"), triGramHashes(col("text")).as("toks"))
+      TextAnalysis.sharedGramMatrix(d, "lang", "toks")
+        .select(col("group_a").as("lang_a"), col("group_b").as("lang_b"),
+          col("n_shared_grams"))
+    }),
     // -------------------------------- SimHash: pipeline vs brute-force gate
     // Production path (blocks banding → salted groups → hamming verify →
     // CC) must equal the all-pairs hamming-≤k ground truth — provable via
@@ -2038,6 +2067,28 @@ object SparkEntry {
         """SELECT d.doc_id, d.lang, d.source, d.n_chars
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
           |WHERE coalesce(c.component, d.doc_id) >= d.doc_id""".stripMargin),
+
+    // Components via the recursive CTE, cluster sizes, one truncating div.
+    "q_soft_dedup" ->
+      (fuzzyCcSql +
+        """, fz AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+          |cs AS (SELECT component, count(*)::BIGINT AS csize FROM fz GROUP BY 1)
+          |SELECT f.doc_id, f.component, cs.csize,
+          |  (1000000 // cs.csize)::BIGINT AS weight_ppm
+          |FROM fz f JOIN cs USING (component)""".stripMargin),
+
+    // Distinct raw-string trigrams per lang, counted per lang pair.
+    "q_lang_overlap" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (SELECT lang,
+        |  unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])) AS g
+        |  FROM toks),
+        |gl AS (SELECT DISTINCT lang, g FROM grams)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS n_shared_grams
+        |FROM gl a JOIN gl b ON a.g = b.g AND a.lang < b.lang
+        |GROUP BY 1, 2""".stripMargin,
     "q_simhash_assign" ->
       """SELECT doc_id, 1::BIGINT AS ok FROM documents""".stripMargin,
     "q_lsh_bands" ->

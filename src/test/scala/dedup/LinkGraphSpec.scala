@@ -121,6 +121,31 @@ class LinkGraphSpec extends AnyFunSuite {
       (9L, 9L, 4.0, 1L)))
   }
 
+  test("softWeights: 1/csize ppm per member, truncating division, partial-agg plan") {
+    import spark.implicits._
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("id", "component")
+    val out = FuzzyDedup.softWeights(assign)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, 1L, 3L, 333333L), // 1000000 DIV 3 truncates
+      (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L),
+      (7L, 7L, 2L, 500000L),
+      (8L, 7L, 2L, 500000L),
+      (9L, 9L, 1L, 1000000L)))
+    // no window in the plan — the hot-cluster discipline
+    val plan = {
+      val o = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(o)) {
+        FuzzyDedup.softWeights(assign).explain("formatted")
+      }
+      o.toString
+    }
+    assert(!plan.contains("Window") && plan.contains("HashAggregate"), plan)
+  }
+
   test("hostEdges: distinct host pairs, relative/self/non-url dropped") {
     import spark.implicits._
     val pages = Seq(

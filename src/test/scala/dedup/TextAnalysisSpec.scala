@@ -443,4 +443,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(empty.columns.toSeq === Seq("id", "dl", "score_micro"))
     assert(empty.count() === 0L)
   }
+
+  test("sharedGramMatrix: per-pair distinct shared grams, duplicates-free, hash-invariant") {
+    import spark.implicits._
+    // groups: en shares {g1,g2} with de, {g1} with fr; de-fr share {g1};
+    // within-group duplicates (two en docs both carrying g1) count once
+    val in = Seq(
+      ("en", Array("g1", "g2", "enonly")),
+      ("en", Array("g1", "enonly2")),
+      ("de", Array("g1", "g2", "deonly")),
+      ("fr", Array("g1", "fronly"))).toDF("lang", "set")
+    val out = TextAnalysis.sharedGramMatrix(in, "lang", "set")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(("de", "en", 2L), ("de", "fr", 1L), ("en", "fr", 1L)))
+    // hash-invariance: identical counts on hashed sets
+    val hashed = in.select(col("lang"),
+      transform(col("set"), g => xxhash64(g)).as("set"))
+    val outH = TextAnalysis.sharedGramMatrix(hashed, "lang", "set")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(outH === out)
+    // a corpus-hot gram (in every group) fans out #groups^2 pairs, not docs^2
+    val hot = (0 until 200).map(i => (s"l${i % 4}", Array("hot"))).toDF("lang", "set")
+    val outHot = TextAnalysis.sharedGramMatrix(hot, "lang", "set")
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(outHot.size === 6 && outHot.forall(_ === 1L)) // C(4,2) pairs, 1 gram
+  }
 }
