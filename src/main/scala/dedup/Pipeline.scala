@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
   *     [--dedup-lines] [--redact-pii] [--remove-runs] [--shard-tokens B]
   *     [--sample-alpha A] [--sample-target F]
   *     [--mix src:wppm,...[,*:wppm] --mix-budget TOKENS]
-  *     [--cdc-report MASKBITS]
+  *     [--cdc-report MASKBITS] [--soft-weights]
   *     [--existing <pages parquet>] [--existing-fuzzy] [--prune-fpp F]
   *     [--exact-join] [--contain T] [--contain-df-cap N]
   *     [--synth N]  (generate a deterministic synthetic corpus instead of
@@ -82,6 +82,7 @@ object Pipeline {
       mainContent: Boolean = false,
       nfc: Boolean = false,
       linkRank: Int = 0,
+      softWeights: Boolean = false,
       dedupLines: Boolean = false,
       redactPii: Boolean = false,
       removeRuns: Boolean = false,
@@ -163,6 +164,7 @@ object Pipeline {
         case "--main-content" => a = a.copy(mainContent = true); i += 1
         case "--nfc" => a = a.copy(nfc = true); i += 1
         case "--link-rank" => a = a.copy(linkRank = argv(i + 1).toInt); i += 2
+        case "--soft-weights" => a = a.copy(softWeights = true); i += 1
         case "--dedup-lines" => a = a.copy(dedupLines = true); i += 1
         case "--redact-pii" => a = a.copy(redactPii = true); i += 1
         case "--remove-runs" => a = a.copy(removeRuns = true); i += 1
@@ -594,6 +596,16 @@ object Pipeline {
 
     val assignments = store.stage("assignments") {
       ConnectedComponents.assignAll(docs.select(col("id")), components)
+    }
+
+    // `--soft-weights`: side artifact — retain-and-downweight alternative
+    // to removal. Every doc's 1/|cluster| training weight (integer ppm,
+    // FuzzyDedup.softWeights) lands beside the checkpoint chain; the
+    // kept/removal flow is unchanged, so a consumer can choose hard
+    // removal (kept) or weighted retention (ids + soft_weights) per use.
+    if (args.softWeights) {
+      FuzzyDedup.softWeights(assignments)
+        .write.mode("overwrite").parquet(s"$outRoot/soft_weights")
     }
 
     // semantic family (reference semantic dedup single gpu/*): embed from

@@ -146,6 +146,20 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && plan.contains("HashAggregate"), plan)
   }
 
+  test("pipeline --soft-weights: 1/csize ppm artifact beside the checkpoints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("softw").toString
+    val args = Pipeline.parse(Array("--synth", "300", "--output", dir, "--soft-weights"))
+    val (_, assign) = Pipeline.run(spark, args)
+    val w = spark.read.parquet(s"$dir/soft_weights")
+    assert(w.count() === assign.count())
+    // weights agree with the assignments' own cluster sizes
+    val sizes = assign.groupBy("component").agg(count(lit(1)).as("n"))
+    assert(w.join(sizes, "component").where(col("csize") =!= col("n")).count() === 0L)
+    assert(w.where(col("weight_ppm") === 1000000L).count() > 0, "uniques weight 1.0")
+    assert(w.where(col("csize") > 1).count() > 0, "synth corpus plants dup clusters")
+  }
+
   test("hostEdges: distinct host pairs, relative/self/non-url dropped") {
     import spark.implicits._
     val pages = Seq(

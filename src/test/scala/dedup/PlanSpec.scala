@@ -104,7 +104,8 @@ class PlanSpec extends AnyFunSuite {
     val qmap = graft.SparkEntry.benchQueries
     Seq("q_image_dhash", "q_audio_fp", "q_video_fp", "q_dedup_summary",
       "q_containment", "q_contain_kept", "q_ngram_jaccard_pairs",
-      "q_ssjoin_assign", "q_sim_histogram_sampled").foreach { name =>
+      "q_ssjoin_assign", "q_sim_histogram_sampled", "q_soft_dedup",
+      "q_lang_overlap", "q_hll_words").foreach { name =>
       val plan = formatted(qmap(name)(spark, sf))
       assert(!plan.contains("Window"),
         s"hot-key window function in $name:\n$plan")
